@@ -1,0 +1,132 @@
+"""Per-architecture expert tensor layout specs.
+
+One declarative table consumed by the expert store (record layout), the HBM
+slot arena (stacked array shapes), and the model layer (weight unpacking).
+The reference encodes this implicitly across its C++ expert modules
+(/root/reference/core/parallel/expert_module.cpp:10-238) and param-name
+regexes; here it is data, not code.
+
+Shapes are in the HF checkpoint layout (torch Linear: [out_features,
+in_features]); the compute path contracts on the input dim directly, so
+ingest never transposes bytes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+from moe_infinity_tpu.utils.hf_config import detect_arch
+
+
+@dataclass(frozen=True)
+class ExpertTensorSpec:
+    name: str  # param tail after 'experts.<e>.', e.g. 'w1.weight'
+    shape: Tuple[int, ...]  # HF layout
+
+
+@dataclass(frozen=True)
+class ArchExpertLayout:
+    arch: str
+    tensors: Tuple[ExpertTensorSpec, ...]
+    activation: str  # 'relu' | 'gelu' | 'silu' — expert FFN nonlinearity
+    gated: bool
+
+    @property
+    def names(self) -> Tuple[str, ...]:
+        return tuple(t.name for t in self.tensors)
+
+    def numel(self) -> int:
+        total = 0
+        for t in self.tensors:
+            n = 1
+            for d in t.shape:
+                n *= d
+            total += n
+        return total
+
+
+def expert_layout(config) -> ArchExpertLayout:
+    """Build the expert tensor layout for one checkpoint config."""
+    arch = detect_arch(config)
+    if arch == "switch":
+        d_model, d_ff = config.d_model, config.d_ff
+        if getattr(config, "is_gated_act", False):
+            tensors = (
+                ExpertTensorSpec("wi_0.weight", (d_ff, d_model)),
+                ExpertTensorSpec("wi_1.weight", (d_ff, d_model)),
+                ExpertTensorSpec("wo.weight", (d_model, d_ff)),
+            )
+            return ArchExpertLayout(arch, tensors, "gelu", True)
+        tensors = (
+            ExpertTensorSpec("wi.weight", (d_ff, d_model)),
+            ExpertTensorSpec("wo.weight", (d_model, d_ff)),
+        )
+        return ArchExpertLayout(arch, tensors, "relu", False)
+    if arch == "nllb":
+        d_model, d_ff = config.d_model, config.encoder_ffn_dim
+        tensors = (
+            ExpertTensorSpec("fc1.weight", (d_ff, d_model)),
+            ExpertTensorSpec("fc1.bias", (d_ff,)),
+            ExpertTensorSpec("fc2.weight", (d_model, d_ff)),
+            ExpertTensorSpec("fc2.bias", (d_model,)),
+        )
+        return ArchExpertLayout(arch, tensors, "relu", False)
+    if arch in ("mixtral", "arctic"):
+        d_model = config.hidden_size
+        d_ff = config.intermediate_size
+        tensors = (
+            ExpertTensorSpec("w1.weight", (d_ff, d_model)),
+            ExpertTensorSpec("w2.weight", (d_model, d_ff)),
+            ExpertTensorSpec("w3.weight", (d_ff, d_model)),
+        )
+        return ArchExpertLayout(arch, tensors, "silu", True)
+    if arch == "grok":
+        d_model = config.hidden_size
+        d_ff = config.intermediate_size
+        tensors = (
+            ExpertTensorSpec("linear.weight", (d_ff, d_model)),
+            ExpertTensorSpec("linear_1.weight", (d_model, d_ff)),
+            ExpertTensorSpec("linear_v.weight", (d_ff, d_model)),
+        )
+        return ArchExpertLayout(arch, tensors, "gelu", True)
+    if arch in ("deepseek", "deepseek_v3"):
+        d_model = config.hidden_size
+        d_ff = config.moe_intermediate_size
+        tensors = (
+            ExpertTensorSpec("gate_proj.weight", (d_ff, d_model)),
+            ExpertTensorSpec("up_proj.weight", (d_ff, d_model)),
+            ExpertTensorSpec("down_proj.weight", (d_model, d_ff)),
+        )
+        return ArchExpertLayout(arch, tensors, "silu", True)
+    raise AssertionError(arch)
+
+
+# Canonical role names used by the JAX MoE blocks, mapped per arch onto the
+# HF tensor tails above. 'up' is None for non-gated FFNs.
+FFN_ROLES: Dict[str, Dict[str, str]] = {
+    "switch": {"gate_or_in": "wi.weight", "up": None, "down": "wo.weight"},
+    "switch_gated": {
+        "gate_or_in": "wi_0.weight",
+        "up": "wi_1.weight",
+        "down": "wo.weight",
+    },
+    "nllb": {"gate_or_in": "fc1.weight", "up": None, "down": "fc2.weight"},
+    "mixtral": {"gate_or_in": "w1.weight", "up": "w3.weight", "down": "w2.weight"},
+    "arctic": {"gate_or_in": "w1.weight", "up": "w3.weight", "down": "w2.weight"},
+    "grok": {
+        "gate_or_in": "linear.weight",
+        "up": "linear_v.weight",
+        "down": "linear_1.weight",
+    },
+    "deepseek": {
+        "gate_or_in": "gate_proj.weight",
+        "up": "up_proj.weight",
+        "down": "down_proj.weight",
+    },
+    "deepseek_v3": {
+        "gate_or_in": "gate_proj.weight",
+        "up": "up_proj.weight",
+        "down": "down_proj.weight",
+    },
+}

@@ -1,0 +1,166 @@
+"""Checkpoint ingest: HF shards → expert-major blob store + dense archive.
+
+The analogue of the reference's first-run offload path
+(/root/reference/moe_infinity/runtime/model_offload.py:323-392 →
+core/aio/archer_tensor_handle.cpp:53-86), re-designed expert-major: instead
+of one record per tensor, one fixed-stride record per (layer, expert) so a
+whole expert streams with a single aligned read/DMA.
+
+Ingest is restartable and idempotent: a finished store is detected via
+`store_exists` and skipped (warm start, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from moe_infinity_tpu.common.arch import expert_layout
+from moe_infinity_tpu.store.blob import (
+    DenseArchiveWriter,
+    ExpertStoreWriter,
+    store_exists,
+)
+from moe_infinity_tpu.store.quant import quantize_rowwise
+from moe_infinity_tpu.utils.checkpoints import get_checkpoint_paths
+from moe_infinity_tpu.utils.dtypes import dtype_name, torch_to_numpy
+from moe_infinity_tpu.utils.hf_config import (
+    detect_arch,
+    parse_expert_param,
+    parse_geometry,
+)
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("ingest")
+
+QUANT_DTYPES = ("int8", "float8_e4m3fn")
+
+
+def _iter_checkpoint_tensors(checkpoint: str):
+    """Yield (name, torch.Tensor) across all shards, one shard in memory at
+    a time."""
+    import torch
+
+    paths, is_safetensors = get_checkpoint_paths(checkpoint)
+    for path in paths:
+        logger.info("ingesting shard %s", os.path.basename(path))
+        if is_safetensors:
+            from safetensors import safe_open
+
+            with safe_open(path, framework="pt", device="cpu") as f:
+                for name in f.keys():
+                    yield name, f.get_tensor(name)
+        else:
+            state = torch.load(path, map_location="cpu", weights_only=True)
+            for name, tensor in state.items():
+                yield name, tensor
+            del state
+
+
+def _expert_fields(layout, expert_dtype: str):
+    """Record field list for one expert given the storage dtype."""
+    fields = []
+    for spec in layout.tensors:
+        if expert_dtype in QUANT_DTYPES and len(spec.shape) == 2:
+            fields.append((spec.name, spec.shape, expert_dtype))
+            fields.append((spec.name + ".scale", (spec.shape[0],), "float32"))
+        else:
+            dt = expert_dtype if expert_dtype not in QUANT_DTYPES else "bfloat16"
+            fields.append((spec.name, spec.shape, dt))
+    return fields
+
+
+def _cast_np(a: np.ndarray, dtype: str) -> np.ndarray:
+    from moe_infinity_tpu.utils.dtypes import np_dtype
+
+    target = np_dtype(dtype)
+    if a.dtype == target:
+        return a
+    return a.astype(np.float32).astype(target)
+
+
+def ingest_checkpoint(
+    checkpoint: str,
+    offload_path: str,
+    config,
+    expert_dtype: str = "bfloat16",
+    dense_dtype: str = "bfloat16",
+    force: bool = False,
+) -> Dict[str, object]:
+    """Convert an HF checkpoint into the offload store. Returns the store
+    meta dict. No-op if the store already exists (unless force)."""
+    if store_exists(offload_path) and not force:
+        logger.info("store already present at %s (warm start)", offload_path)
+        with open(os.path.join(offload_path, "experts.index.json")) as f:
+            return json.load(f)["meta"]
+
+    arch = detect_arch(config)
+    geometry = parse_geometry(config)
+    layout = expert_layout(config)
+    meta = {
+        "arch": arch,
+        "num_moe_layers": geometry.num_moe_layers,
+        "num_experts": geometry.num_experts,
+        "num_encoder_moe_layers": geometry.num_encoder_moe_layers,
+        "expert_dtype": expert_dtype,
+        "dense_dtype": dense_dtype,
+        "activation": layout.activation,
+        "gated": layout.gated,
+        "tensor_names": list(layout.names),
+    }
+
+    writer = ExpertStoreWriter(
+        offload_path,
+        geometry.num_moe_layers,
+        geometry.num_experts,
+        _expert_fields(layout, expert_dtype),
+        meta=meta,
+    )
+    dense_writer = DenseArchiveWriter(offload_path)
+    name_map: Dict[str, list] = {}
+    n_expert_tensors = 0
+    n_dense = 0
+
+    for name, tensor in _iter_checkpoint_tensors(checkpoint):
+        parsed = parse_expert_param(name, config)
+        arr = torch_to_numpy(tensor)
+        if parsed is not None:
+            layer, expert, tail = parsed
+            if expert_dtype in QUANT_DTYPES and arr.ndim == 2:
+                q, scale = quantize_rowwise(arr, expert_dtype)
+                writer.write_tensor(layer, expert, tail, q)
+                writer.write_tensor(layer, expert, tail + ".scale", scale)
+            else:
+                dt = expert_dtype if expert_dtype not in QUANT_DTYPES else "bfloat16"
+                writer.write_tensor(layer, expert, tail, _cast_np(arr, dt))
+            name_map[name] = ["expert", layer, expert, tail]
+            n_expert_tensors += 1
+        else:
+            # Keep small norm/bias params in float32 for numerical stability;
+            # cast matrices to the dense compute dtype.
+            dt = dense_dtype if arr.ndim >= 2 else "float32"
+            dense_writer.write(name, _cast_np(arr, dt))
+            name_map[name] = ["dense"]
+            n_dense += 1
+
+    missing = int((~writer._written).sum())
+    if missing:
+        missing_ids = np.argwhere(~writer._written)[:8].tolist()
+        raise RuntimeError(
+            f"{missing} expert records missing after ingest, e.g. {missing_ids}"
+        )
+    writer.finalize()
+    dense_writer.finalize()
+    with open(os.path.join(offload_path, "name_map.json"), "w") as f:
+        json.dump(name_map, f)
+    logger.info(
+        "ingested %d expert tensors (%d experts) + %d dense tensors -> %s",
+        n_expert_tensors,
+        geometry.num_moe_layers * geometry.num_experts,
+        n_dense,
+        offload_path,
+    )
+    return meta

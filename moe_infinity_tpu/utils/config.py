@@ -1,0 +1,119 @@
+"""Engine configuration.
+
+Capability parity with the reference `ArcherConfig`
+(/root/reference/moe_infinity/utils/config.py:13-78) — same user-facing knobs
+(offload_path, trace_capacity, trace_path, prefetch, device_memory_ratio,
+host_memory_ratio, num_threads) — plus TPU-native knobs that have no GPU
+counterpart: mesh axis sizes, HBM slot-arena sizing, expert dtype, and kernel
+backend selection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class EngineConfig:
+    # ---- storage tiers -------------------------------------------------
+    offload_path: str = ""
+    """Directory holding the converted expert store (blob + index + name map).
+    Must be unique per model, like the reference's `offload_path`."""
+
+    # ---- tracing / prediction ------------------------------------------
+    trace_capacity: int = 1000
+    """Max number of finished per-sequence expert-activation matrices kept
+    for cosine-similarity prediction (EAMC collection bound)."""
+
+    trace_path: Optional[str] = None
+    """Optional .npz file to load/persist the EAMC trace collection."""
+
+    prefetch: bool = True
+    """Enable activation-aware prefetching (the reference defaults this off;
+    on TPU the prefetch pipeline is cheap and on by default)."""
+
+    # ---- memory budgets -------------------------------------------------
+    device_memory_ratio: float = 0.9
+    """Fraction of per-chip HBM the engine may use (weights + arena + KV)."""
+
+    host_memory_ratio: float = 0.9
+    """Fraction of host RAM usable for the pinned expert tier."""
+
+    device_memory_bytes: Optional[int] = None
+    """Absolute override of the per-chip HBM budget (wins over ratio).
+    Useful for tests and for `device_memory_ratio` sweeps."""
+
+    num_slots: Optional[int] = None
+    """Number of expert slots in the HBM arena. Default: derived from the
+    device memory budget after dense weights + KV cache are accounted."""
+
+    # ---- compute --------------------------------------------------------
+    expert_dtype: str = "bfloat16"
+    """Storage dtype of offloaded experts: bfloat16 | int8 | float8_e4m3fn."""
+
+    use_pallas: Optional[bool] = None
+    """Force Pallas kernels on/off. Default (None): on for TPU backends,
+    off for CPU (jnp reference path)."""
+
+    num_threads: int = 4
+    """Host worker threads for the prefetch/fetch controller (the reference
+    uses this for per-GPU exec threads; here it sizes the DMA controller)."""
+
+    # ---- generation -----------------------------------------------------
+    max_seq_len: int = 2048
+    """Static KV-cache sequence capacity per slot (paged KV page count
+    derives from this)."""
+
+    kv_page_size: int = 128
+    """Tokens per KV-cache page."""
+
+    max_batch_size: int = 8
+    """Continuous-batching slot count."""
+
+    # ---- parallelism ----------------------------------------------------
+    data_parallel: int = 1
+    tensor_parallel: int = 1
+    expert_parallel: int = 1
+    """Mesh axis sizes (data, model, expert). Product must divide the number
+    of addressable devices; 1/1/1 means single chip."""
+
+    # ---- misc -----------------------------------------------------------
+    seed: int = 0
+    log_level: str = "INFO"
+
+    def __post_init__(self) -> None:
+        if self.trace_path is not None:
+            self.trace_path = os.path.abspath(self.trace_path)
+            if os.path.isdir(self.trace_path):
+                raise ValueError("trace_path must be a file, not a directory")
+        if not 0.0 < self.device_memory_ratio <= 1.0:
+            raise ValueError("device_memory_ratio must be in (0, 1]")
+        if not 0.0 < self.host_memory_ratio <= 1.0:
+            raise ValueError("host_memory_ratio must be in (0, 1]")
+        if self.expert_dtype not in ("bfloat16", "float32", "float16", "int8", "float8_e4m3fn"):
+            raise ValueError(f"unsupported expert_dtype {self.expert_dtype!r}")
+
+    # -- constructors mirroring the reference API -------------------------
+    @classmethod
+    def load_from_json(cls, config: Dict[str, Any]) -> "EngineConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(config) - known
+        if unknown:
+            raise ValueError(f"unknown EngineConfig keys: {sorted(unknown)}")
+        return cls(**config)
+
+    @classmethod
+    def load_from_file(cls, path: str) -> "EngineConfig":
+        with open(path) as f:
+            return cls.load_from_json(json.load(f))
+
+    def to_json(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @property
+    def perfect_cache_file(self) -> str:
+        return os.path.join(self.offload_path, "perfect_cache")
