@@ -6,9 +6,13 @@ The reference encodes this implicitly across its C++ expert modules
 (/root/reference/core/parallel/expert_module.cpp:10-238) and param-name
 regexes; here it is data, not code.
 
-Shapes are in the HF checkpoint layout (torch Linear: [out_features,
-in_features]); the compute path contracts on the input dim directly, so
-ingest never transposes bytes.
+Shapes are in **compute layout**: every 2-D expert weight is stored
+transposed from the HF torch-Linear layout, i.e. as [in_features,
+out_features], so the stacked HBM arena is exactly the rhs layout
+`jax.lax.ragged_dot` and the Pallas grouped-FFN kernel consume ([groups, in,
+out]) with zero per-step transposes. Ingest pays the one-time transpose.
+Quantization scales remain per *output* channel: shape (out_features,) =
+stored shape[1].
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from moe_infinity_tpu.utils.hf_config import detect_arch
 @dataclass(frozen=True)
 class ExpertTensorSpec:
     name: str  # param tail after 'experts.<e>.', e.g. 'w1.weight'
-    shape: Tuple[int, ...]  # HF layout
+    shape: Tuple[int, ...]  # compute layout: 2-D weights are [in, out]
 
 
 @dataclass(frozen=True)
@@ -53,22 +57,22 @@ def expert_layout(config) -> ArchExpertLayout:
         d_model, d_ff = config.d_model, config.d_ff
         if getattr(config, "is_gated_act", False):
             tensors = (
-                ExpertTensorSpec("wi_0.weight", (d_ff, d_model)),
-                ExpertTensorSpec("wi_1.weight", (d_ff, d_model)),
-                ExpertTensorSpec("wo.weight", (d_model, d_ff)),
+                ExpertTensorSpec("wi_0.weight", (d_model, d_ff)),
+                ExpertTensorSpec("wi_1.weight", (d_model, d_ff)),
+                ExpertTensorSpec("wo.weight", (d_ff, d_model)),
             )
             return ArchExpertLayout(arch, tensors, "gelu", True)
         tensors = (
-            ExpertTensorSpec("wi.weight", (d_ff, d_model)),
-            ExpertTensorSpec("wo.weight", (d_model, d_ff)),
+            ExpertTensorSpec("wi.weight", (d_model, d_ff)),
+            ExpertTensorSpec("wo.weight", (d_ff, d_model)),
         )
         return ArchExpertLayout(arch, tensors, "relu", False)
     if arch == "nllb":
         d_model, d_ff = config.d_model, config.encoder_ffn_dim
         tensors = (
-            ExpertTensorSpec("fc1.weight", (d_ff, d_model)),
+            ExpertTensorSpec("fc1.weight", (d_model, d_ff)),
             ExpertTensorSpec("fc1.bias", (d_ff,)),
-            ExpertTensorSpec("fc2.weight", (d_model, d_ff)),
+            ExpertTensorSpec("fc2.weight", (d_ff, d_model)),
             ExpertTensorSpec("fc2.bias", (d_model,)),
         )
         return ArchExpertLayout(arch, tensors, "relu", False)
@@ -76,27 +80,27 @@ def expert_layout(config) -> ArchExpertLayout:
         d_model = config.hidden_size
         d_ff = config.intermediate_size
         tensors = (
-            ExpertTensorSpec("w1.weight", (d_ff, d_model)),
-            ExpertTensorSpec("w2.weight", (d_model, d_ff)),
-            ExpertTensorSpec("w3.weight", (d_ff, d_model)),
+            ExpertTensorSpec("w1.weight", (d_model, d_ff)),
+            ExpertTensorSpec("w2.weight", (d_ff, d_model)),
+            ExpertTensorSpec("w3.weight", (d_model, d_ff)),
         )
         return ArchExpertLayout(arch, tensors, "silu", True)
     if arch == "grok":
         d_model = config.hidden_size
         d_ff = config.intermediate_size
         tensors = (
-            ExpertTensorSpec("linear.weight", (d_ff, d_model)),
-            ExpertTensorSpec("linear_1.weight", (d_model, d_ff)),
-            ExpertTensorSpec("linear_v.weight", (d_ff, d_model)),
+            ExpertTensorSpec("linear.weight", (d_model, d_ff)),
+            ExpertTensorSpec("linear_1.weight", (d_ff, d_model)),
+            ExpertTensorSpec("linear_v.weight", (d_model, d_ff)),
         )
         return ArchExpertLayout(arch, tensors, "gelu", True)
     if arch in ("deepseek", "deepseek_v3"):
         d_model = config.hidden_size
         d_ff = config.moe_intermediate_size
         tensors = (
-            ExpertTensorSpec("gate_proj.weight", (d_ff, d_model)),
-            ExpertTensorSpec("up_proj.weight", (d_ff, d_model)),
-            ExpertTensorSpec("down_proj.weight", (d_model, d_ff)),
+            ExpertTensorSpec("gate_proj.weight", (d_model, d_ff)),
+            ExpertTensorSpec("up_proj.weight", (d_model, d_ff)),
+            ExpertTensorSpec("down_proj.weight", (d_ff, d_model)),
         )
         return ArchExpertLayout(arch, tensors, "silu", True)
     raise AssertionError(arch)

@@ -1,0 +1,206 @@
+"""MoE compute ops: routing and slot-indexed grouped expert FFN.
+
+This is the TPU-native replacement for the reference's C++ ExpertDispatcher
+hot path (/root/reference/core/parallel/expert_dispatcher.cpp:111-450): where
+the reference spawns per-GPU fetch/exec threads and runs one libtorch FFN per
+expert, here the whole layer's expert compute is ONE fused device computation
+(sort tokens by expert slot → grouped matmul over the stacked weight arena →
+weighted scatter-combine), compiled by XLA / implemented in Pallas.
+
+Weight layout ("compute layout", see common/arch.py):
+  gate/up : [S, D, F]   down : [S, F, D]     (S = arena slots or experts)
+A per-layer int32 `expert_to_slot[E]` indirection decouples router expert ids
+from physical arena slots, so expert residency changes never recompile.
+
+Two interchangeable implementations:
+  * 'ragged'  — argsort + jax.lax.ragged_dot (XLA grouped GEMM)
+  * 'dense'   — one-hot einsum over all slots (tiny-model reference/tests)
+  * 'pallas'  — Pallas grouped kernel with fused dequant (ops/gmm.py)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# Routing
+# --------------------------------------------------------------------------
+
+def topk_router(
+    router_logits: jax.Array,  # [T, E] (any float dtype; promoted to f32)
+    k: int,
+    *,
+    pre_softmax: bool = True,
+    normalize: bool = False,
+    scaling: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Generic top-k router. Returns (combine_weights [T,k] f32,
+    expert_ids [T,k] i32, full_probs [T,E] f32).
+
+    pre_softmax=True: softmax over all experts, then top-k of probs
+    (Switch top-1, Mixtral/NLLB top-2, Grok).
+    pre_softmax=False: top-k of raw logits, softmax over the selected k
+    (used by some DeepSeek variants via scoring_func handling upstream).
+    normalize=True: renormalize the k selected weights to sum to 1 (Mixtral).
+    """
+    logits = router_logits.astype(jnp.float32)
+    if pre_softmax:
+        probs = jax.nn.softmax(logits, axis=-1)
+        weights, ids = jax.lax.top_k(probs, k)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_logits, ids = jax.lax.top_k(logits, k)
+        weights = jax.nn.softmax(top_logits, axis=-1)
+    if normalize:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    if scaling != 1.0:
+        weights = weights * scaling
+    return weights, ids.astype(jnp.int32), probs
+
+
+# --------------------------------------------------------------------------
+# Grouped expert FFN
+# --------------------------------------------------------------------------
+
+def _activate(h_gate: jax.Array, h_up: Optional[jax.Array], activation: str) -> jax.Array:
+    if activation == "relu":
+        a = jax.nn.relu(h_gate)
+    elif activation == "gelu":
+        a = jax.nn.gelu(h_gate, approximate=False)
+    elif activation == "gelu_tanh":
+        a = jax.nn.gelu(h_gate, approximate=True)
+    elif activation == "silu":
+        a = jax.nn.silu(h_gate)
+    else:
+        raise ValueError(f"unknown activation {activation}")
+    return a * h_up if h_up is not None else a
+
+
+def _dequant(w: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
+    """Row-wise dequant: w [S, in, out] x scale [S, out] (jnp fallback path;
+    the Pallas kernel fuses this into the matmul)."""
+    if scale is None:
+        return w.astype(dtype)
+    return w.astype(jnp.float32) * scale[:, None, :].astype(jnp.float32)
+
+
+def grouped_ffn(
+    x: jax.Array,  # [T, D]
+    expert_ids: jax.Array,  # [T, K] int32 router choices
+    combine_weights: jax.Array,  # [T, K] f32
+    expert_to_slot: jax.Array,  # [E] int32 (identity when resident)
+    weights: Dict[str, jax.Array],
+    activation: str,
+    *,
+    biases: Optional[Dict[str, jax.Array]] = None,
+    impl: str = "ragged",
+) -> jax.Array:
+    """Apply the routed expert FFN and combine. Returns [T, D] in x.dtype.
+
+    weights keys: 'gate' [S,D,F], optional 'up' [S,D,F], 'down' [S,F,D],
+    optional '<key>_scale' [S,out] for quantized arenas.
+    biases (NLLB): 'gate_bias' [S,F], 'down_bias' [S,D].
+    """
+    if impl == "ragged":
+        return _gffn_ragged(
+            x, expert_ids, combine_weights, expert_to_slot, weights,
+            activation, biases,
+        )
+    if impl == "dense":
+        return _gffn_dense(
+            x, expert_ids, combine_weights, expert_to_slot, weights,
+            activation, biases,
+        )
+    if impl == "pallas":
+        from moe_infinity_tpu.ops.gmm import gffn_pallas
+
+        return gffn_pallas(
+            x, expert_ids, combine_weights, expert_to_slot, weights,
+            activation, biases,
+        )
+    raise ValueError(f"unknown grouped_ffn impl {impl!r}")
+
+
+def _gffn_ragged(x, expert_ids, combine_weights, expert_to_slot, weights,
+                 activation, biases):
+    T, D = x.shape
+    K = expert_ids.shape[1]
+    S = weights["gate"].shape[0]
+    compute_dtype = x.dtype
+
+    slot_ids = expert_to_slot[expert_ids]  # [T, K]
+    flat_slots = slot_ids.reshape(-1)  # [T*K]
+    order = jnp.argsort(flat_slots)  # stable
+    inv_token = order // K  # original token of each sorted row
+
+    xs = x[inv_token]  # [T*K, D] sorted by slot
+    group_sizes = jnp.bincount(flat_slots, length=S)
+
+    w_gate = _dequant(weights["gate"], weights.get("gate_scale"), compute_dtype)
+    h = jax.lax.ragged_dot(
+        xs, w_gate.astype(compute_dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    if biases is not None and "gate_bias" in biases:
+        h = h + biases["gate_bias"][flat_slots[order]]
+    if "up" in weights:
+        w_up = _dequant(weights["up"], weights.get("up_scale"), compute_dtype)
+        h_up = jax.lax.ragged_dot(
+            xs, w_up.astype(compute_dtype), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        h = _activate(h, h_up, activation)
+    else:
+        h = _activate(h, None, activation)
+
+    w_down = _dequant(weights["down"], weights.get("down_scale"), compute_dtype)
+    out = jax.lax.ragged_dot(
+        h.astype(compute_dtype), w_down.astype(compute_dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    if biases is not None and "down_bias" in biases:
+        out = out + biases["down_bias"][flat_slots[order]]
+
+    cw = combine_weights.reshape(-1)[order]  # [T*K]
+    out = out * cw[:, None]
+    combined = jnp.zeros((T, D), dtype=jnp.float32).at[inv_token].add(out)
+    return combined.astype(compute_dtype)
+
+
+def _gffn_dense(x, expert_ids, combine_weights, expert_to_slot, weights,
+                activation, biases):
+    """Reference implementation: computes every slot for every token via
+    one-hot masks. O(T*S*F*D) — tests and tiny models only."""
+    T, D = x.shape
+    S = weights["gate"].shape[0]
+    compute_dtype = x.dtype
+    slot_ids = expert_to_slot[expert_ids]  # [T, K]
+    # per-token per-slot combine weight
+    onehot = jax.nn.one_hot(slot_ids, S, dtype=jnp.float32)  # [T, K, S]
+    mix = jnp.einsum("tk,tks->ts", combine_weights.astype(jnp.float32), onehot)
+
+    w_gate = _dequant(weights["gate"], weights.get("gate_scale"), compute_dtype)
+    h = jnp.einsum(
+        "td,sdf->tsf", x.astype(jnp.float32), w_gate.astype(jnp.float32)
+    )
+    if biases is not None and "gate_bias" in biases:
+        h = h + biases["gate_bias"][None, :, :]
+    if "up" in weights:
+        w_up = _dequant(weights["up"], weights.get("up_scale"), compute_dtype)
+        h_up = jnp.einsum(
+            "td,sdf->tsf", x.astype(jnp.float32), w_up.astype(jnp.float32)
+        )
+        h = _activate(h, h_up, activation)
+    else:
+        h = _activate(h, None, activation)
+    w_down = _dequant(weights["down"], weights.get("down_scale"), compute_dtype)
+    out = jnp.einsum("tsf,sfd->tsd", h, w_down.astype(jnp.float32))
+    if biases is not None and "down_bias" in biases:
+        out = out + biases["down_bias"][None, :, :]
+    combined = jnp.einsum("tsd,ts->td", out, mix)
+    return combined.astype(compute_dtype)

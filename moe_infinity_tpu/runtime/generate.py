@@ -1,0 +1,147 @@
+"""Token generation: jitted prefill + decode step, host-side loop.
+
+Replaces the reference's reliance on HF `model.generate` + forward hooks
+(SURVEY.md §3.2) with an engine-owned decode loop: static shapes (prompt
+bucketing, fixed KV capacity), greedy or temperature sampling, and per-step
+router traces streamed back to the host for the EAMC tracer/prefetcher.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bucket_len(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 1023) // 1024) * 1024
+
+
+@dataclass
+class GenerationResult:
+    sequences: np.ndarray  # [B, prompt+new] padded with pad_id
+    num_generated: np.ndarray  # [B]
+    router_trace: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+    # decode-time stats filled by the engine
+    stats: dict = field(default_factory=dict)
+
+
+class Generator:
+    """Drives a CausalLM-protocol model (models/*.py) with explicit params
+    and an expert pytree."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        experts,
+        for_layer: Callable,
+        *,
+        impl: str = "ragged",
+        max_seq_len: int = 2048,
+        donate_kv: bool = True,
+        step_callback: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.experts = experts
+        self.max_seq_len = max_seq_len
+        self.step_callback = step_callback
+
+        def fwd(params, experts, tokens, positions, kv, kv_len):
+            return model.forward(
+                params, experts, tokens, positions, kv, kv_len,
+                for_layer=for_layer, impl=impl,
+            )
+
+        # donate the KV cache so decode updates happen in place
+        self._fwd = jax.jit(fwd, donate_argnums=(4,) if donate_kv else ())
+
+    def _sample(self, logits: jax.Array, temperature: float, key) -> jax.Array:
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # [B, T] (left-aligned, same length for now)
+        max_new_tokens: int = 32,
+        *,
+        eos_token_id: Optional[int] = None,
+        pad_token_id: int = 0,
+        temperature: float = 0.0,
+        seed: int = 0,
+        collect_trace: bool = False,
+    ) -> GenerationResult:
+        input_ids = np.asarray(input_ids)
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None]
+        B, T = input_ids.shape
+        cap = min(self.max_seq_len, _bucket_len(T + max_new_tokens))
+        if T + max_new_tokens > cap:
+            raise ValueError(
+                f"prompt {T} + new {max_new_tokens} exceeds capacity {cap}"
+            )
+        kv = self.model.init_cache(B, cap)
+        key = jax.random.PRNGKey(seed)
+
+        # ---- prefill -----------------------------------------------------
+        tokens = jnp.asarray(input_ids, jnp.int32)
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        logits, kv, trace = self._fwd(
+            self.params, self.experts, tokens, positions, kv, jnp.int32(0)
+        )
+        traces = []
+        if collect_trace:
+            traces.append((np.asarray(trace[0]), np.asarray(trace[1])))
+        next_tok = self._sample(logits[:, -1, :], temperature, key)
+
+        # ---- decode ------------------------------------------------------
+        out = np.full((B, T + max_new_tokens), pad_token_id, dtype=np.int64)
+        out[:, :T] = input_ids
+        finished = np.zeros(B, dtype=bool)
+        num_gen = np.zeros(B, dtype=np.int64)
+        cur = T
+        for step in range(max_new_tokens):
+            tok_host = np.asarray(next_tok)
+            out[~finished, cur] = tok_host[~finished]
+            num_gen[~finished] += 1
+            if eos_token_id is not None:
+                finished |= tok_host == eos_token_id
+                if finished.all():
+                    cur += 1
+                    break
+            if step == max_new_tokens - 1:
+                cur += 1
+                break
+            key, sub = jax.random.split(key)
+            positions = jnp.full((B, 1), cur, jnp.int32)
+            logits, kv, trace = self._fwd(
+                self.params,
+                self.experts,
+                jnp.asarray(tok_host[:, None], jnp.int32),
+                positions,
+                kv,
+                jnp.int32(cur),
+            )
+            if collect_trace:
+                traces.append((np.asarray(trace[0]), np.asarray(trace[1])))
+            if self.step_callback is not None:
+                self.step_callback(step, trace)
+            next_tok = self._sample(logits[:, -1, :], temperature, sub)
+            cur += 1
+
+        return GenerationResult(
+            sequences=out[:, :cur],
+            num_generated=num_gen,
+            router_trace=traces if collect_trace else None,
+        )

@@ -66,7 +66,8 @@ def _expert_fields(layout, expert_dtype: str):
     for spec in layout.tensors:
         if expert_dtype in QUANT_DTYPES and len(spec.shape) == 2:
             fields.append((spec.name, spec.shape, expert_dtype))
-            fields.append((spec.name + ".scale", (spec.shape[0],), "float32"))
+            # per-output-channel scale; out dim is shape[1] in compute layout
+            fields.append((spec.name + ".scale", (spec.shape[1],), "float32"))
         else:
             dt = expert_dtype if expert_dtype not in QUANT_DTYPES else "bfloat16"
             fields.append((spec.name, spec.shape, dt))
@@ -129,13 +130,18 @@ def ingest_checkpoint(
         arr = torch_to_numpy(tensor)
         if parsed is not None:
             layer, expert, tail = parsed
+            # Expert 2-D weights are stored transposed into compute layout
+            # ([in, out]); scales stay per output channel (see common/arch.py).
             if expert_dtype in QUANT_DTYPES and arr.ndim == 2:
                 q, scale = quantize_rowwise(arr, expert_dtype)
-                writer.write_tensor(layer, expert, tail, q)
+                writer.write_tensor(layer, expert, tail, np.ascontiguousarray(q.T))
                 writer.write_tensor(layer, expert, tail + ".scale", scale)
             else:
                 dt = expert_dtype if expert_dtype not in QUANT_DTYPES else "bfloat16"
-                writer.write_tensor(layer, expert, tail, _cast_np(arr, dt))
+                a = _cast_np(arr, dt)
+                if a.ndim == 2:
+                    a = np.ascontiguousarray(a.T)
+                writer.write_tensor(layer, expert, tail, a)
             name_map[name] = ["expert", layer, expert, tail]
             n_expert_tensors += 1
         else:

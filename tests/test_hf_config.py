@@ -132,9 +132,10 @@ def test_parse_expert_param_deepseek_offsets_dense_head():
 def test_expert_layout_shapes():
     lay = expert_layout(mixtral_cfg())
     assert lay.names == ("w1.weight", "w2.weight", "w3.weight")
+    # compute layout: [in, out] (transposed from HF torch-Linear)
     shapes = {t.name: t.shape for t in lay.tensors}
-    assert shapes["w1.weight"] == (128, 64)
-    assert shapes["w2.weight"] == (64, 128)
+    assert shapes["w1.weight"] == (64, 128)
+    assert shapes["w2.weight"] == (128, 64)
     assert lay.activation == "silu" and lay.gated
 
     lay = expert_layout(switch_cfg())

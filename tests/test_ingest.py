@@ -42,10 +42,10 @@ def test_ingest_bf16(tiny_mixtral, tmp_path):
     store = ExpertStore(out)
     assert store.num_layers == 2 and store.num_experts == 4
     ref = model.model.layers[1].block_sparse_moe.experts[3].w1.weight.detach()
-    got = store.get_tensor(1, 3, "w1.weight")
+    got = store.get_tensor(1, 3, "w1.weight")  # stored transposed: [in, out]
     np.testing.assert_allclose(
         got.astype(np.float32),
-        ref.to(torch.bfloat16).float().numpy(),
+        ref.to(torch.bfloat16).float().numpy().T,
         rtol=0,
         atol=0,
     )
@@ -67,9 +67,9 @@ def test_ingest_int8(tiny_mixtral, tmp_path):
     store = ExpertStore(out)
     names = store.field_names
     assert "w1.weight.scale" in names
-    q = store.get_tensor(0, 0, "w1.weight")
-    s = store.get_tensor(0, 0, "w1.weight.scale")
+    q = store.get_tensor(0, 0, "w1.weight")  # [in, out]
+    s = store.get_tensor(0, 0, "w1.weight.scale")  # [out]
     assert q.dtype == np.int8
-    back = dequantize_rowwise(q, s)
+    back = dequantize_rowwise(q.T, s)
     ref = model.model.layers[0].block_sparse_moe.experts[0].w1.weight.detach().float().numpy()
     assert np.abs(back - ref).max() <= s.max() * 0.5 + 1e-6
