@@ -1,0 +1,36 @@
+"""Activation-aware expert prediction.
+
+Same math as the reference ExpertPredictor
+(/root/reference/moe_infinity/memory/expert_predictor.py:17-35): update the
+sequence's EAM, find the most-similar historical matrix, zero the past, and
+apply a linear layer-distance decay `-(x - l)/(L + 1) + 1` so nearer layers
+score higher. Output is a [L, E] score matrix over future layers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from moe_infinity_tpu.memory.tracer import ExpertTracer
+
+
+class ExpertPredictor:
+    def __init__(self, tracer: ExpertTracer):
+        self.tracer = tracer
+        self.num_layers = tracer.num_layers
+        self.num_experts = tracer.num_experts
+
+    def predict(
+        self, seq_id: str, expert_ids: np.ndarray, layer_idx: int
+    ) -> np.ndarray:
+        """Record this layer's routing and return predicted activation
+        scores for layers >= layer_idx ([L, E] float32, zeros for the past)."""
+        self.tracer.update_entry(seq_id, expert_ids, layer_idx)
+        current = self.tracer.get_entry(seq_id)
+        matrix = self.tracer.find_most_similar(current.matrix, layer_idx)
+        matrix[:layer_idx, :] = 0.0
+        L = self.num_layers
+        future = np.arange(layer_idx, L, dtype=np.float32)
+        decay = -(future - layer_idx) / (L + 1) + 1.0  # [L - layer_idx]
+        matrix[layer_idx:, :] = (matrix[layer_idx:, :] + 1e-8) * decay[:, None]
+        return matrix
