@@ -158,6 +158,19 @@ class MixtralModel:
         )
         return y.reshape(B, T, D)
 
+    # ---- layer-step protocol (offload engine drives these per layer) -------
+    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len):
+        """Everything before expert compute for one layer: attention,
+        post-norm, routing. Returns (x_resid, h_norm, combine, ids, kv)."""
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len)
+        h = rms_norm(x, pl["post_norm"], self.spec.rms_eps)
+        cw, ids = self.route(pl, h)
+        return x, h, cw, ids, kv
+
+    def apply_moe(self, x, h, cw, ids, weights, slot_map, biases, impl):
+        """Expert compute + residual for one layer."""
+        return x + self.moe_block(h, cw, ids, weights, slot_map, biases, impl)
+
     def head(self, params, x: jax.Array) -> jax.Array:
         h = rms_norm(x, params["final_norm"], self.spec.rms_eps)
         w = params.get("lm_head", params["embed"])
@@ -187,12 +200,10 @@ class MixtralModel:
         new_kvs, trace_ids, trace_w = [], [], []
         for li in range(s.num_layers):
             pl = params["layers"][li]
-            x, kv = self.attn_block(pl, x, kv_caches[li], positions, kv_len)
-            h = rms_norm(x, pl["post_norm"], s.rms_eps)
-            cw, ids = self.route(pl, h)
+            x, h, cw, ids, kv = self.pre_moe(pl, x, kv_caches[li], positions, kv_len)
             mli = self.moe_layer_index(li)
             w, slot_map, biases = for_layer(experts, mli)
-            x = x + self.moe_block(h, cw, ids, w, slot_map, biases, impl)
+            x = self.apply_moe(x, h, cw, ids, w, slot_map, biases, impl)
             new_kvs.append(kv)
             trace_ids.append(ids)
             trace_w.append(cw)

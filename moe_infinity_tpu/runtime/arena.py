@@ -1,0 +1,337 @@
+"""HBM expert slot arena + host-side fetch controller.
+
+The TPU-native replacement for the reference's residency machinery
+(ArcherTaskPool priority threads + memory pools + per-tensor set_data swaps,
+/root/reference/core/prefetch/task_scheduler.cpp:20-583 and
+core/model/model_topology.cpp:53-136). XLA cannot mutate tensor storage, so
+residency is an *indirection*, not a pointer swap:
+
+* one fixed-shape stacked array per FFN role — ``[num_slots, in, out]`` —
+  lives in HBM for the whole process; expert residency changes are jitted
+  ``dynamic_update_slice`` calls with the arena **donated**, which XLA turns
+  into an in-place write (no reallocation, no recompilation);
+* a host-side slot table maps (moe_layer, expert) → slot; the per-layer
+  ``expert_to_slot[E]`` row is passed to the grouped-FFN kernel as a tiny
+  int32 argument each step;
+* a priority fetch queue (on-demand = 0 beats prefetch = 1, mirroring the
+  reference's NUM_PRIORITY deques) drained by worker threads that read
+  expert records from the host store and issue async H2D updates;
+* eviction is delegated to memory/cache_policy.py (activation-aware), with
+  on-demand + prefetch-candidate protection.
+
+Thread model: N fetch workers overlap host reads (page-cache faults / RAM
+copies); the device-side update sequence is serialized under a lock —
+device queues make the copies themselves async with compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+import itertools
+import threading
+from contextlib import contextmanager
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moe_infinity_tpu.memory.cache_policy import ExpertCachePolicy
+from moe_infinity_tpu.runtime.providers import _BIAS_TAILS, _ROLE_KEYS, role_map_for
+from moe_infinity_tpu.store.blob import ExpertStore
+from moe_infinity_tpu.utils.dtypes import np_dtype
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("arena")
+
+Key = Tuple[int, int]  # (moe_layer, expert)
+
+PRIO_ONDEMAND = 0
+PRIO_PREFETCH = 1
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _write_slot(arena: Dict[str, jax.Array], new: Dict[str, jax.Array], slot):
+    """In-place (donated) write of one expert into arena slot `slot`."""
+    out = {}
+    for k, a in arena.items():
+        idx = (slot,) + (0,) * (a.ndim - 1)
+        out[k] = jax.lax.dynamic_update_slice(a, new[k][None], idx)
+    return out
+
+
+class ExpertArena:
+    """Fixed-slot HBM arena over a host ExpertStore."""
+
+    def __init__(
+        self,
+        store: ExpertStore,
+        num_slots: int,
+        *,
+        policy: str = "priority",
+        compute_dtype=jnp.bfloat16,
+        device: Optional[jax.Device] = None,
+        num_threads: int = 2,
+        keep_scales_quantized: bool = True,
+    ):
+        if num_slots < 1:
+            raise ValueError("num_slots must be >= 1")
+        self.store = store
+        self.num_slots = num_slots
+        self.num_layers = store.num_layers
+        self.num_experts = store.num_experts
+        self.dtype = compute_dtype
+        self.device = device or jax.devices()[0]
+        self.policy = ExpertCachePolicy(
+            self.num_layers,
+            self.num_experts,
+            num_encoder_layers=store.meta.get("num_encoder_moe_layers", 0),
+            policy=policy,
+        )
+
+        # ---- arena array construction -----------------------------------
+        roles = role_map_for(store.meta)
+        field_names = set(store.field_names)
+        self._role_to_tail: Dict[str, str] = {}
+        arena: Dict[str, jax.Array] = {}
+        self._arena_np_dtype: Dict[str, np.dtype] = {}
+        for role, tail in roles.items():
+            if tail is None:
+                continue
+            key = _ROLE_KEYS[role]
+            f = store._field_by_name[tail]
+            if f.dtype == "int8":
+                adt = jnp.int8
+            elif f.dtype == "float8_e4m3fn":
+                adt = jnp.float8_e4m3fn
+            else:
+                adt = compute_dtype
+            self._role_to_tail[key] = tail
+            self._arena_np_dtype[key] = np_dtype(f.dtype)
+            arena[key] = jnp.zeros((num_slots,) + f.shape, dtype=adt)
+            if tail + ".scale" in field_names:
+                fs = store._field_by_name[tail + ".scale"]
+                self._role_to_tail[key + "_scale"] = tail + ".scale"
+                self._arena_np_dtype[key + "_scale"] = np_dtype(fs.dtype)
+                arena[key + "_scale"] = jnp.zeros(
+                    (num_slots,) + fs.shape, dtype=jnp.float32
+                )
+        for tail, key in _BIAS_TAILS.items():
+            if tail in field_names:
+                f = store._field_by_name[tail]
+                self._role_to_tail[key] = tail
+                self._arena_np_dtype[key] = np_dtype(f.dtype)
+                arena[key] = jnp.zeros((num_slots,) + f.shape, dtype=jnp.float32)
+        self._arena = jax.device_put(arena, self.device)
+
+        # ---- residency state (host) --------------------------------------
+        self.slot_to_key: List[Optional[Key]] = [None] * num_slots
+        self.key_to_slot: Dict[Key, int] = {}
+        self.expert_to_slot = np.zeros(
+            (self.num_layers, self.num_experts), dtype=np.int32
+        )  # rows are only meaningful where resident; host guarantees that
+        self._free_slots: List[int] = list(range(num_slots - 1, -1, -1))
+
+        # ---- fetch machinery ---------------------------------------------
+        self._lock = threading.Lock()  # protects all residency state
+        self._cv = threading.Condition(self._lock)
+        self._queue: List[Tuple[int, int, int, Key]] = []  # (prio, gen, seq, key)
+        self._seq = itertools.count()
+        self._gen = 0  # prefetch generation; stale orders are dropped
+        self._in_flight: Dict[Key, threading.Event] = {}
+        self._escalated: set = set()  # keys a caller is blocked on
+        self._errors: Dict[Key, Exception] = {}
+        self.current_layer = 0
+        self._decoder_matrix: Optional[np.ndarray] = None
+        self._shutdown = False
+        self._workers = [
+            threading.Thread(target=self._worker, daemon=True, name=f"arena-fetch-{i}")
+            for i in range(max(1, num_threads))
+        ]
+        for w in self._workers:
+            w.start()
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def pytree(self) -> Dict[str, jax.Array]:
+        """The arena arrays, to be threaded through jit each step."""
+        return self._arena
+
+    @contextmanager
+    def locked_tree(self):
+        """Yield the arena pytree with residency updates excluded. Dispatch
+        any computation consuming the arena inside this scope: slot writes
+        donate the arena buffers, so a concurrent worker donation between
+        reading `pytree()` and dispatching would hand jit a deleted array."""
+        with self._lock:
+            yield self._arena
+
+    def slot_map(self, moe_layer: int) -> np.ndarray:
+        """int32 [E] expert→slot row for one layer (host array; caller
+        device_puts it as a step argument)."""
+        return self.expert_to_slot[moe_layer]
+
+    def is_resident(self, key: Key) -> bool:
+        return key in self.key_to_slot
+
+    def hit_stats(self) -> dict:
+        return self.policy.stats.as_dict()
+
+    def set_context(self, layer: int, decoder_matrix: Optional[np.ndarray] = None):
+        """Update the eviction-scoring context (current layer + the active
+        sequence's decoder activation matrix)."""
+        self.current_layer = layer
+        if decoder_matrix is not None:
+            self._decoder_matrix = decoder_matrix
+
+    def acquire(self, keys: Sequence[Key], layer: int) -> None:
+        """Block until every key is resident. On-demand misses are fetched
+        at top priority. Marks keys protected until release()."""
+        events = []
+        with self._cv:
+            self.current_layer = layer
+            for key in keys:
+                self.policy.protect(key)
+                hit = key in self.key_to_slot
+                self.policy.record_visit(key, hit=hit)
+                if hit:
+                    continue
+                ev = self._in_flight.get(key)
+                if ev is None:
+                    ev = threading.Event()
+                    self._in_flight[key] = ev
+                # (re-)enqueue at top priority; a duplicate entry is fine,
+                # the worker skips already-resident keys
+                self._escalated.add(key)
+                heapq.heappush(
+                    self._queue,
+                    (PRIO_ONDEMAND, self._gen, next(self._seq), key),
+                )
+                self._cv.notify_all()
+                events.append((key, ev))
+        for key, ev in events:
+            if not ev.wait(timeout=300.0):
+                raise TimeoutError(f"expert fetch timed out for {key}")
+            err = self._errors.pop(key, None)
+            if err is not None:
+                raise err
+
+    def release(self, keys: Sequence[Key]) -> None:
+        with self._lock:
+            for key in keys:
+                self.policy.unprotect(key)
+
+    def prefetch(self, orders: Sequence[Key]) -> None:
+        """Replace the prefetch plan: new candidate protection set, stale
+        queued prefetches dropped (reference ReplaceCacheCandidates +
+        EnqueuePrefetch, archer_prefetch_handle.cpp:195-218)."""
+        with self._cv:
+            self._gen += 1
+            self.policy.replace_candidates(orders)
+            for key in orders:
+                if key in self.key_to_slot or key in self._in_flight:
+                    continue
+                self._in_flight[key] = threading.Event()
+                heapq.heappush(
+                    self._queue, (PRIO_PREFETCH, self._gen, next(self._seq), key)
+                )
+            self._cv.notify_all()
+
+    def warm(self, keys: Sequence[Key]) -> None:
+        """Synchronously load keys (initial placement / tests)."""
+        self.prefetch(keys)
+        with self._cv:
+            events = [self._in_flight[k] for k in keys if k in self._in_flight]
+        for ev in events:
+            ev.wait(timeout=300.0)
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify_all()
+        for w in self._workers:
+            w.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+    # worker internals
+    # ------------------------------------------------------------------
+    def _worker(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._shutdown:
+                    self._cv.wait()
+                if self._shutdown:
+                    return
+                prio, gen, _, key = heapq.heappop(self._queue)
+                if key in self.key_to_slot or key not in self._in_flight:
+                    continue  # duplicate/stale order
+                if (
+                    prio == PRIO_PREFETCH
+                    and gen != self._gen
+                    and key not in self._escalated
+                ):
+                    # stale prefetch plan and no caller blocked on it — drop
+                    del self._in_flight[key]
+                    continue
+                slot = self._allocate_slot_locked(key)
+                if slot is None:
+                    if prio == PRIO_ONDEMAND or key in self._escalated:
+                        # surface in the blocked caller, keep the worker alive
+                        self._errors[key] = RuntimeError(
+                            f"arena exhausted: no evictable slot for {key} "
+                            f"({self.num_slots} slots, "
+                            f"{len(self.policy.protected_ondemand)} protected)"
+                        )
+                        self._escalated.discard(key)
+                        ev = self._in_flight.pop(key, None)
+                        if ev is not None:
+                            ev.set()
+                        continue
+                    # prefetch can't find a victim — drop the order
+                    del self._in_flight[key]
+                    continue
+            # host read + cast outside the lock (page-cache fault / RAM copy)
+            layer, expert = key
+            record = self.store.get_expert(layer, expert)
+            new = {}
+            for akey, tail in self._role_to_tail.items():
+                a = record[tail]
+                target_np = np_dtype(jnp.dtype(self._arena[akey].dtype).name)
+                if a.dtype != target_np:
+                    a = a.astype(target_np)
+                new[akey] = a
+            with self._lock:
+                dev_new = jax.device_put(new, self.device)
+                self._arena = _write_slot(
+                    self._arena, dev_new, jnp.int32(slot)
+                )
+                self.slot_to_key[slot] = key
+                self.key_to_slot[key] = slot
+                self.expert_to_slot[key] = slot
+                self.policy.on_insert(key, prefetched=(prio == PRIO_PREFETCH))
+                self._escalated.discard(key)
+                ev = self._in_flight.pop(key, None)
+            if ev is not None:
+                ev.set()
+
+    def _allocate_slot_locked(self, key: Key) -> Optional[int]:
+        if self._free_slots:
+            return self._free_slots.pop()
+        victims = self.policy.pick_victims(
+            1, self.current_layer, self._decoder_matrix
+        )
+        if not victims:
+            # fall back: evict anything not on-demand-protected
+            for cand, slot in self.key_to_slot.items():
+                if cand not in self.policy.protected_ondemand:
+                    victims = [cand]
+                    break
+            if not victims:
+                return None
+        victim = victims[0]
+        slot = self.key_to_slot.pop(victim)
+        self.slot_to_key[slot] = None
+        self.policy.on_evict(victim)
+        return slot

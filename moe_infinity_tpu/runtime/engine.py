@@ -1,0 +1,174 @@
+"""Layered offload execution engine.
+
+The TPU-native counterpart of the reference's OffloadEngine + forward-hook
+machinery (/root/reference/moe_infinity/runtime/model_offload.py:751-991 and
+SURVEY.md §3.2/§3.3), with the control flow inverted: instead of hooking a
+framework-owned forward, the engine *owns* the layer loop and drives two
+jitted stages per layer —
+
+    pre_moe   attention + norm + routing           (jit, donated KV)
+    apply_moe grouped expert FFN over the arena    (jit, slot-indexed)
+
+Between the two stages the router's expert ids (a tiny int array) come back
+to the host; the engine then
+  1. updates the EAMC tracer and runs the predictor (activation-aware),
+  2. plans + enqueues prefetch for future layers (priority queue, arena),
+  3. acquires the routed experts — blocking only on true misses,
+exactly the acquire/predict/prefetch protocol of the reference's
+AcquireTensor/ReleaseTensor + prefetch path, but with all data movement as
+async XLA device transfers instead of cudaMemcpyAsync threads.
+
+Because every jitted stage has static shapes (the arena never changes shape,
+slot maps are data), a decode step never recompiles regardless of cache
+state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moe_infinity_tpu.memory.predictor import ExpertPredictor
+from moe_infinity_tpu.memory.prefetch_plan import plan_prefetch
+from moe_infinity_tpu.memory.tracer import ExpertTracer
+from moe_infinity_tpu.runtime.arena import ExpertArena
+
+_BIAS_KEYS = ("gate_bias", "down_bias")
+
+
+def _split_arena_tree(tree: Dict[str, jax.Array]):
+    weights = {k: v for k, v in tree.items() if k not in _BIAS_KEYS}
+    biases = {k: v for k, v in tree.items() if k in _BIAS_KEYS}
+    return weights, (biases or None)
+
+
+class OffloadEngine:
+    """Drives a layer-step-protocol model (pre_moe/apply_moe) against an
+    ExpertArena. Implements the Stepper protocol used by runtime.generate."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        arena: ExpertArena,
+        *,
+        tracer: Optional[ExpertTracer] = None,
+        predictor: Optional[ExpertPredictor] = None,
+        prefetch: bool = True,
+        lookahead: int = 3,
+        prefetch_budget: Optional[int] = None,
+        impl: str = "ragged",
+    ):
+        self.model = model
+        self.params = params
+        self.arena = arena
+        self.tracer = tracer
+        self.predictor = predictor
+        self.prefetch = prefetch and predictor is not None
+        self.lookahead = lookahead
+        # grouped-FFN computes a whole layer's routed experts in one kernel,
+        # so the arena must be able to hold at least one full MoE layer
+        if arena.num_slots < model.spec.num_experts:
+            raise ValueError(
+                f"arena num_slots={arena.num_slots} < num_experts="
+                f"{model.spec.num_experts}; the slot arena must fit one "
+                f"full MoE layer"
+            )
+        # default budget: don't queue more than half the arena per plan
+        self.prefetch_budget = prefetch_budget or max(1, arena.num_slots // 2)
+
+        self._embed = jax.jit(model.embed)
+        self._pre = jax.jit(model.pre_moe, donate_argnums=(2,))
+        self._head = jax.jit(model.head)
+
+        def apply(x, h, cw, ids, tree, slot_row):
+            weights, biases = _split_arena_tree(tree)
+            return model.apply_moe(x, h, cw, ids, weights, slot_row, biases, impl)
+
+        self._apply = jax.jit(apply)
+
+    # ---- Stepper protocol --------------------------------------------------
+    def init_cache(self, batch: int, max_len: int):
+        return self.model.init_cache(batch, max_len)
+
+    def begin_sequences(self, batch: int) -> Optional[List[str]]:
+        if self.tracer is None:
+            return None
+        return [self.tracer.create_entry() for _ in range(batch)]
+
+    def end_sequences(self, seq_ids: Optional[Sequence[str]]) -> None:
+        if self.tracer is None or not seq_ids:
+            return
+        for sid in seq_ids:
+            self.tracer.finish_entry(sid)
+
+    def forward(
+        self,
+        tokens: jax.Array,  # [B, T]
+        positions: jax.Array,  # [B, T]
+        kv_caches: List,
+        kv_len,
+        seq_ids: Optional[Sequence[str]] = None,
+    ):
+        model, arena = self.model, self.arena
+        params = self.params
+        x = self._embed(params, tokens)
+        trace_ids, trace_w = [], []
+        for li in range(model.spec.num_layers):
+            pl = params["layers"][li]
+            x, h, cw, ids, kv_caches[li] = self._pre(
+                pl, x, kv_caches[li], positions, kv_len
+            )
+            mli = model.moe_layer_index(li)
+            if mli is None:
+                continue  # dense layer (handled inside pre_moe by the model)
+            # --- host sync: tiny int array of routed experts --------------
+            ids_np = np.asarray(ids)  # [B, T, K]
+            keys = [(mli, int(e)) for e in np.unique(ids_np)]
+            self._trace_and_prefetch(ids_np, mli, seq_ids)
+            arena.acquire(keys, mli)
+            with arena.locked_tree() as tree:
+                slot_row = jnp.asarray(arena.slot_map(mli))
+                x = self._apply(x, h, cw, ids, tree, slot_row)
+            arena.release(keys)
+            trace_ids.append(ids)
+            trace_w.append(cw)
+        logits = self._head(params, x)
+        return logits, kv_caches, (jnp.stack(trace_ids), jnp.stack(trace_w))
+
+    # ---- policy glue -------------------------------------------------------
+    def _trace_and_prefetch(
+        self, ids_np: np.ndarray, mli: int, seq_ids: Optional[Sequence[str]]
+    ) -> None:
+        if self.tracer is None or not seq_ids:
+            return
+        if self.prefetch:
+            score = None
+            for b, sid in enumerate(seq_ids):
+                # predict() also records the activations in the tracer
+                score = self.predictor.predict(sid, ids_np[b], mli)
+            self.arena.set_context(
+                mli, self.tracer.get_entry_decoder(seq_ids[0]).matrix
+            )
+            orders = plan_prefetch(
+                score,
+                mli,
+                lookahead=self.lookahead,
+                budget=self.prefetch_budget,
+                is_resident=self.arena.is_resident,
+            )
+            if orders:
+                self.arena.prefetch(orders)
+        else:
+            for b, sid in enumerate(seq_ids):
+                self.tracer.update_entry(sid, ids_np[b], mli)
+
+    # ---- metrics ------------------------------------------------------------
+    def hit_rate(self) -> float:
+        return self.arena.policy.stats.hit_rate
+
+    def stats(self) -> dict:
+        return self.arena.hit_stats()

@@ -1,16 +1,21 @@
 """Token generation: jitted prefill + decode step, host-side loop.
 
 Replaces the reference's reliance on HF `model.generate` + forward hooks
-(SURVEY.md §3.2) with an engine-owned decode loop: static shapes (prompt
-bucketing, fixed KV capacity), greedy or temperature sampling, and per-step
-router traces streamed back to the host for the EAMC tracer/prefetcher.
+(SURVEY.md §3.2) with an engine-owned decode loop over a *stepper*:
+
+* ResidentStepper — one whole-model jit (everything in HBM, fast path);
+* OffloadEngine (runtime/engine.py) — per-layer jits with the expert arena
+  acquire/prefetch protocol between layers.
+
+Static shapes throughout (prompt bucketing, fixed KV capacity), greedy or
+temperature sampling, per-step router traces for the EAMC tracer.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +38,8 @@ class GenerationResult:
     stats: dict = field(default_factory=dict)
 
 
-class Generator:
-    """Drives a CausalLM-protocol model (models/*.py) with explicit params
-    and an expert pytree."""
+class ResidentStepper:
+    """Whole-model jit over fully HBM-resident experts."""
 
     def __init__(
         self,
@@ -45,15 +49,11 @@ class Generator:
         for_layer: Callable,
         *,
         impl: str = "ragged",
-        max_seq_len: int = 2048,
         donate_kv: bool = True,
-        step_callback: Optional[Callable] = None,
     ):
         self.model = model
         self.params = params
         self.experts = experts
-        self.max_seq_len = max_seq_len
-        self.step_callback = step_callback
 
         def fwd(params, experts, tokens, positions, kv, kv_len):
             return model.forward(
@@ -63,6 +63,45 @@ class Generator:
 
         # donate the KV cache so decode updates happen in place
         self._fwd = jax.jit(fwd, donate_argnums=(4,) if donate_kv else ())
+
+    def init_cache(self, batch: int, max_len: int):
+        return self.model.init_cache(batch, max_len)
+
+    def begin_sequences(self, batch: int):
+        return None
+
+    def end_sequences(self, seq_ids):
+        pass
+
+    def forward(self, tokens, positions, kv, kv_len, seq_ids=None):
+        return self._fwd(self.params, self.experts, tokens, positions, kv, kv_len)
+
+
+class Generator:
+    """Host-side generation loop over any stepper."""
+
+    def __init__(
+        self,
+        model=None,
+        params=None,
+        experts=None,
+        for_layer: Optional[Callable] = None,
+        *,
+        stepper=None,
+        impl: str = "ragged",
+        max_seq_len: int = 2048,
+        donate_kv: bool = True,
+        step_callback: Optional[Callable] = None,
+    ):
+        if stepper is None:
+            if model is None or params is None:
+                raise ValueError("pass either stepper= or (model, params, experts, for_layer)")
+            stepper = ResidentStepper(
+                model, params, experts, for_layer, impl=impl, donate_kv=donate_kv
+            )
+        self.stepper = stepper
+        self.max_seq_len = max_seq_len
+        self.step_callback = step_callback
 
     def _sample(self, logits: jax.Array, temperature: float, key) -> jax.Array:
         if temperature == 0.0:
@@ -91,14 +130,15 @@ class Generator:
             raise ValueError(
                 f"prompt {T} + new {max_new_tokens} exceeds capacity {cap}"
             )
-        kv = self.model.init_cache(B, cap)
+        kv = self.stepper.init_cache(B, cap)
         key = jax.random.PRNGKey(seed)
+        seq_ids = self.stepper.begin_sequences(B)
 
         # ---- prefill -----------------------------------------------------
         tokens = jnp.asarray(input_ids, jnp.int32)
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-        logits, kv, trace = self._fwd(
-            self.params, self.experts, tokens, positions, kv, jnp.int32(0)
+        logits, kv, trace = self.stepper.forward(
+            tokens, positions, kv, jnp.int32(0), seq_ids=seq_ids
         )
         traces = []
         if collect_trace:
@@ -125,13 +165,12 @@ class Generator:
                 break
             key, sub = jax.random.split(key)
             positions = jnp.full((B, 1), cur, jnp.int32)
-            logits, kv, trace = self._fwd(
-                self.params,
-                self.experts,
+            logits, kv, trace = self.stepper.forward(
                 jnp.asarray(tok_host[:, None], jnp.int32),
                 positions,
                 kv,
                 jnp.int32(cur),
+                seq_ids=seq_ids,
             )
             if collect_trace:
                 traces.append((np.asarray(trace[0]), np.asarray(trace[1])))
@@ -140,6 +179,7 @@ class Generator:
             next_tok = self._sample(logits[:, -1, :], temperature, sub)
             cur += 1
 
+        self.stepper.end_sequences(seq_ids)
         return GenerationResult(
             sequences=out[:, :cur],
             num_generated=num_gen,
