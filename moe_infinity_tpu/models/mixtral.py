@@ -25,7 +25,7 @@ from moe_infinity_tpu.models.layers import (
     rms_norm,
     rope_cos_sin,
 )
-from moe_infinity_tpu.ops.moe import grouped_ffn, topk_router
+from moe_infinity_tpu.ops.moe import grouped_ffn, grouped_ffn_ep, topk_router
 
 
 @dataclass(frozen=True)
@@ -68,9 +68,10 @@ class MixtralModel:
 
     arch = "mixtral"
 
-    def __init__(self, spec: MixtralSpec, compute_dtype=jnp.bfloat16):
+    def __init__(self, spec: MixtralSpec, compute_dtype=jnp.bfloat16, mesh=None):
         self.spec = spec
         self.dtype = compute_dtype
+        self.mesh = mesh  # (data, model, expert) Mesh; None = single chip
 
     # ---- param loading ---------------------------------------------------
     def load_params(self, dense, device_put=jax.device_put) -> Dict[str, Any]:
@@ -105,6 +106,54 @@ class MixtralModel:
         if not s.tie_embeddings and "lm_head.weight" in dense:
             params["lm_head"] = get("lm_head.weight")
         return params
+
+    def init_random(self, key, *, expert_dtype=None):
+        """Random params + resident expert tree (tests, dryruns, synthetic
+        benchmarks — weight values don't change the compute graph)."""
+        s = self.spec
+        expert_dtype = expert_dtype or self.dtype
+        n_keys = 4 + s.num_layers
+        keys = jax.random.split(key, n_keys)
+
+        def mat(k, shape, dt, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+        layers = []
+        experts = []
+        hd = s.num_heads * s.head_dim
+        kvd = s.num_kv_heads * s.head_dim
+        for i in range(s.num_layers):
+            ks = jax.random.split(keys[4 + i], 8)
+            layers.append(
+                {
+                    "input_norm": jnp.ones(s.hidden_size, jnp.float32),
+                    "post_norm": jnp.ones(s.hidden_size, jnp.float32),
+                    "q": mat(ks[0], (hd, s.hidden_size), self.dtype),
+                    "k": mat(ks[1], (kvd, s.hidden_size), self.dtype),
+                    "v": mat(ks[2], (kvd, s.hidden_size), self.dtype),
+                    "o": mat(ks[3], (s.hidden_size, hd), self.dtype),
+                    "router": mat(ks[4], (s.num_experts, s.hidden_size), jnp.float32),
+                }
+            )
+            experts.append(
+                {
+                    "gate": mat(ks[5], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
+                    "up": mat(ks[6], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
+                    "down": mat(ks[7], (s.num_experts, s.intermediate_size, s.hidden_size), expert_dtype),
+                }
+            )
+        params = {
+            "embed": mat(keys[0], (s.vocab_size, s.hidden_size), self.dtype),
+            "final_norm": jnp.ones(s.hidden_size, jnp.float32),
+            "layers": layers,
+        }
+        if not s.tie_embeddings:
+            params["lm_head"] = mat(keys[1], (s.vocab_size, s.hidden_size), self.dtype)
+        expert_tree = {
+            "layers": experts,
+            "slot_map": jnp.arange(s.num_experts, dtype=jnp.int32),
+        }
+        return params, expert_tree
 
     # ---- caches ------------------------------------------------------------
     def init_cache(self, batch: int, max_len: int) -> List[KVCache]:
@@ -146,16 +195,29 @@ class MixtralModel:
     def moe_block(self, h, cw, ids, weights, slot_map, biases, impl):
         B, T, D = h.shape
         K = ids.shape[-1]
-        y = grouped_ffn(
-            h.reshape(B * T, D),
-            ids.reshape(B * T, K),
-            cw.reshape(B * T, K).astype(jnp.float32),
-            slot_map,
-            weights,
-            "silu",
-            biases=biases,
-            impl=impl,
-        )
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            y = grouped_ffn_ep(
+                h.reshape(B * T, D),
+                ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32),
+                slot_map,
+                weights,
+                "silu",
+                mesh=self.mesh,
+                biases=biases,
+                impl=impl,
+            )
+        else:
+            y = grouped_ffn(
+                h.reshape(B * T, D),
+                ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32),
+                slot_map,
+                weights,
+                "silu",
+                biases=biases,
+                impl=impl,
+            )
         return y.reshape(B, T, D)
 
     # ---- layer-step protocol (offload engine drives these per layer) -------

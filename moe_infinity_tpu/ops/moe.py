@@ -172,6 +172,71 @@ def _gffn_ragged(x, expert_ids, combine_weights, expert_to_slot, weights,
     return combined.astype(compute_dtype)
 
 
+def grouped_ffn_ep(
+    x: jax.Array,  # [T, D] tokens (sharded on `data` axis outside)
+    expert_ids: jax.Array,  # [T, K]
+    combine_weights: jax.Array,  # [T, K]
+    expert_to_slot: jax.Array,  # [E] global slot ids
+    weights: Dict[str, jax.Array],  # stacked arrays sharded on `expert` dim 0
+    activation: str,
+    *,
+    mesh,
+    biases: Optional[Dict[str, jax.Array]] = None,
+    expert_axis: str = "expert",
+    data_axis: str = "data",
+    impl: str = "ragged",
+) -> jax.Array:
+    """Expert-parallel grouped FFN via shard_map over the `expert` mesh axis.
+
+    TPU-native replacement for the reference's cross-device expert dispatch
+    (/root/reference/moe_infinity/distributed/expert_executor.py:60-136,
+    torch-RPC, dormant): every expert shard sees its data shard's tokens,
+    computes the contribution of its local experts (invalid routes masked to
+    zero weight), and the shards psum-combine over ICI. No token all-to-all
+    is needed at decode batch sizes; the psum *is* the combine.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    w_specs = {
+        k: P(expert_axis, *([None] * (v.ndim - 1))) for k, v in weights.items()
+    }
+    b_specs = (
+        {k: P(expert_axis, *([None] * (v.ndim - 1))) for k, v in biases.items()}
+        if biases
+        else None
+    )
+    tok_spec = P(data_axis, None)
+
+    def local_ffn(x, ids, cw, slot_map, w, b):
+        shard = jax.lax.axis_index(expert_axis)
+        s_local = w["gate"].shape[0]
+        slots = slot_map[ids]  # [T, K] global slots
+        local = slots - shard * s_local
+        valid = (local >= 0) & (local < s_local)
+        local_ids = jnp.clip(local, 0, s_local - 1)
+        cw_masked = cw * valid.astype(cw.dtype)
+        out = grouped_ffn(
+            x,
+            local_ids,
+            cw_masked,
+            jnp.arange(s_local, dtype=jnp.int32),
+            w,
+            activation,
+            biases=b,
+            impl=impl,
+        )
+        return jax.lax.psum(out, expert_axis)
+
+    fn = jax.shard_map(
+        local_ffn,
+        mesh=mesh,
+        in_specs=(tok_spec, tok_spec, tok_spec, P(None), w_specs, b_specs),
+        out_specs=tok_spec,
+        check_vma=False,
+    )
+    return fn(x, expert_ids, combine_weights, expert_to_slot, weights, biases)
+
+
 def _gffn_dense(x, expert_ids, combine_weights, expert_to_slot, weights,
                 activation, biases):
     """Reference implementation: computes every slot for every token via

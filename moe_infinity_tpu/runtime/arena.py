@@ -302,8 +302,10 @@ class ExpertArena:
                 if a.dtype != target_np:
                     a = a.astype(target_np)
                 new[akey] = a
+            # H2D copies dispatch + proceed outside the lock so concurrent
+            # workers' uploads overlap on the interconnect
+            dev_new = jax.device_put(new, self.device)
             with self._lock:
-                dev_new = jax.device_put(new, self.device)
                 self._arena = _write_slot(
                     self._arena, dev_new, jnp.int32(slot)
                 )

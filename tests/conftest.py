@@ -1,14 +1,15 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set platform env vars before the first `import jax` anywhere in the
-test process (SURVEY.md §4: multi-chip sharding is validated on forced CPU
-host devices; the real chip is exercised only by bench.py)."""
+The container's sitecustomize registers the experimental `axon` TPU plugin
+and bakes JAX_PLATFORMS=axon into the process before any user code runs, so
+env vars alone can't redirect the platform — jax has already imported. The
+backend itself is still uninitialized at conftest time, so
+`jax.config.update('jax_platforms', 'cpu')` wins (SURVEY.md §4: multi-chip
+sharding is validated on forced CPU host devices; the real chip is
+exercised only by bench.py)."""
 
 import os
 
-# Force, not setdefault: the driver environment pre-sets JAX_PLATFORMS to the
-# real TPU (axon), where f32 matmuls are demoted and parity tolerances break.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,10 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_report_header(config):
+    return f"jax devices: {jax.devices()}"
 
 
 @pytest.fixture
