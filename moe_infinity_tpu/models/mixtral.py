@@ -107,9 +107,11 @@ class MixtralModel:
             params["lm_head"] = get("lm_head.weight")
         return params
 
-    def init_random(self, key, *, expert_dtype=None):
+    def init_random(self, key, *, expert_dtype=None, with_experts=True):
         """Random params + resident expert tree (tests, dryruns, synthetic
-        benchmarks — weight values don't change the compute graph)."""
+        benchmarks — weight values don't change the compute graph).
+        with_experts=False skips the expert tree (offload benches use a
+        SyntheticStore instead; a full 8x7B expert tree would be ~90GB)."""
         s = self.spec
         expert_dtype = expert_dtype or self.dtype
         n_keys = 4 + s.num_layers
@@ -135,13 +137,14 @@ class MixtralModel:
                     "router": mat(ks[4], (s.num_experts, s.hidden_size), jnp.float32),
                 }
             )
-            experts.append(
-                {
-                    "gate": mat(ks[5], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
-                    "up": mat(ks[6], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
-                    "down": mat(ks[7], (s.num_experts, s.intermediate_size, s.hidden_size), expert_dtype),
-                }
-            )
+            if with_experts:
+                experts.append(
+                    {
+                        "gate": mat(ks[5], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
+                        "up": mat(ks[6], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
+                        "down": mat(ks[7], (s.num_experts, s.intermediate_size, s.hidden_size), expert_dtype),
+                    }
+                )
         params = {
             "embed": mat(keys[0], (s.vocab_size, s.hidden_size), self.dtype),
             "final_norm": jnp.ones(s.hidden_size, jnp.float32),
@@ -149,6 +152,8 @@ class MixtralModel:
         }
         if not s.tie_embeddings:
             params["lm_head"] = mat(keys[1], (s.vocab_size, s.hidden_size), self.dtype)
+        if not with_experts:
+            return params, None
         expert_tree = {
             "layers": experts,
             "slot_map": jnp.arange(s.num_experts, dtype=jnp.int32),

@@ -53,11 +53,21 @@ PRIO_PREFETCH = 1
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _write_slot(arena: Dict[str, jax.Array], new: Dict[str, jax.Array], slot):
-    """In-place (donated) write of one expert into arena slot `slot`."""
+    """In-place (donated) write of one expert into arena slot `slot`.
+
+    If `new` carries `<role>_scale` entries absent from the arena, the role
+    is dequantized on write (host uploads quantized bytes — half the
+    interconnect traffic — while the arena holds compute dtype)."""
     out = {}
     for k, a in arena.items():
+        v = new[k]
+        scale = new.get(k + "_scale")
+        if scale is not None and (k + "_scale") not in arena:
+            v = (v.astype(jnp.float32) * scale[None, :]).astype(a.dtype)
+        else:
+            v = v.astype(a.dtype)
         idx = (slot,) + (0,) * (a.ndim - 1)
-        out[k] = jax.lax.dynamic_update_slice(a, new[k][None], idx)
+        out[k] = jax.lax.dynamic_update_slice(a, v[None], idx)
     return out
 
 
@@ -73,8 +83,11 @@ class ExpertArena:
         compute_dtype=jnp.bfloat16,
         device: Optional[jax.Device] = None,
         num_threads: int = 2,
-        keep_scales_quantized: bool = True,
+        dequant_on_write: bool = False,
     ):
+        """dequant_on_write: upload quantized bytes but store compute-dtype
+        slots (no per-step dequant on the jnp path; the Pallas kernel path
+        instead keeps slots quantized and fuses dequant into the GEMM)."""
         if num_slots < 1:
             raise ValueError("num_slots must be >= 1")
         self.store = store
@@ -107,6 +120,8 @@ class ExpertArena:
                 adt = jnp.float8_e4m3fn
             else:
                 adt = compute_dtype
+            if dequant_on_write:
+                adt = compute_dtype
             self._role_to_tail[key] = tail
             self._arena_np_dtype[key] = np_dtype(f.dtype)
             arena[key] = jnp.zeros((num_slots,) + f.shape, dtype=adt)
@@ -114,9 +129,10 @@ class ExpertArena:
                 fs = store._field_by_name[tail + ".scale"]
                 self._role_to_tail[key + "_scale"] = tail + ".scale"
                 self._arena_np_dtype[key + "_scale"] = np_dtype(fs.dtype)
-                arena[key + "_scale"] = jnp.zeros(
-                    (num_slots,) + fs.shape, dtype=jnp.float32
-                )
+                if not dequant_on_write:
+                    arena[key + "_scale"] = jnp.zeros(
+                        (num_slots,) + fs.shape, dtype=jnp.float32
+                    )
         for tail, key in _BIAS_TAILS.items():
             if tail in field_names:
                 f = store._field_by_name[tail]
@@ -298,9 +314,15 @@ class ExpertArena:
             new = {}
             for akey, tail in self._role_to_tail.items():
                 a = record[tail]
-                target_np = np_dtype(jnp.dtype(self._arena[akey].dtype).name)
-                if a.dtype != target_np:
-                    a = a.astype(target_np)
+                quantized = (akey + "_scale") in self._role_to_tail
+                if akey.endswith("_scale") or quantized:
+                    pass  # upload quantized bytes / scales exactly as stored
+                else:
+                    # unquantized role: cast on host so the upload already
+                    # carries arena-dtype bytes (f32 store → bf16 = half)
+                    target_np = np_dtype(jnp.dtype(self._arena[akey].dtype).name)
+                    if a.dtype != target_np:
+                        a = a.astype(target_np)
                 new[akey] = a
             # H2D copies dispatch + proceed outside the lock so concurrent
             # workers' uploads overlap on the interconnect

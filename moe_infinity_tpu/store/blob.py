@@ -251,6 +251,49 @@ class DenseArchive:
         return raw.view(dt).reshape(e["shape"])
 
 
+class SyntheticStore:
+    """ExpertStore-protocol store with one shared in-RAM record.
+
+    For synthetic benchmarks at production geometry: every (layer, expert)
+    returns views of the same record buffer, so host→HBM traffic, arena
+    behavior, and kernel shapes are identical to a real store without
+    materializing hundreds of GB. Values are pseudo-random (timing-neutral).
+    """
+
+    def __init__(
+        self,
+        num_layers: int,
+        num_experts: int,
+        fields: Sequence[Tuple[str, Tuple[int, ...], str]],
+        meta: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        self.num_layers = num_layers
+        self.num_experts = num_experts
+        self.fields, self.stride = build_record_layout(fields)
+        self._field_by_name = {f.name: f for f in self.fields}
+        self.meta = dict(meta or {})
+        rng = np.random.default_rng(seed)
+        self._tensors: Dict[str, np.ndarray] = {}
+        for f in self.fields:
+            dt = np_dtype(f.dtype)
+            if dt.kind == "i":
+                a = rng.integers(-64, 64, size=f.shape, dtype=np.int8)
+            else:
+                a = (rng.standard_normal(f.shape) * 0.02).astype(dt)
+            self._tensors[f.name] = a
+
+    @property
+    def field_names(self) -> List[str]:
+        return [f.name for f in self.fields]
+
+    def get_tensor(self, layer: int, expert: int, name: str) -> np.ndarray:
+        return self._tensors[name]
+
+    def get_expert(self, layer: int, expert: int) -> Dict[str, np.ndarray]:
+        return dict(self._tensors)
+
+
 def store_exists(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "experts.index.json")) and os.path.isfile(
         os.path.join(path, "dense.index.json")
