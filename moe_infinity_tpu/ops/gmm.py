@@ -1,0 +1,241 @@
+"""Pallas TPU grouped matmul (GMM) with fused weight dequantization.
+
+The hot expert kernel — the TPU-native replacement for the reference's
+per-expert libtorch FFN threads (/root/reference/core/parallel/
+expert_dispatcher.cpp:309-395). One kernel computes every routed expert of a
+layer:
+
+* tokens are pre-sorted by expert slot (host/XLA argsort), so each expert's
+  rows are contiguous;
+* the grid is (row_tiles, slots); a program streams its group's weight
+  slabs HBM→VMEM with double-buffered async DMA and runs the MXU dot —
+  **slots with no routed tokens transfer nothing**, so HBM traffic is
+  exactly the routed experts' bytes (the speed-of-light for offloaded MoE
+  decode);
+* int8/fp8 arenas dequantize *after* the dot: out[:, c] = (x @ w_q)[:, c]
+  * scale[c] — int8 values are exact in bf16, so the MXU runs bf16×bf16
+  and the per-output-channel scale multiplies the small [tm, tf] tile.
+
+Shapes: x [T, D] (sorted), w [S, D, F], scale [S, F] or None,
+group_sizes [S] → out [T, F].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for c in range(min(n, cap), 0, -1):
+        if n % c == 0:
+            return c
+    return n
+
+
+def _gmm_kernel(
+    group_start_ref,  # scalar prefetch: [S+1] int32 row offsets
+    *refs,  # x_ref, w_ref, [scale_ref], out_ref, wbuf, sem, acc
+    tm: int,
+    tk: int,
+    tf: int,
+    quantized: bool,
+):
+    if quantized:
+        x_ref, w_ref, scale_ref, out_ref, wbuf, sem, acc = refs
+    else:
+        x_ref, w_ref, out_ref, wbuf, sem, acc = refs
+        scale_ref = None
+    m = pl.program_id(0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rs = group_start_ref[g]
+    re = group_start_ref[g + 1]
+    tile_start = m * tm
+    # intersection of this group's rows with this row tile
+    lo = jnp.maximum(rs - tile_start, 0)
+    hi = jnp.minimum(re - tile_start, tm)
+
+    @pl.when(hi > lo)
+    def _work():
+        D = x_ref.shape[1]
+        F = out_ref.shape[1]
+        nk = D // tk
+        nf = F // tf
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+        mask = (row_ids >= lo) & (row_ids < hi)
+
+        def get_dma(slot, fi, ki):
+            return pltpu.make_async_copy(
+                w_ref.at[g, pl.ds(ki * tk, tk), pl.ds(fi * tf, tf)],
+                wbuf.at[slot],
+                sem.at[slot],
+            )
+
+        get_dma(0, 0, 0).start()
+
+        def body(it, _):
+            fi = it // nk
+            ki = it % nk
+            slot = it % 2
+
+            @pl.when(it + 1 < nf * nk)
+            def _prefetch():
+                nxt = it + 1
+                get_dma((nxt) % 2, nxt // nk, nxt % nk).start()
+
+            get_dma(slot, fi, ki).wait()
+
+            @pl.when(ki == 0)
+            def _reset():
+                acc[:] = jnp.zeros_like(acc)
+
+            wt = wbuf[slot].astype(jnp.bfloat16)
+            xk = jnp.where(mask, x_ref[:, pl.ds(ki * tk, tk)], 0)
+            acc[:] += jax.lax.dot(
+                xk.astype(jnp.bfloat16),
+                wt,
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(ki == nk - 1)
+            def _emit():
+                part = acc[:]
+                if quantized:
+                    part = part * scale_ref[pl.ds(fi * tf, tf)][None, :]
+                # groups own disjoint row ranges, so += never overlaps
+                out_ref[:, pl.ds(fi * tf, tf)] += part.astype(out_ref.dtype)
+
+            return 0
+
+        jax.lax.fori_loop(0, nf * nk, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tm", "tk", "tf", "out_dtype", "interpret"),
+)
+def gmm(
+    x: jax.Array,  # [T, D] sorted by group
+    w: jax.Array,  # [S, D, F]
+    group_sizes: jax.Array,  # [S] int32
+    scale: Optional[jax.Array] = None,  # [S, F]
+    *,
+    tm: int = 0,
+    tk: int = 0,
+    tf: int = 0,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    T, D = x.shape
+    S, _, F = w.shape
+    if tm == 0:
+        tm = min(_next_multiple(T, 16), 64)
+    if tk == 0:
+        tk = _largest_divisor_leq(D, 2048)
+    if tf == 0:
+        tf = _largest_divisor_leq(F, 512)
+    m_tiles = pl.cdiv(T, tm)
+
+    group_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes, dtype=jnp.int32)]
+    )
+
+    quantized = scale is not None
+    kernel = functools.partial(
+        _gmm_kernel, tm=tm, tk=tk, tf=tf, quantized=quantized
+    )
+    in_specs = [
+        pl.BlockSpec((tm, D), lambda m, g, *_: (m, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # w stays in HBM
+    ]
+    inputs = [group_start, x, w]
+    if quantized:
+        # 1-D block: a (1, F) 2-D block would violate the 8-sublane rule
+        in_specs.append(pl.BlockSpec((F,), lambda m, g, *_: (g,)))
+        inputs.append(scale.reshape(S * F))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_tiles, S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, F), lambda m, g, *_: (m, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, tk, tf), w.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tm, tf), jnp.float32),
+        ],
+    )
+    flops = 2 * T * D * F  # upper bound; per-group masking reduces it
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, F), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=T * D * 2 + S * D * F, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def _next_multiple(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+# --------------------------------------------------------------------------
+# Grouped-FFN built on gmm (pallas impl for ops.moe.grouped_ffn)
+# --------------------------------------------------------------------------
+
+def gffn_pallas(x, expert_ids, combine_weights, expert_to_slot, weights,
+                activation, biases=None, interpret=False):
+    """Pallas grouped FFN: sort → gate/up gmm → activation → down gmm →
+    weighted scatter-combine. Signature matches ops.moe._gffn_ragged."""
+    from moe_infinity_tpu.ops.moe import _activate
+
+    T, D = x.shape
+    K = expert_ids.shape[1]
+    S = weights["gate"].shape[0]
+    compute_dtype = x.dtype
+
+    slot_ids = expert_to_slot[expert_ids]  # [T, K]
+    flat_slots = slot_ids.reshape(-1)
+    order = jnp.argsort(flat_slots)
+    inv_token = order // K
+    xs = x[inv_token]
+    group_sizes = jnp.bincount(flat_slots, length=S).astype(jnp.int32)
+
+    h = gmm(
+        xs, weights["gate"], group_sizes, weights.get("gate_scale"),
+        out_dtype=jnp.float32, interpret=interpret,
+    )
+    if biases is not None and "gate_bias" in biases:
+        h = h + biases["gate_bias"][flat_slots[order]]
+    if "up" in weights:
+        h_up = gmm(
+            xs, weights["up"], group_sizes, weights.get("up_scale"),
+            out_dtype=jnp.float32, interpret=interpret,
+        )
+        h = _activate(h, h_up, activation)
+    else:
+        h = _activate(h, None, activation)
+
+    out = gmm(
+        h.astype(compute_dtype), weights["down"], group_sizes,
+        weights.get("down_scale"), out_dtype=jnp.float32, interpret=interpret,
+    )
+    if biases is not None and "down_bias" in biases:
+        out = out + biases["down_bias"][flat_slots[order]]
+
+    cw = combine_weights.reshape(-1)[order]
+    out = out * cw[:, None]
+    combined = jnp.zeros((T, D), dtype=jnp.float32).at[inv_token].add(out)
+    return combined.astype(compute_dtype)

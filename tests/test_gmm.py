@@ -1,0 +1,93 @@
+"""Pallas grouped-matmul kernel numerics vs jnp reference (interpret mode on
+CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moe_infinity_tpu.ops.gmm import gffn_pallas, gmm
+from moe_infinity_tpu.ops.moe import grouped_ffn
+
+
+def _ref_gmm(x, w, group_sizes, scale=None):
+    """Dense reference: per-group matmul."""
+    T, D = x.shape
+    S, _, F = w.shape
+    out = np.zeros((T, F), np.float32)
+    start = 0
+    for g in range(S):
+        n = int(group_sizes[g])
+        if n:
+            wg = np.asarray(w[g], np.float32)
+            if scale is not None:
+                pass  # dequant after dot below
+            seg = np.asarray(x[start : start + n], np.float32) @ wg
+            if scale is not None:
+                seg = seg * np.asarray(scale[g], np.float32)[None, :]
+            out[start : start + n] = seg
+        start += n
+    return out
+
+
+def _make_case(rng, T, D, F, S, dtype=jnp.bfloat16):
+    x = jnp.asarray(rng.standard_normal((T, D)), dtype)
+    w = jnp.asarray(rng.standard_normal((S, D, F)) * 0.1, dtype)
+    sizes = rng.multinomial(T, np.ones(S) / S)
+    return x, w, jnp.asarray(sizes, jnp.int32)
+
+
+@pytest.mark.parametrize(
+    "T,D,F,S",
+    [(8, 128, 256, 4), (64, 256, 512, 8), (33, 128, 384, 5)],
+)
+def test_gmm_bf16_matches_reference(rng, T, D, F, S):
+    x, w, sizes = _make_case(rng, T, D, F, S)
+    got = np.asarray(gmm(x, w, sizes, interpret=True))
+    want = _ref_gmm(np.asarray(x, np.float32), np.asarray(w, np.float32), sizes)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gmm_empty_groups(rng):
+    T, D, F, S = 16, 128, 256, 6
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((S, D, F)) * 0.1, jnp.bfloat16)
+    sizes = jnp.asarray([0, 10, 0, 0, 6, 0], jnp.int32)
+    got = np.asarray(gmm(x, w, sizes, interpret=True))
+    want = _ref_gmm(np.asarray(x, np.float32), np.asarray(w, np.float32), sizes)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gmm_int8_dequant(rng):
+    T, D, F, S = 16, 128, 256, 4
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-127, 127, (S, D, F)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.02, (S, F)), jnp.float32)
+    sizes = jnp.asarray([4, 4, 4, 4], jnp.int32)
+    got = np.asarray(gmm(x, wq, sizes, scale, interpret=True))
+    want = _ref_gmm(
+        np.asarray(x, np.float32), np.asarray(wq, np.float32), sizes,
+        scale=np.asarray(scale),
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gffn_pallas_matches_ragged(rng):
+    T, D, F, S, K = 12, 128, 256, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    weights = {
+        "gate": jnp.asarray(rng.standard_normal((S, D, F)) * 0.1, jnp.float32),
+        "up": jnp.asarray(rng.standard_normal((S, D, F)) * 0.1, jnp.float32),
+        "down": jnp.asarray(rng.standard_normal((S, F, D)) * 0.1, jnp.float32),
+    }
+    ids = jnp.asarray(rng.integers(0, S, (T, K)), jnp.int32)
+    cw = jnp.asarray(rng.uniform(0, 1, (T, K)), jnp.float32)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    want = np.asarray(
+        grouped_ffn(x, ids, cw, slot, weights, "silu", impl="ragged")
+    )
+    got = np.asarray(
+        gffn_pallas(x, ids, cw, slot, weights, "silu", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
