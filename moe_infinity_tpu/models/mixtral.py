@@ -234,8 +234,9 @@ class MixtralModel:
         cw, ids = self.route(pl, h)
         return x, h, cw, ids, kv
 
-    def apply_moe(self, x, h, cw, ids, weights, slot_map, biases, impl):
-        """Expert compute + residual for one layer."""
+    def apply_moe(self, pl, x, h, cw, ids, weights, slot_map, biases, impl):
+        """Expert compute + residual for one layer (pl carries per-layer
+        dense params — used by models with shared experts)."""
         return x + self.moe_block(h, cw, ids, weights, slot_map, biases, impl)
 
     def head(self, params, x: jax.Array) -> jax.Array:
@@ -270,7 +271,7 @@ class MixtralModel:
             x, h, cw, ids, kv = self.pre_moe(pl, x, kv_caches[li], positions, kv_len)
             mli = self.moe_layer_index(li)
             w, slot_map, biases = for_layer(experts, mli)
-            x = self.apply_moe(x, h, cw, ids, w, slot_map, biases, impl)
+            x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)
             new_kvs.append(kv)
             trace_ids.append(ids)
             trace_w.append(cw)

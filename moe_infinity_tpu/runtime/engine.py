@@ -83,10 +83,17 @@ class OffloadEngine:
         self._embed = jax.jit(model.embed)
         self._pre = jax.jit(model.pre_moe, donate_argnums=(2,))
         self._head = jax.jit(model.head)
+        self._dense = (
+            jax.jit(model.dense_layer, donate_argnums=(2,))
+            if hasattr(model, "dense_layer")
+            else None
+        )
 
-        def apply(x, h, cw, ids, tree, slot_row):
+        def apply(pl, x, h, cw, ids, tree, slot_row):
             weights, biases = _split_arena_tree(tree)
-            return model.apply_moe(x, h, cw, ids, weights, slot_row, biases, impl)
+            return model.apply_moe(
+                pl, x, h, cw, ids, weights, slot_row, biases, impl
+            )
 
         self._apply = jax.jit(apply)
 
@@ -119,12 +126,15 @@ class OffloadEngine:
         trace_ids, trace_w = [], []
         for li in range(model.spec.num_layers):
             pl = params["layers"][li]
+            mli = model.moe_layer_index(li)
+            if mli is None:  # leading dense layer (DeepSeek)
+                x, kv_caches[li] = self._dense(
+                    pl, x, kv_caches[li], positions, kv_len
+                )
+                continue
             x, h, cw, ids, kv_caches[li] = self._pre(
                 pl, x, kv_caches[li], positions, kv_len
             )
-            mli = model.moe_layer_index(li)
-            if mli is None:
-                continue  # dense layer (handled inside pre_moe by the model)
             # --- host sync: tiny int array of routed experts --------------
             ids_np = np.asarray(ids)  # [B, T, K]
             keys = [(mli, int(e)) for e in np.unique(ids_np)]
@@ -132,7 +142,7 @@ class OffloadEngine:
             arena.acquire(keys, mli)
             with arena.locked_tree() as tree:
                 slot_row = jnp.asarray(arena.slot_map(mli))
-                x = self._apply(x, h, cw, ids, tree, slot_row)
+                x = self._apply(pl, x, h, cw, ids, tree, slot_row)
             arena.release(keys)
             trace_ids.append(ids)
             trace_w.append(cw)
