@@ -156,9 +156,193 @@ def bench_mixtral_offload(args):
     }
 
 
+def bench_mixtral_resident(args):
+    """Mixtral-8x7B geometry, int8 experts fully HBM-resident, Pallas
+    fused-dequant grouped GEMM, lax.scan device decode loop. The headline
+    single-chip number: per-token decode latency vs the reference's 0.735s
+    (its own Mixtral-8x7B benchmark, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moe_infinity_tpu.runtime.generate import Generator, ResidentStepper
+    from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+    spec = dict(MIXTRAL_8X7B_SPEC)
+    if args.layers:
+        spec["num_layers"] = args.layers
+    model = _build_mixtral(spec)
+    L, E = spec["num_layers"], spec["num_experts"]
+    D, F = spec["hidden_size"], spec["intermediate_size"]
+
+    params, _ = model.init_random(jax.random.PRNGKey(0), with_experts=False)
+
+    # int8 expert arenas generated directly on device (45 GB for 8x7B —
+    # host upload through the tunnel would take minutes)
+    @jax.jit
+    def make_layer(key):
+        ks = jax.random.split(key, 6)
+        def q(k, shape):
+            return jax.random.randint(k, shape, -127, 127, jnp.int8)
+        def s(k, n):
+            return jax.random.uniform(k, (E, n), jnp.float32, 1e-3, 2e-3)
+        return {
+            "gate": q(ks[0], (E, D, F)), "gate_scale": s(ks[1], F),
+            "up": q(ks[2], (E, D, F)), "up_scale": s(ks[3], F),
+            "down": q(ks[4], (E, F, D)), "down_scale": s(ks[5], D),
+        }
+
+    layers = []
+    for li in range(L):
+        layers.append(make_layer(jax.random.PRNGKey(li + 1)))
+        jax.block_until_ready(layers[-1]["gate"])
+    experts = {"layers": layers, "slot_map": jnp.arange(E, dtype=jnp.int32)}
+
+    stepper = ResidentStepper(
+        model, params, experts, ResidentProvider.for_layer, impl="pallas",
+        donate_kv=False,
+    )
+    B = args.batch
+    prompt_len = args.prompt
+    kv = model.init_cache(B, 256)
+    tok0 = jnp.zeros((B, 1), jnp.int32)
+    pos0 = jnp.full((B,), prompt_len, jnp.int32)
+
+    # warm: one prefill + compile the scan
+    import numpy as np_
+
+    tokens = jnp.asarray(
+        (np_.arange(prompt_len)[None].repeat(B, 0) * 13) % 31999, jnp.int32
+    )
+    positions = jnp.broadcast_to(
+        jnp.arange(prompt_len, dtype=jnp.int32), (B, prompt_len)
+    )
+    t_w = time.perf_counter()
+    logits, kv, _ = stepper.forward(tokens, positions, kv, jnp.int32(0))
+    tok0 = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    n = args.tokens
+    toks, kv = stepper.decode_scan(tok0, pos0, kv, n)  # compile
+    jax.block_until_ready(toks)
+    warm_s = time.perf_counter() - t_w
+
+    t0 = time.perf_counter()
+    toks, kv = stepper.decode_scan(tok0, pos0, kv, n)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    per_tok = dt / n
+    baseline = 0.735
+    return {
+        "metric": "mixtral_8x7b_int8_resident_decode_latency",
+        "value": round(per_tok, 5),
+        "unit": "s/token",
+        "vs_baseline": round(baseline / per_tok, 2),
+        "batch": B,
+        "layers": L,
+        "tokens_per_s": round(B * n / dt, 2),
+        "warm_s": round(warm_s, 1),
+        "hbm_experts_gb": round(L * E * (2 * D * F + F * D) / 2**30, 1),
+    }
+
+
+DSV2_LITE_SPEC = dict(
+    vocab_size=102400, hidden_size=2048, intermediate_size=10944,
+    moe_intermediate_size=1408, num_layers=27, num_heads=16,
+    q_lora_rank=None, kv_lora_rank=512, qk_nope_head_dim=128,
+    qk_rope_head_dim=64, v_head_dim=128, num_experts=64, top_k=6,
+    n_shared_experts=2, first_k_dense_replace=1, topk_method="greedy",
+    n_group=None, topk_group=None, routed_scaling_factor=1.0,
+    rms_eps=1e-6, rope_theta=10000.0, tie_embeddings=False,
+)
+
+
+def bench_dsv2lite_resident(args):
+    """DeepSeek-V2-Lite, all experts HBM-resident (bf16 28.8 GB or int8
+    14.4 GB), fused scan-over-layers forward + Pallas grouped GEMM +
+    device-side lax.scan decode. Headline metric: per-token decode latency
+    vs the reference's published 0.155 s/token for this exact model
+    (BASELINE.md, 1xA5000)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+    from moe_infinity_tpu.runtime.generate import ResidentStepper
+    from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+    spec_kw = dict(DSV2_LITE_SPEC)
+    if args.layers:
+        spec_kw["num_layers"] = args.layers
+    spec = DeepseekV2Spec(**spec_kw)
+    model = DeepseekV2ModelJax(spec, compute_dtype=jnp.bfloat16)
+    quant = args.arena_dtype == "int8"
+    params, experts = model.init_random(
+        jax.random.PRNGKey(0),
+        expert_dtype=jnp.int8 if quant else jnp.bfloat16,
+    )
+    jax.block_until_ready(experts)
+
+    Lm = spec.num_layers - spec.first_k_dense_replace
+    E, D, F = spec.num_experts, spec.hidden_size, spec.moe_intermediate_size
+
+    # python-looped layers (unrolled under jit: a layer-scan hits a severe
+    # performance cliff on this backend) + gather/pallas/ragged expert impl
+    stepper = ResidentStepper(
+        model, params, experts, ResidentProvider.for_layer,
+        impl=args.moe_impl, donate_kv=False,
+    )
+    B, prompt_len, CAP = args.batch, args.prompt, 256
+    kv = stepper.init_cache(B, CAP)
+    tokens = jnp.asarray(
+        (np.arange(prompt_len)[None].repeat(B, 0) * 13) % 102399, jnp.int32
+    )
+    positions = jnp.broadcast_to(
+        jnp.arange(prompt_len, dtype=jnp.int32), (B, prompt_len)
+    )
+    n = args.tokens
+
+    t_w = time.perf_counter()
+    logits, kv, _ = stepper.forward(tokens, positions, kv, jnp.int32(0))
+    tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    pos = jnp.full((B,), prompt_len, jnp.int32)
+    toks, kv = stepper.decode_scan(tok, pos, kv, n)  # compile + warm
+    jax.block_until_ready(toks)
+    warm_s = time.perf_counter() - t_w
+
+    # timed: chained rounds (inputs differ every call — defeats any
+    # execution caching in the stack)
+    rounds = 3
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        tok = toks[:, -1:]
+        pos = pos + n
+        toks, kv = stepper.decode_scan(tok, pos, kv, n)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    per_tok = dt / (rounds * n)
+    baseline = 0.155
+    return {
+        "metric": "deepseek_v2_lite_resident_decode_latency",
+        "value": round(per_tok, 5),
+        "unit": "s/token",
+        "vs_baseline": round(baseline / per_tok, 2),
+        "batch": B,
+        "layers": spec.num_layers,
+        "expert_dtype": args.arena_dtype,
+        "moe_impl": args.moe_impl,
+        "tokens_per_s": round(B * rounds * n / dt, 2),
+        "warm_s": round(warm_s, 1),
+        "hbm_experts_gb": round(
+            Lm * E * 3 * D * F * (1 if quant else 2) / 2**30, 1
+        ),
+    }
+
+
 PRESETS = {
     "tiny": bench_tiny,
     "mixtral-offload": bench_mixtral_offload,
+    "mixtral-resident": bench_mixtral_resident,
+    "dsv2lite-resident": bench_dsv2lite_resident,
 }
 
 
@@ -175,6 +359,8 @@ def main():
     p.add_argument("--policy", default="priority")
     p.add_argument("--arena-dtype", default="bf16", choices=("bf16", "int8"))
     p.add_argument("--no-prefetch", action="store_true")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))
     args = p.parse_args()
     result = PRESETS[args.preset](args)
     print(json.dumps(result))

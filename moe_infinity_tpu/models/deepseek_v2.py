@@ -354,6 +354,164 @@ class DeepseekV2ModelJax:
         logits = self.head(params, x)
         return logits, new_kvs, (jnp.stack(trace_ids), jnp.stack(trace_w))
 
+    # ---- fused scan-over-layers path (single-chip serving fast path) ------
+    def stack_moe_layers(self, params):
+        """Stack the homogeneous MoE layers' params for lax.scan. Leading
+        first_k_dense_replace layers stay in the python loop. Keeps the
+        compiled program O(1) in depth (one layer trace, one Pallas kernel
+        instance) — large-depth programs otherwise overwhelm the compiler."""
+        k0 = self.spec.first_k_dense_replace
+        moe_pls = params["layers"][k0:]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *moe_pls)
+
+    @staticmethod
+    def stack_experts(layer_trees, layout="tiled"):
+        """Per-layer expert dicts ([E, ...] arrays) → one [Lm*E, ...] pool
+        per role (the global-arena layout the gmm group_offset consumes).
+        layout='tiled' packs weights for the gmm kernel's contiguous DMA;
+        'flat' keeps [S, D, F] rows for the gather decode path."""
+        from moe_infinity_tpu.ops.gmm import pack_tiled
+
+        keys = layer_trees[0].keys()
+        out = {}
+        for k in keys:
+            a = jnp.concatenate([lt[k] for lt in layer_trees], axis=0)
+            if a.ndim == 3 and layout == "tiled":
+                a = pack_tiled(a)
+            out[k] = a
+        return out
+
+    def _fused_moe_gather(self, h, cw, ids, pool, offset):
+        """Decode-path MoE as pure XLA gather + batched matvec.
+
+        For small token counts each (token, k) row gathers its expert's
+        weight slab ([D, F] contiguous rows of the pool) and runs a batched
+        GEMV; combine is a weighted segment-sum. No Pallas, no scalar
+        operands — on backends where scalar staging is expensive this is
+        the fastest exact decode path; HBM traffic is ~2x the routed bytes
+        (gather copy + read)."""
+        s = self.spec
+        B, T, D = h.shape
+        K = ids.shape[-1]
+        x = h.reshape(B * T, D)
+        rows = ids.reshape(-1) + offset  # [T*K] pool rows (top-k: distinct per token)
+        x_rep = x[jnp.arange(B * T * K, dtype=jnp.int32) // K]  # [TK, D]
+
+        def dq(role):
+            w = pool[role][rows]  # [TK, D, F] gather (int8 exact in bf16)
+            return w.astype(jnp.bfloat16) if w.dtype == jnp.int8 else w
+
+        xb = x_rep.astype(dq("gate").dtype)
+        hg = jnp.einsum(
+            "td,tdf->tf", xb, dq("gate"), preferred_element_type=jnp.float32
+        )
+        hu = jnp.einsum(
+            "td,tdf->tf", xb, dq("up"), preferred_element_type=jnp.float32
+        )
+        if "gate_scale" in pool:
+            hg = hg * pool["gate_scale"][rows]
+            hu = hu * pool["up_scale"][rows]
+        a = jax.nn.silu(hg) * hu
+        out = jnp.einsum(
+            "tf,tfd->td", a.astype(jnp.bfloat16), dq("down"),
+            preferred_element_type=jnp.float32,
+        )
+        if "down_scale" in pool:
+            out = out * pool["down_scale"][rows]
+        out = out * cw.reshape(-1).astype(jnp.float32)[:, None]
+        comb = out.reshape(B * T, K, D).sum(axis=1)
+        return comb.reshape(B, T, D).astype(h.dtype)
+
+    def _fused_moe(self, h, cw, ids, pool, offset, interpret=False):
+        """Grouped FFN against the stacked expert pool via the Pallas gmm
+        with a per-layer group offset."""
+        from moe_infinity_tpu.ops.gmm import gmm
+        from moe_infinity_tpu.ops.moe import _activate
+
+        s = self.spec
+        B, T, D = h.shape
+        K = ids.shape[-1]
+        x = h.reshape(B * T, D)
+        flat = ids.reshape(-1)
+        order = jnp.argsort(flat)
+        inv_token = order // K
+        xs = x[inv_token]
+        group_sizes = jnp.bincount(flat, length=s.num_experts).astype(jnp.int32)
+
+        kw = dict(group_offset=offset, num_groups=s.num_experts,
+                  interpret=interpret)
+        hg = gmm(xs, pool["gate"], group_sizes, pool.get("gate_scale"), **kw)
+        hu = gmm(xs, pool["up"], group_sizes, pool.get("up_scale"), **kw)
+        a = _activate(hg, hu, "silu").astype(x.dtype)
+        out = gmm(a, pool["down"], group_sizes, pool.get("down_scale"), **kw)
+        cwf = cw.reshape(-1).astype(jnp.float32)[order]
+        out = out * cwf[:, None]
+        comb = jnp.zeros((B * T, D), jnp.float32).at[inv_token].add(out)
+        return comb.reshape(B, T, D).astype(h.dtype)
+
+    def init_fused_cache(self, batch: int, max_len: int):
+        """(dense kv list, stacked moe kv KVCache with leading Lm dim)."""
+        s = self.spec
+        k0 = s.first_k_dense_replace
+        Lm = s.num_layers - k0
+        dense = [
+            KVCache(
+                jnp.zeros((batch, max_len, 1, s.kv_lora_rank), self.dtype),
+                jnp.zeros((batch, max_len, 1, s.qk_rope_head_dim), self.dtype),
+            )
+            for _ in range(k0)
+        ]
+        moe = KVCache(
+            jnp.zeros((Lm, batch, max_len, 1, s.kv_lora_rank), self.dtype),
+            jnp.zeros((Lm, batch, max_len, 1, s.qk_rope_head_dim), self.dtype),
+        )
+        return dense, moe
+
+    def fused_forward(
+        self, params, stacked, pool, tokens, positions, kv_state, kv_len,
+        *, moe_impl="gmm", interpret=False,
+    ):
+        """Forward with lax.scan over the MoE layers and the expert pool.
+        kv_state: (dense kv list, stacked moe KVCache [Lm, B, S, 1, .])."""
+        s = self.spec
+        k0 = s.first_k_dense_replace
+        E = s.num_experts
+        dense_kv, moe_kv = kv_state
+        x = self.embed(params, tokens)
+        new_dense_kv = []
+        for li in range(k0):
+            x, kv = self.dense_layer(
+                params["layers"][li], x, dense_kv[li], positions, kv_len
+            )
+            new_dense_kv.append(kv)
+
+        Lm = s.num_layers - k0
+
+        def body(x, xs):
+            pl, kk, vv, li = xs
+            kv = KVCache(kk, vv)
+            x, h, cw, ids, kv = self.pre_moe(pl, x, kv, positions, kv_len)
+            if moe_impl == "gather":
+                y = self._fused_moe_gather(h, cw, ids, pool, li * E)
+            else:
+                y = self._fused_moe(
+                    h, cw, ids, pool, li * E, interpret=interpret
+                )
+            if s.n_shared_experts:
+                y = y + self._dense_mlp(
+                    h, pl["shared_gate"], pl["shared_up"], pl["shared_down"]
+                )
+            x = x + y
+            return x, (kv.k, kv.v)
+
+        x, (ks, vs) = jax.lax.scan(
+            body,
+            x,
+            (stacked, moe_kv.k, moe_kv.v, jnp.arange(Lm, dtype=jnp.int32)),
+        )
+        logits = self.head(params, x)
+        return logits, (new_dense_kv, KVCache(ks, vs))
+
     # ---- synthetic init (benches/dryruns) --------------------------------
     def init_random(self, key, *, expert_dtype=None, with_experts=True):
         s = self.spec
@@ -395,13 +553,22 @@ class DeepseekV2ModelJax:
                     pl["shared_up"] = mat(ks[8], (fs, s.hidden_size))
                     pl["shared_down"] = mat(ks[9], (s.hidden_size, fs))
                 if with_experts:
-                    experts.append(
-                        {
-                            "gate": mat(ks[10], (s.num_experts, s.hidden_size, s.moe_intermediate_size), expert_dtype),
-                            "up": mat(ks[11], (s.num_experts, s.hidden_size, s.moe_intermediate_size), expert_dtype),
-                            "down": mat(ks[10], (s.num_experts, s.moe_intermediate_size, s.hidden_size), expert_dtype),
-                        }
-                    )
+                    def emat(k, shape):
+                        if expert_dtype == jnp.int8:
+                            return jax.random.randint(k, shape, -127, 127, jnp.int8)
+                        return mat(k, shape, expert_dtype)
+
+                    E, D, Fm = s.num_experts, s.hidden_size, s.moe_intermediate_size
+                    layer_e = {
+                        "gate": emat(ks[10], (E, D, Fm)),
+                        "up": emat(ks[11], (E, D, Fm)),
+                        "down": emat(ks[10], (E, Fm, D)),
+                    }
+                    if expert_dtype == jnp.int8:
+                        layer_e["gate_scale"] = jax.random.uniform(ks[1], (E, Fm), jnp.float32, 1e-3, 2e-3)
+                        layer_e["up_scale"] = jax.random.uniform(ks[2], (E, Fm), jnp.float32, 1e-3, 2e-3)
+                        layer_e["down_scale"] = jax.random.uniform(ks[3], (E, D), jnp.float32, 1e-3, 2e-3)
+                    experts.append(layer_e)
             layers.append(pl)
         params = {
             "embed": mat(keys[0], (s.vocab_size, s.hidden_size)),

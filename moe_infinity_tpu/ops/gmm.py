@@ -32,6 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap and a multiple of 128 (TPU lane
+    alignment for dynamic slices); falls back to any divisor for small n."""
+    for c in range(min(n, cap) // 128 * 128, 0, -128):
+        if n % c == 0:
+            return c
     for c in range(min(n, cap), 0, -1):
         if n % c == 0:
             return c
@@ -40,11 +45,13 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
 
 def _gmm_kernel(
     group_start_ref,  # scalar prefetch: [S+1] int32 row offsets
+    off_ref,  # scalar prefetch: [1] base group offset into w/scale dim 0
     *refs,  # x_ref, w_ref, [scale_ref], out_ref, wbuf, sem, acc
     tm: int,
     tk: int,
     tf: int,
     quantized: bool,
+    tiled: bool,
 ):
     if quantized:
         x_ref, w_ref, scale_ref, out_ref, wbuf, sem, acc = refs
@@ -53,6 +60,7 @@ def _gmm_kernel(
         scale_ref = None
     m = pl.program_id(0)
     g = pl.program_id(1)
+    gw = g + off_ref[0]  # row in the (possibly layer-stacked) weight array
 
     @pl.when(g == 0)
     def _zero():
@@ -76,11 +84,13 @@ def _gmm_kernel(
         mask = (row_ids >= lo) & (row_ids < hi)
 
         def get_dma(slot, fi, ki):
-            return pltpu.make_async_copy(
-                w_ref.at[g, pl.ds(ki * tk, tk), pl.ds(fi * tf, tf)],
-                wbuf.at[slot],
-                sem.at[slot],
-            )
+            if tiled:
+                # w pre-tiled [S, nf, D, tf]: the slab is one contiguous
+                # burst — ~100x the bandwidth of a strided [D, tf] window
+                src = w_ref.at[gw, fi, pl.ds(ki * tk, tk), :]
+            else:
+                src = w_ref.at[gw, pl.ds(ki * tk, tk), pl.ds(fi * tf, tf)]
+            return pltpu.make_async_copy(src, wbuf.at[slot], sem.at[slot])
 
         get_dma(0, 0, 0).start()
 
@@ -112,7 +122,8 @@ def _gmm_kernel(
             def _emit():
                 part = acc[:]
                 if quantized:
-                    part = part * scale_ref[pl.ds(fi * tf, tf)][None, :]
+                    off = pl.multiple_of(fi * tf, 128)
+                    part = part * scale_ref[0, 0, pl.ds(off, tf)][None, :]
                 # groups own disjoint row ranges, so += never overlaps
                 out_ref[:, pl.ds(fi * tf, tf)] += part.astype(out_ref.dtype)
 
@@ -123,14 +134,16 @@ def _gmm_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tk", "tf", "out_dtype", "interpret"),
+    static_argnames=("num_groups", "tm", "tk", "tf", "out_dtype", "interpret"),
 )
 def gmm(
     x: jax.Array,  # [T, D] sorted by group
-    w: jax.Array,  # [S, D, F]
-    group_sizes: jax.Array,  # [S] int32
-    scale: Optional[jax.Array] = None,  # [S, F]
+    w: jax.Array,  # [S_total, D, F], or tiled [S_total, F//tf, D, tf]
+    group_sizes: jax.Array,  # [S_active] int32
+    scale: Optional[jax.Array] = None,  # [S_total, F]
+    group_offset: Optional[jax.Array] = None,  # scalar: base row into w
     *,
+    num_groups: int = 0,  # S_active (defaults to w.shape[0])
     tm: int = 0,
     tk: int = 0,
     tf: int = 0,
@@ -138,7 +151,14 @@ def gmm(
     interpret: bool = False,
 ) -> jax.Array:
     T, D = x.shape
-    S, _, F = w.shape
+    tiled = w.ndim == 4
+    if tiled:
+        S_total, nf_w, _, tf_w = w.shape
+        F = nf_w * tf_w
+        tf = tf_w
+    else:
+        S_total, _, F = w.shape
+    S = num_groups or S_total
     if tm == 0:
         tm = min(_next_multiple(T, 16), 64)
     if tk == 0:
@@ -150,22 +170,32 @@ def gmm(
     group_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes, dtype=jnp.int32)]
     )
+    if group_offset is None:
+        group_offset = jnp.zeros(1, jnp.int32)
+    else:
+        group_offset = jnp.asarray(group_offset, jnp.int32).reshape(1)
 
     quantized = scale is not None
     kernel = functools.partial(
-        _gmm_kernel, tm=tm, tk=tk, tf=tf, quantized=quantized
+        _gmm_kernel, tm=tm, tk=tk, tf=tf, quantized=quantized, tiled=tiled
     )
     in_specs = [
         pl.BlockSpec((tm, D), lambda m, g, *_: (m, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),  # w stays in HBM
     ]
-    inputs = [group_start, x, w]
+    inputs = [group_start, group_offset, x, w]
     if quantized:
-        # 1-D block: a (1, F) 2-D block would violate the 8-sublane rule
-        in_specs.append(pl.BlockSpec((F,), lambda m, g, *_: (g,)))
-        inputs.append(scale.reshape(S * F))
+        # [S, 1, F] with a (1, 1, F) block: block dims equal the array dims
+        # on the last two axes, satisfying the TPU (8, 128) tiling rule;
+        # the kernel slices the lane (last) dim at tf granularity
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, F), lambda m, g, gs_ref, off_ref: (g + off_ref[0], 0, 0)
+            )
+        )
+        inputs.append(scale.reshape(S_total, 1, F))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(m_tiles, S),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, F), lambda m, g, *_: (m, 0)),
@@ -189,6 +219,15 @@ def gmm(
 
 def _next_multiple(n: int, m: int) -> int:
     return (n + m - 1) // m * m
+
+
+def pack_tiled(w: jax.Array, tf: int = 0) -> jax.Array:
+    """[S, D, F] → DMA-native [S, F//tf, D, tf] (each (group, f-tile) slab
+    is one contiguous burst). One-time transform at pool build / ingest."""
+    S, D, F = w.shape
+    if tf == 0:
+        tf = _largest_divisor_leq(F, 512)
+    return jnp.transpose(w.reshape(S, D, F // tf, tf), (0, 2, 1, 3))
 
 
 # --------------------------------------------------------------------------

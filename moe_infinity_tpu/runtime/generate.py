@@ -62,6 +62,7 @@ class ResidentStepper:
             )
 
         # donate the KV cache so decode updates happen in place
+        self._raw_fwd = fwd
         self._fwd = jax.jit(fwd, donate_argnums=(4,) if donate_kv else ())
 
     def init_cache(self, batch: int, max_len: int):
@@ -75,6 +76,34 @@ class ResidentStepper:
 
     def forward(self, tokens, positions, kv, kv_len, seq_ids=None):
         return self._fwd(self.params, self.experts, tokens, positions, kv, kv_len)
+
+    def decode_scan(self, tok0, pos0, kv, num_steps: int):
+        """Greedy decode of `num_steps` tokens as ONE jitted lax.scan —
+        zero host round-trips inside the loop. Returns ([B, N] tokens, kv).
+
+        The TPU-native decode loop: on hardware where every host sync has
+        real latency, the loop must live on device (the reference instead
+        pays a Python hook round-trip per module call, SURVEY.md §3.2)."""
+        fwd = self._raw_fwd
+
+        def scan_fn(params, experts, tok0, pos0, kv):
+            def body(carry, _):
+                tok, pos, kv = carry
+                logits, kv, _ = fwd(params, experts, tok, pos[:, None], kv, pos[0])
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt[:, None], pos + 1, kv), nxt
+
+            (_, _, kv), toks = jax.lax.scan(
+                body, (tok0, pos0, kv), None, length=num_steps
+            )
+            return toks.T, kv  # [B, N]
+
+        key = ("decode_scan", num_steps)
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if key not in self._scan_cache:
+            self._scan_cache[key] = jax.jit(scan_fn, donate_argnums=(4,))
+        return self._scan_cache[key](self.params, self.experts, tok0, pos0, kv)
 
 
 class Generator:

@@ -73,6 +73,42 @@ def test_gmm_int8_dequant(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_gmm_tiled_layout_matches(rng):
+    from moe_infinity_tpu.ops.gmm import pack_tiled
+
+    T, D, F, S = 16, 128, 384, 5
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((S, D, F)) * 0.1, jnp.bfloat16)
+    sizes = jnp.asarray([4, 0, 6, 3, 3], jnp.int32)
+    want = np.asarray(gmm(x, w, sizes, interpret=True))
+    got = np.asarray(gmm(x, pack_tiled(w, 128), sizes, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_gmm_tiled_with_offset_and_scale(rng):
+    from moe_infinity_tpu.ops.gmm import pack_tiled
+
+    T, D, F = 8, 128, 256
+    S_act, L = 4, 3
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-127, 127, (L * S_act, D, F)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.02, (L * S_act, F)), jnp.float32)
+    sizes = jnp.asarray([2, 2, 2, 2], jnp.int32)
+    for li in range(L):
+        off = jnp.int32(li * S_act)
+        want = _ref_gmm(
+            np.asarray(x, np.float32),
+            np.asarray(wq[li * S_act : (li + 1) * S_act], np.float32),
+            sizes,
+            scale=np.asarray(scale[li * S_act : (li + 1) * S_act]),
+        )
+        got = np.asarray(
+            gmm(x, pack_tiled(wq, 128), sizes, scale, off,
+                num_groups=S_act, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_gffn_pallas_matches_ragged(rng):
     T, D, F, S, K = 12, 128, 256, 4, 2
     x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
