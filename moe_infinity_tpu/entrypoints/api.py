@@ -1,0 +1,196 @@
+"""User-facing MoE engine facade.
+
+Capability parity with the reference's `MoE` class
+(/root/reference/moe_infinity/entrypoints/big_modeling.py:53-224): point it
+at an HF checkpoint + engine config, get `.generate()`. The pipeline:
+
+  1. read the HF config, detect the architecture;
+  2. ingest the checkpoint into the expert-major offload store (warm start
+     when the store already exists — SURVEY.md §3.5);
+  3. build our JAX model definition and load dense params;
+  4. pick the execution plan: all experts HBM-resident (fast whole-model
+     jit) when they fit the device budget, otherwise the slot-arena
+     offload engine with EAMC tracing + activation-aware prefetch;
+  5. drive generation through the shared Generator loop.
+
+Unlike the reference there is no monkey-patching and no forward hooks —
+the engine owns the model end to end.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+from moe_infinity_tpu.utils.config import EngineConfig
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("api")
+
+# arch -> (spec loader, model ctor); extended as model families land
+_REGISTRY = {}
+
+
+def _register_models():
+    import jax.numpy as jnp
+
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+    from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+
+    _REGISTRY.update(
+        {
+            "mixtral": (MixtralSpec, MixtralModel),
+            "deepseek": (DeepseekV2Spec, DeepseekV2ModelJax),
+            "deepseek_v3": (DeepseekV2Spec, DeepseekV2ModelJax),
+        }
+    )
+
+
+class MoE:
+    """`MoE(checkpoint, config)` — config is an EngineConfig, a dict of its
+    fields, or None (defaults + offload store next to the checkpoint)."""
+
+    def __init__(
+        self,
+        model_name_or_path: Union[str, os.PathLike],
+        config: Union[EngineConfig, Dict[str, Any], None] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from transformers import AutoConfig
+
+        from moe_infinity_tpu.runtime.generate import Generator, ResidentStepper
+        from moe_infinity_tpu.runtime.providers import ResidentProvider
+        from moe_infinity_tpu.store.blob import DenseArchive, ExpertStore
+        from moe_infinity_tpu.store.ingest import ingest_checkpoint
+        from moe_infinity_tpu.utils.hf_config import detect_arch, parse_geometry
+
+        if config is None:
+            config = EngineConfig()
+        elif isinstance(config, dict):
+            config = EngineConfig.load_from_json(config)
+        self.config = config
+        checkpoint = str(model_name_or_path)
+        if not config.offload_path:
+            config.offload_path = os.path.join(
+                checkpoint if os.path.isdir(checkpoint) else ".",
+                "moe_tpu_store",
+            )
+
+        hf_config = AutoConfig.from_pretrained(checkpoint, trust_remote_code=False)
+        self.hf_config = hf_config
+        self.arch = detect_arch(hf_config)
+        self.geometry = parse_geometry(hf_config)
+        if not _REGISTRY:
+            _register_models()
+        if self.arch not in _REGISTRY:
+            raise NotImplementedError(
+                f"arch {self.arch!r} not yet wired into the MoE entrypoint; "
+                f"available: {sorted(_REGISTRY)}"
+            )
+
+        ingest_checkpoint(
+            checkpoint, config.offload_path, hf_config,
+            expert_dtype=config.expert_dtype,
+        )
+        store = ExpertStore(config.offload_path)
+        dense = DenseArchive(config.offload_path)
+
+        spec_cls, model_cls = _REGISTRY[self.arch]
+        compute_dtype = (
+            jnp.float32 if config.expert_dtype == "float32" else jnp.bfloat16
+        )
+        self.model = model_cls(spec_cls.from_hf(hf_config), compute_dtype)
+        self.params = self.model.load_params(dense)
+
+        # ---- residency plan --------------------------------------------
+        expert_bytes = store.stride * store.num_layers * store.num_experts
+        budget = config.device_memory_bytes
+        if budget is None:
+            budget = int(16 * 2**30 * config.device_memory_ratio)
+        dense_bytes = sum(
+            a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
+        )
+        self.engine = None
+        if expert_bytes <= budget - dense_bytes:
+            logger.info(
+                "experts fit in HBM (%.1f GB <= %.1f GB budget): resident plan",
+                expert_bytes / 2**30, (budget - dense_bytes) / 2**30,
+            )
+            provider = ResidentProvider(store, dtype=compute_dtype)
+            stepper = ResidentStepper(
+                self.model, self.params, provider.pytree(),
+                ResidentProvider.for_layer,
+                impl="ragged",
+            )
+        else:
+            from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
+            from moe_infinity_tpu.runtime.arena import ExpertArena
+            from moe_infinity_tpu.runtime.engine import OffloadEngine
+
+            num_slots = config.num_slots
+            if num_slots is None:
+                num_slots = max(
+                    store.num_experts, int((budget - dense_bytes) // store.stride)
+                )
+            logger.info(
+                "offload plan: %d arena slots of %d (L x E) experts",
+                num_slots, store.num_layers * store.num_experts,
+            )
+            arena = ExpertArena(
+                store, num_slots,
+                compute_dtype=compute_dtype,
+                num_threads=config.num_threads,
+            )
+            tracer = ExpertTracer(
+                config.trace_capacity, store.num_layers, store.num_experts,
+                store.meta.get("num_encoder_moe_layers", 0),
+            )
+            if config.trace_path and os.path.exists(config.trace_path):
+                tracer.load_trace(config.trace_path)
+            self.engine = OffloadEngine(
+                self.model, self.params, arena,
+                tracer=tracer,
+                predictor=ExpertPredictor(tracer),
+                prefetch=config.prefetch,
+            )
+            stepper = self.engine
+        self.generator = Generator(
+            stepper=stepper, max_seq_len=config.max_seq_len
+        )
+
+    # ---- generation -----------------------------------------------------
+    def generate(self, input_ids, **kwargs) -> np.ndarray:
+        """HF-like generate. Accepts max_new_tokens, temperature,
+        eos_token_id, pad_token_id, do_sample, seed. Returns [B, T'] ids."""
+        if hasattr(input_ids, "numpy"):  # torch tensor
+            input_ids = input_ids.numpy()
+        kw = dict(kwargs)
+        if not kw.pop("do_sample", False):
+            kw.setdefault("temperature", 0.0)
+        kw.pop("max_length", None)
+        kw.setdefault("max_new_tokens", 32)
+        result = self.generator.generate(np.asarray(input_ids), **kw)
+        self.last_result = result
+        return result.sequences
+
+    # ---- observability ---------------------------------------------------
+    def hit_rate(self) -> float:
+        return self.engine.hit_rate() if self.engine else 1.0
+
+    def stats(self) -> dict:
+        return self.engine.stats() if self.engine else {}
+
+    def save_trace(self, path: Optional[str] = None) -> None:
+        """Persist the EAMC trace collection ('knowledge checkpoint')."""
+        if self.engine and self.engine.tracer:
+            self.engine.tracer.save_trace(path or self.config.trace_path)
+
+    def shutdown(self) -> None:
+        if self.engine:
+            self.engine.arena.shutdown()

@@ -1,0 +1,142 @@
+"""OpenAI-compatible request/response models.
+
+Same protocol surface as the reference
+(/root/reference/moe_infinity/entrypoints/openai/protocol.py:1-208) —
+CompletionRequest / ChatCompletionRequest with the standard sampling knobs
+mapped onto our generate kwargs — implemented as plain dataclasses (the
+runtime image carries no pydantic/FastAPI; the server is stdlib-only).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+
+def _gen_id(prefix: str) -> str:
+    return f"{prefix}-{uuid.uuid4().hex}"
+
+
+@dataclass
+class CompletionRequest:
+    model: str = ""
+    prompt: Union[str, List[str]] = ""
+    max_tokens: int = 16
+    temperature: float = 1.0
+    top_p: float = 1.0
+    n: int = 1
+    stream: bool = False
+    stop: Union[str, List[str], None] = None
+    seed: Optional[int] = None
+    echo: bool = False
+
+    @classmethod
+    def from_json(cls, data: Dict[str, Any]) -> "CompletionRequest":
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in data.items() if k in known})
+
+    def to_generate_kwargs(self) -> Dict[str, Any]:
+        kw: Dict[str, Any] = {"max_new_tokens": self.max_tokens}
+        if self.temperature == 0.0:
+            kw["temperature"] = 0.0
+        else:
+            kw["do_sample"] = True
+            kw["temperature"] = self.temperature
+        if self.seed is not None:
+            kw["seed"] = self.seed
+        return kw
+
+
+@dataclass
+class ChatCompletionRequest:
+    model: str = ""
+    messages: List[Dict[str, str]] = field(default_factory=list)
+    max_tokens: Optional[int] = None
+    max_completion_tokens: Optional[int] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    n: int = 1
+    stream: bool = False
+    stop: Union[str, List[str], None] = None
+    seed: Optional[int] = None
+
+    @classmethod
+    def from_json(cls, data: Dict[str, Any]) -> "ChatCompletionRequest":
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in data.items() if k in known})
+
+    def to_generate_kwargs(self) -> Dict[str, Any]:
+        kw: Dict[str, Any] = {
+            "max_new_tokens": self.max_completion_tokens or self.max_tokens or 16
+        }
+        if self.temperature == 0.0:
+            kw["temperature"] = 0.0
+        else:
+            kw["do_sample"] = True
+            kw["temperature"] = self.temperature
+        if self.seed is not None:
+            kw["seed"] = self.seed
+        return kw
+
+
+def usage(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:
+    return {
+        "prompt_tokens": prompt_tokens,
+        "completion_tokens": completion_tokens,
+        "total_tokens": prompt_tokens + completion_tokens,
+    }
+
+
+def completion_response(model: str, text: str, prompt_tokens: int,
+                        completion_tokens: int, finish_reason: str = "stop"):
+    return {
+        "id": _gen_id("cmpl"),
+        "object": "text_completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [
+            {
+                "index": 0,
+                "text": text,
+                "logprobs": None,
+                "finish_reason": finish_reason,
+            }
+        ],
+        "usage": usage(prompt_tokens, completion_tokens),
+    }
+
+
+def chat_response(model: str, text: str, prompt_tokens: int,
+                  completion_tokens: int, finish_reason: str = "stop"):
+    return {
+        "id": _gen_id("chatcmpl"),
+        "object": "chat.completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [
+            {
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish_reason,
+            }
+        ],
+        "usage": usage(prompt_tokens, completion_tokens),
+    }
+
+
+def chat_chunk(rid: str, model: str, delta: str, finish: Optional[str] = None):
+    return {
+        "id": rid,
+        "object": "chat.completion.chunk",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [
+            {
+                "index": 0,
+                "delta": {"content": delta} if delta else {},
+                "finish_reason": finish,
+            }
+        ],
+    }

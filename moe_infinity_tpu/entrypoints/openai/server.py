@@ -1,0 +1,212 @@
+"""OpenAI-compatible HTTP server (stdlib, no FastAPI in the image).
+
+Endpoint parity with the reference api_server
+(/root/reference/moe_infinity/entrypoints/openai/api_server.py:133-257):
+/health, /v1/models, /v1/completions, /v1/chat/completions (incl. SSE
+streaming for chat). Requests serialize through an engine lock exactly like
+the reference's 1-token queue (api_server.py:276-277) — continuous batching
+replaces this in the batched scheduler path.
+
+Run:  python -m moe_infinity_tpu.entrypoints.openai.server \
+        --model <ckpt dir> [--port 8000] [--config engine.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from moe_infinity_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    chat_chunk,
+    chat_response,
+    completion_response,
+)
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("server")
+
+
+class EngineHolder:
+    """Engine + tokenizer + serialization lock."""
+
+    def __init__(self, engine, tokenizer, model_name: str):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.lock = threading.Lock()
+
+    def run(self, prompt: str, gen_kwargs) -> tuple:
+        ids = self.tokenizer(prompt, return_tensors="np").input_ids
+        eos = self.tokenizer.eos_token_id
+        with self.lock:
+            out = self.engine.generate(
+                ids, eos_token_id=eos, pad_token_id=eos or 0, **gen_kwargs
+            )
+        prompt_len = ids.shape[1]
+        gen_ids = out[0, prompt_len:]
+        if eos is not None:
+            keep = np.nonzero(gen_ids == eos)[0]
+            if keep.size:
+                gen_ids = gen_ids[: keep[0]]
+        text = self.tokenizer.decode(gen_ids, skip_special_tokens=True)
+        return text, prompt_len, int(len(gen_ids))
+
+    def chat_prompt(self, messages) -> str:
+        if getattr(self.tokenizer, "chat_template", None):
+            return self.tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True
+            )
+        return (
+            "\n".join(f"{m.get('role')}: {m.get('content')}" for m in messages)
+            + "\nassistant:"
+        )
+
+
+HOLDER: Optional[EngineHolder] = None
+
+
+class Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through our logger
+        logger.info("%s %s", self.address_string(), fmt % args)
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str) -> None:
+        self._json(code, {"error": {"message": message, "code": code}})
+
+    # ---- GET ----------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        elif self.path == "/v1/models":
+            self._json(
+                200,
+                {
+                    "object": "list",
+                    "data": [
+                        {
+                            "id": HOLDER.model_name,
+                            "object": "model",
+                            "owned_by": "moe_infinity_tpu",
+                        }
+                    ],
+                },
+            )
+        else:
+            self._error(404, f"no route {self.path}")
+
+    # ---- POST ---------------------------------------------------------
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(length) or b"{}")
+        except Exception as e:
+            return self._error(400, f"bad json: {e}")
+        try:
+            if self.path == "/v1/completions":
+                self._completions(data)
+            elif self.path == "/v1/chat/completions":
+                self._chat(data)
+            else:
+                self._error(404, f"no route {self.path}")
+        except Exception as e:  # surface engine errors as 500s
+            logger.error("request failed: %s", e)
+            try:
+                self._error(500, str(e))
+            except Exception:
+                pass
+
+    def _completions(self, data):
+        req = CompletionRequest.from_json(data)
+        prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
+        choices = []
+        pt = ct = 0
+        for i, p in enumerate(prompts):
+            text, p_len, c_len = HOLDER.run(p, req.to_generate_kwargs())
+            pt += p_len
+            ct += c_len
+            choices.append(
+                {
+                    "index": i,
+                    "text": (p + text) if req.echo else text,
+                    "logprobs": None,
+                    "finish_reason": "length" if c_len >= req.max_tokens else "stop",
+                }
+            )
+        resp = completion_response(req.model or HOLDER.model_name, "", pt, ct)
+        resp["choices"] = choices
+        self._json(200, resp)
+
+    def _chat(self, data):
+        req = ChatCompletionRequest.from_json(data)
+        prompt = HOLDER.chat_prompt(req.messages)
+        text, p_len, c_len = HOLDER.run(prompt, req.to_generate_kwargs())
+        model = req.model or HOLDER.model_name
+        if req.stream:
+            # single-chunk SSE stream (token-level streaming arrives with
+            # the continuous-batching scheduler)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def send_chunk(obj):
+                payload = f"data: {json.dumps(obj)}\n\n".encode()
+                self.wfile.write(hex(len(payload))[2:].encode() + b"\r\n")
+                self.wfile.write(payload + b"\r\n")
+
+            rid = "chatcmpl-stream"
+            send_chunk(chat_chunk(rid, model, text))
+            send_chunk(chat_chunk(rid, model, "", finish="stop"))
+            done = b"data: [DONE]\n\n"
+            self.wfile.write(hex(len(done))[2:].encode() + b"\r\n")
+            self.wfile.write(done + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        else:
+            self._json(200, chat_response(model, text, p_len, c_len))
+
+
+def build_server(engine, tokenizer, model_name: str, host: str, port: int):
+    global HOLDER
+    HOLDER = EngineHolder(engine, tokenizer, model_name)
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--config", default=None, help="EngineConfig json file")
+    args = p.parse_args()
+
+    from transformers import AutoTokenizer
+
+    from moe_infinity_tpu.entrypoints.api import MoE
+    from moe_infinity_tpu.utils.config import EngineConfig
+
+    config = EngineConfig.load_from_file(args.config) if args.config else None
+    engine = MoE(args.model, config)
+    tokenizer = AutoTokenizer.from_pretrained(args.model)
+    server = build_server(engine, tokenizer, args.model, args.host, args.port)
+    logger.info("serving %s on %s:%d", args.model, args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""MoE facade + OpenAI server tests (tiny Mixtral checkpoint, CPU)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import torch
+from transformers import (
+    MixtralConfig,
+    MixtralForCausalLM,
+    PreTrainedTokenizerFast,
+)
+
+from moe_infinity_tpu.entrypoints.api import MoE
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    cfg = MixtralConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        vocab_size=128,
+        max_position_embeddings=128,
+        torch_dtype=torch.float32,
+        architectures=["MixtralForCausalLM"],
+    )
+    torch.manual_seed(1)
+    hf = MixtralForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("api") / "ckpt"
+    hf.save_pretrained(path, safe_serialization=True)
+
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {f"tok{i}": i for i in range(124)}
+    vocab.update({"<eos>": 124, "<unk>": 125, "hello": 126, "world": 127})
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    t = PreTrainedTokenizerFast(
+        tokenizer_object=tok, eos_token="<eos>", unk_token="<unk>"
+    )
+    t.save_pretrained(path)
+    return str(path), hf
+
+
+def test_moe_resident_generate_matches_hf(tiny_ckpt):
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64},
+    )
+    prompt = np.array([[5, 9, 33]])
+    got = engine.generate(prompt, max_new_tokens=6)
+    want = hf.generate(
+        torch.tensor(prompt), max_new_tokens=6, do_sample=False, pad_token_id=0
+    ).numpy()
+    np.testing.assert_array_equal(got, want)
+    assert engine.hit_rate() == 1.0  # resident plan
+
+
+def test_moe_offload_plan_matches(tiny_ckpt):
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {
+            "expert_dtype": "float32",
+            "max_seq_len": 64,
+            # tiny budget forces the offload plan; slots >= one layer
+            "device_memory_bytes": 1,
+            "num_slots": 4,
+        },
+    )
+    assert engine.engine is not None  # offload engine active
+    prompt = np.array([[5, 9, 33]])
+    got = engine.generate(prompt, max_new_tokens=6)
+    want = hf.generate(
+        torch.tensor(prompt), max_new_tokens=6, do_sample=False, pad_token_id=0
+    ).numpy()
+    np.testing.assert_array_equal(got, want)
+    assert engine.stats()["visits"] > 0
+    engine.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(tiny_ckpt):
+    from transformers import AutoTokenizer
+
+    from moe_infinity_tpu.entrypoints.openai.server import build_server
+
+    path, _ = tiny_ckpt
+    engine = MoE(path, {"expert_dtype": "float32", "max_seq_len": 64})
+    tokenizer = AutoTokenizer.from_pretrained(path)
+    srv = build_server(engine, tokenizer, "tiny-mixtral", "127.0.0.1", 0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_models(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
+        models = json.loads(r.read())
+    assert models["data"][0]["id"] == "tiny-mixtral"
+
+
+def test_completions_endpoint(server):
+    resp = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 4, "temperature": 0.0},
+    )
+    assert resp["object"] == "text_completion"
+    assert len(resp["choices"]) == 1
+    assert resp["usage"]["prompt_tokens"] == 2
+    assert resp["usage"]["completion_tokens"] > 0
+
+
+def test_chat_completions_endpoint(server):
+    resp = _post(
+        server + "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 4,
+            "temperature": 0.0,
+        },
+    )
+    assert resp["object"] == "chat.completion"
+    assert resp["choices"][0]["message"]["role"] == "assistant"

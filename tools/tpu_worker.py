@@ -23,6 +23,8 @@ import jax  # claim once
 
 print("worker up, devices:", jax.devices(), flush=True)
 
+STATE = {}  # persists across jobs (stash big device trees here)
+
 while True:
     jobs = sorted(f for f in os.listdir(QUEUE) if f.endswith(".py"))
     if not jobs:
@@ -36,7 +38,7 @@ while True:
     try:
         src = open(path).read()
         sys.stdout = buf
-        exec(compile(src, path, "exec"), {"__name__": "__tpu_job__"})
+        exec(compile(src, path, "exec"), {"__name__": "__tpu_job__", "STATE": STATE})
         sys.stdout = real
     except BaseException:
         sys.stdout = real
