@@ -41,14 +41,19 @@ def _register_models():
         DeepseekV2Spec,
     )
     from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+    from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
 
     _REGISTRY.update(
         {
             "mixtral": (MixtralSpec, MixtralModel),
             "deepseek": (DeepseekV2Spec, DeepseekV2ModelJax),
             "deepseek_v3": (DeepseekV2Spec, DeepseekV2ModelJax),
+            "switch": (SwitchSpec, SwitchModel),
         }
     )
+
+
+_SEQ2SEQ_ARCHS = ("switch", "nllb")
 
 
 class MoE:
@@ -107,6 +112,19 @@ class MoE:
         )
         self.model = model_cls(spec_cls.from_hf(hf_config), compute_dtype)
         self.params = self.model.load_params(dense)
+
+        # ---- seq2seq archs use the encoder-decoder generator ------------
+        if self.arch in _SEQ2SEQ_ARCHS:
+            from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
+
+            provider = ResidentProvider(store, dtype=compute_dtype)
+            self.generator = Seq2SeqGenerator(
+                self.model, self.params, provider.pytree(),
+                ResidentProvider.for_layer,
+                max_seq_len=config.max_seq_len,
+            )
+            self.engine = None
+            return
 
         # ---- residency plan --------------------------------------------
         expert_bytes = store.stride * store.num_layers * store.num_experts

@@ -1,0 +1,321 @@
+"""Switch Transformers (google/switch-*) — T5 encoder-decoder MoE.
+
+Own JAX definition with HF parity (reference swaps HF's SparseMLP:
+/root/reference/moe_infinity/models/switch_transformers.py:58-113; our
+oracle is transformers' modeling_switch_transformers). Semantics matched:
+
+* T5 attention: NO 1/sqrt(d) scaling (mesh-TF init); relative position
+  bias from block 0's bucket table, shared across blocks; decoder buckets
+  unidirectional; no bias on cross-attention;
+* top-1 router in float32 with **expert capacity**: per sequence, tokens
+  routed to an expert beyond `expert_capacity` are dropped (combine weight
+  zero — the residual passes through), exactly HF's cumsum mask;
+* sparse MLP every `sparse_step` blocks at odd indices
+  (`i % step == 1 or step == 1`); dense T5 FF otherwise;
+* tied embeddings scale decoder output by d_model^-0.5.
+
+Global MoE layer ids: encoder sparse layers first, then decoder
+(matching utils/hf_config.parse_expert_param and the expert store).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moe_infinity_tpu.models.layers import (
+    KVCache,
+    attend,
+    linear,
+    rms_norm,
+    t5_position_bias,
+)
+from moe_infinity_tpu.ops.moe import grouped_ffn
+
+
+@dataclass(frozen=True)
+class SwitchSpec:
+    vocab_size: int
+    d_model: int
+    d_kv: int
+    d_ff: int
+    num_heads: int
+    num_encoder_layers: int
+    num_decoder_layers: int
+    encoder_sparse_step: int
+    decoder_sparse_step: int
+    num_experts: int
+    expert_capacity: int
+    rel_buckets: int
+    rel_max_distance: int
+    rms_eps: float
+    tie_embeddings: bool
+    is_gated: bool
+    decoder_start_token_id: int
+
+    @classmethod
+    def from_hf(cls, config) -> "SwitchSpec":
+        return cls(
+            vocab_size=config.vocab_size,
+            d_model=config.d_model,
+            d_kv=config.d_kv,
+            d_ff=config.d_ff,
+            num_heads=config.num_heads,
+            num_encoder_layers=config.num_layers,
+            num_decoder_layers=config.num_decoder_layers,
+            encoder_sparse_step=config.encoder_sparse_step,
+            decoder_sparse_step=config.decoder_sparse_step,
+            num_experts=config.num_experts,
+            expert_capacity=config.expert_capacity,
+            rel_buckets=config.relative_attention_num_buckets,
+            rel_max_distance=config.relative_attention_max_distance,
+            rms_eps=config.layer_norm_epsilon,
+            tie_embeddings=getattr(config, "tie_word_embeddings", True),
+            is_gated=getattr(config, "is_gated_act", False),
+            decoder_start_token_id=config.decoder_start_token_id,
+        )
+
+    def is_sparse(self, block: int, decoder: bool) -> bool:
+        step = self.decoder_sparse_step if decoder else self.encoder_sparse_step
+        if step <= 0:
+            return False
+        return block % step == 1 or step == 1
+
+    def moe_layer_id(self, block: int, decoder: bool) -> int:
+        """Global MoE layer id for a sparse block."""
+        step = self.decoder_sparse_step if decoder else self.encoder_sparse_step
+        base = 0
+        if decoder:
+            base = sum(
+                1 for i in range(self.num_encoder_layers)
+                if self.is_sparse(i, False)
+            )
+        return base + block // step
+
+    @property
+    def num_moe_layers(self) -> int:
+        return sum(
+            1 for i in range(self.num_encoder_layers) if self.is_sparse(i, False)
+        ) + sum(
+            1 for i in range(self.num_decoder_layers) if self.is_sparse(i, True)
+        )
+
+
+class SwitchModel:
+    arch = "switch"
+
+    def __init__(self, spec: SwitchSpec, compute_dtype=jnp.float32, mesh=None):
+        self.spec = spec
+        self.dtype = compute_dtype
+        self.mesh = mesh
+        self.activation = "gelu_tanh" if spec.is_gated else "relu"
+
+    # ---- params ---------------------------------------------------------
+    def load_params(self, dense, device_put=jax.device_put) -> Dict[str, Any]:
+        s = self.spec
+
+        def get(name, dt=None):
+            a = jnp.asarray(dense.get(name))
+            if dt is None:
+                dt = self.dtype if a.ndim >= 2 else jnp.float32
+            return device_put(a.astype(dt))
+
+        def stack_params(prefix, n, decoder):
+            blocks = []
+            for i in range(n):
+                p = f"{prefix}.block.{i}.layer."
+                b: Dict[str, Any] = {
+                    "ln0": get(p + "0.layer_norm.weight"),
+                    "q": get(p + "0.SelfAttention.q.weight"),
+                    "k": get(p + "0.SelfAttention.k.weight"),
+                    "v": get(p + "0.SelfAttention.v.weight"),
+                    "o": get(p + "0.SelfAttention.o.weight"),
+                }
+                if i == 0:
+                    b["rel_bias"] = get(
+                        p + "0.SelfAttention.relative_attention_bias.weight",
+                        jnp.float32,
+                    )
+                ff = "2" if decoder else "1"
+                if decoder:
+                    b["ln_cross"] = get(p + "1.layer_norm.weight")
+                    b["cq"] = get(p + "1.EncDecAttention.q.weight")
+                    b["ck"] = get(p + "1.EncDecAttention.k.weight")
+                    b["cv"] = get(p + "1.EncDecAttention.v.weight")
+                    b["co"] = get(p + "1.EncDecAttention.o.weight")
+                b["ln_ff"] = get(p + f"{ff}.layer_norm.weight")
+                if s.is_sparse(i, decoder):
+                    b["router"] = get(
+                        p + f"{ff}.mlp.router.classifier.weight", jnp.float32
+                    )
+                else:
+                    if s.is_gated:
+                        b["wi_0"] = get(p + f"{ff}.mlp.wi_0.weight")
+                        b["wi_1"] = get(p + f"{ff}.mlp.wi_1.weight")
+                    else:
+                        b["wi"] = get(p + f"{ff}.mlp.wi.weight")
+                    b["wo"] = get(p + f"{ff}.mlp.wo.weight")
+                blocks.append(b)
+            return blocks
+
+        params = {
+            "embed": get("shared.weight"),
+            "enc_blocks": stack_params("encoder", s.num_encoder_layers, False),
+            "enc_final_ln": get("encoder.final_layer_norm.weight"),
+            "dec_blocks": stack_params("decoder", s.num_decoder_layers, True),
+            "dec_final_ln": get("decoder.final_layer_norm.weight"),
+        }
+        if not s.tie_embeddings and "lm_head.weight" in dense:
+            params["lm_head"] = get("lm_head.weight")
+        return params
+
+    # ---- attention ------------------------------------------------------
+    def _attn(self, b, x, kv_k, kv_v, q_pos, kv_len, bias, prefix=""):
+        s = self.spec
+        B, T, D = x.shape
+        H, Dk = s.num_heads, s.d_kv
+        q = linear(x, b[prefix + "q"]).reshape(B, T, H, Dk)
+        out = attend(
+            q, kv_k, kv_v, q_pos, kv_len,
+            scale=1.0, causal=False, bias=bias,
+        )
+        return linear(out.reshape(B, T, H * Dk), b[prefix + "o"])
+
+    def _routed_ff(self, b, h, mli, experts, for_layer, impl):
+        """Capacity-masked top-1 sparse FF. h: [B, T, D] post-LN."""
+        s = self.spec
+        B, T, D = h.shape
+        logits = linear(h.astype(jnp.float32), b["router"])  # [B, T, E]
+        probs = jax.nn.softmax(logits, axis=-1)
+        idx = jnp.argmax(probs, axis=-1)  # [B, T]
+        onehot = jax.nn.one_hot(idx, s.num_experts, dtype=jnp.int32)
+        priority = jnp.cumsum(onehot, axis=1)  # over tokens, per sequence
+        keep = (priority <= s.expert_capacity).astype(jnp.float32)
+        keep = jnp.take_along_axis(keep, idx[..., None], axis=-1)[..., 0]
+        maxp = jnp.max(probs, axis=-1)
+        cw = (maxp * keep).reshape(B * T, 1)
+        ids = idx.reshape(B * T, 1).astype(jnp.int32)
+        weights, slot_map, biases = for_layer(experts, mli)
+        y = grouped_ffn(
+            h.reshape(B * T, D), ids, cw, slot_map, weights,
+            self.activation if s.is_gated else "relu",
+            biases=biases, impl=impl,
+        )
+        return y.reshape(B, T, D), ids.reshape(B, T)
+
+    def _dense_ff(self, b, h):
+        if self.spec.is_gated:
+            a = jax.nn.gelu(linear(h, b["wi_0"]), approximate=True)
+            return linear(a * linear(h, b["wi_1"]), b["wo"])
+        return linear(jax.nn.relu(linear(h, b["wi"])), b["wo"])
+
+    # ---- encoder --------------------------------------------------------
+    def encode(self, params, experts, tokens, pad_mask, for_layer, impl="ragged"):
+        """tokens [B, T]; pad_mask [B, T] 1=real. Returns [B, T, D]."""
+        s = self.spec
+        B, T = tokens.shape
+        x = params["embed"][tokens].astype(self.dtype)
+        pos = jnp.arange(T, dtype=jnp.int32)
+        bias = t5_position_bias(
+            params["enc_blocks"][0]["rel_bias"], pos, pos, True,
+            s.rel_buckets, s.rel_max_distance,
+        )  # [1, H, T, T]
+        bias = bias + jnp.where(
+            pad_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
+        )
+        q_pos = jnp.broadcast_to(pos, (B, T))
+        for i, b in enumerate(params["enc_blocks"]):
+            h = rms_norm(x, b["ln0"], s.rms_eps)
+            k = linear(h, b["k"]).reshape(B, T, s.num_heads, s.d_kv)
+            v = linear(h, b["v"]).reshape(B, T, s.num_heads, s.d_kv)
+            x = x + self._attn(b, h, k, v, q_pos, jnp.int32(T), bias)
+            h = rms_norm(x, b["ln_ff"], s.rms_eps)
+            if s.is_sparse(i, False):
+                y, _ = self._routed_ff(
+                    b, h, s.moe_layer_id(i, False), experts, for_layer, impl
+                )
+            else:
+                y = self._dense_ff(b, h)
+            x = x + y
+        return rms_norm(x, params["enc_final_ln"], s.rms_eps)
+
+    # ---- decoder --------------------------------------------------------
+    def init_cache(self, batch: int, max_len: int) -> List[KVCache]:
+        s = self.spec
+        return [
+            KVCache.empty(batch, max_len, s.num_heads, s.d_kv, self.dtype)
+            for _ in range(s.num_decoder_layers)
+        ]
+
+    def cross_kv(self, params, enc_out):
+        """Precompute decoder cross-attention K/V from the encoder output."""
+        s = self.spec
+        B, Te, D = enc_out.shape
+        out = []
+        for b in params["dec_blocks"]:
+            k = linear(enc_out, b["ck"]).reshape(B, Te, s.num_heads, s.d_kv)
+            v = linear(enc_out, b["cv"]).reshape(B, Te, s.num_heads, s.d_kv)
+            out.append((k, v))
+        return out
+
+    def decode_step(
+        self, params, experts, dec_tokens, positions, kvs, kv_len,
+        enc_mask, cross, for_layer, impl="ragged",
+    ):
+        """dec_tokens [B, T]; returns (logits, new kvs, trace ids)."""
+        s = self.spec
+        B, T = dec_tokens.shape
+        x = params["embed"][dec_tokens].astype(self.dtype)
+        S = kvs[0].k.shape[1]
+        k_pos = jnp.arange(S, dtype=jnp.int32)
+        bias = t5_position_bias(
+            params["dec_blocks"][0]["rel_bias"], positions[0], k_pos, False,
+            s.rel_buckets, s.rel_max_distance,
+        )
+        cross_bias = jnp.where(
+            enc_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
+        )
+        new_kvs, trace = [], []
+        for i, b in enumerate(params["dec_blocks"]):
+            h = rms_norm(x, b["ln0"], s.rms_eps)
+            k = linear(h, b["k"]).reshape(B, T, s.num_heads, s.d_kv)
+            v = linear(h, b["v"]).reshape(B, T, s.num_heads, s.d_kv)
+            kv = kvs[i].update(k, v, kv_len)
+            q = linear(h, b["q"]).reshape(B, T, s.num_heads, s.d_kv)
+            a = attend(
+                q, kv.k, kv.v, positions, kv_len + T,
+                scale=1.0, causal=True, bias=bias,
+            )
+            x = x + linear(a.reshape(B, T, -1), b["o"])
+            # cross attention
+            h = rms_norm(x, b["ln_cross"], s.rms_eps)
+            ck, cv = cross[i]
+            a = attend(
+                linear(h, b["cq"]).reshape(B, T, s.num_heads, s.d_kv),
+                ck, cv, positions, jnp.int32(ck.shape[1]),
+                scale=1.0, causal=False, bias=cross_bias,
+            )
+            x = x + linear(a.reshape(B, T, -1), b["co"])
+            # FF
+            h = rms_norm(x, b["ln_ff"], s.rms_eps)
+            if s.is_sparse(i, True):
+                y, ids = self._routed_ff(
+                    b, h, s.moe_layer_id(i, True), experts, for_layer, impl
+                )
+                trace.append(ids)
+            else:
+                y = self._dense_ff(b, h)
+            x = x + y
+            new_kvs.append(kv)
+        x = rms_norm(x, params["dec_final_ln"], s.rms_eps)
+        if s.tie_embeddings:
+            x = x * (s.d_model**-0.5)
+            w = params["embed"]
+        else:
+            w = params["lm_head"]
+        logits = linear(x.astype(jnp.float32), w.astype(jnp.float32))
+        return logits, new_kvs, trace

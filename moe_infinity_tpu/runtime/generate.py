@@ -106,6 +106,100 @@ class ResidentStepper:
         return self._scan_cache[key](self.params, self.experts, tok0, pos0, kv)
 
 
+class Seq2SeqGenerator:
+    """Encoder-decoder generation (Switch / NLLB): encode once, precompute
+    cross-attention K/V, then greedy/sampled incremental decode."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        experts,
+        for_layer: Callable,
+        *,
+        impl: str = "ragged",
+        max_seq_len: int = 512,
+    ):
+        self.model = model
+        self.params = params
+        self.experts = experts
+        self.max_seq_len = max_seq_len
+
+        self._encode = jax.jit(
+            lambda p, e, t, m: model.encode(p, e, t, m, for_layer, impl)
+        )
+        self._cross = jax.jit(model.cross_kv)
+        self._step = jax.jit(
+            lambda p, e, tok, pos, kvs, kv_len, enc_mask, cross: model.decode_step(
+                p, e, tok, pos, kvs, kv_len, enc_mask, cross, for_layer, impl
+            ),
+            donate_argnums=(4,),
+        )
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        max_new_tokens: int = 32,
+        *,
+        attention_mask: Optional[np.ndarray] = None,
+        eos_token_id: Optional[int] = 1,
+        pad_token_id: int = 0,
+        decoder_start_token_id: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> GenerationResult:
+        input_ids = np.atleast_2d(np.asarray(input_ids))
+        B, T = input_ids.shape
+        start = (
+            decoder_start_token_id
+            if decoder_start_token_id is not None
+            else self.model.spec.decoder_start_token_id
+        )
+        mask = (
+            jnp.asarray(attention_mask, jnp.float32)
+            if attention_mask is not None
+            else jnp.ones((B, T), jnp.float32)
+        )
+        enc_out = self._encode(
+            self.params, self.experts, jnp.asarray(input_ids, jnp.int32), mask
+        )
+        cross = self._cross(self.params, enc_out)
+        cap = _bucket_len(max_new_tokens + 1)
+        kvs = self.model.init_cache(B, cap)
+        key = jax.random.PRNGKey(seed)
+
+        out = np.full((B, max_new_tokens + 1), pad_token_id, dtype=np.int64)
+        out[:, 0] = start
+        finished = np.zeros(B, dtype=bool)
+        num_gen = np.zeros(B, dtype=np.int64)
+        cur_tok = jnp.full((B, 1), start, jnp.int32)
+        for step in range(max_new_tokens):
+            positions = jnp.full((B, 1), step, jnp.int32)
+            logits, kvs, _ = self._step(
+                self.params, self.experts, cur_tok, positions, kvs,
+                jnp.int32(step), mask, cross,
+            )
+            if temperature == 0.0:
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1)
+            else:
+                key, sub = jax.random.split(key)
+                nxt = jax.random.categorical(
+                    sub, logits[:, -1, :] / temperature, axis=-1
+                )
+            tok_host = np.asarray(nxt).astype(np.int64)
+            out[~finished, step + 1] = tok_host[~finished]
+            num_gen[~finished] += 1
+            if eos_token_id is not None:
+                finished |= tok_host == eos_token_id
+                if finished.all():
+                    break
+            cur_tok = jnp.asarray(tok_host[:, None], jnp.int32)
+        return GenerationResult(
+            sequences=out[:, : int(num_gen.max()) + 1],
+            num_generated=num_gen,
+        )
+
+
 class Generator:
     """Host-side generation loop over any stepper."""
 
