@@ -126,9 +126,12 @@ class ExpertStore:
     """Read side of the expert tier.
 
     load_mode:
-      * 'mmap' — page-cache backed; first touch faults from SSD.
-      * 'ram'  — eagerly read the whole blob into anonymous memory (the
+      * 'mmap'   — page-cache backed; first touch faults from SSD.
+      * 'ram'    — eagerly read the whole blob into anonymous memory (the
         reference's host tier keeps all experts in host RAM when they fit).
+      * 'direct' — native C++ O_DIRECT reader (store/native.py): cold reads
+        stream from SSD without polluting the page cache; records are
+        4096-strided so every read is aligned.
     """
 
     def __init__(self, path: str, load_mode: str = "mmap"):
@@ -153,12 +156,18 @@ class ExpertStore:
             raise ValueError(
                 f"blob size {self.blob_nbytes} != expected {expected}"
             )
+        self._native = None
         if load_mode == "ram":
             self._buf = np.fromfile(blob_path, dtype=np.uint8)
         elif load_mode == "mmap":
             f = open(blob_path, "rb")
             self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
             self._buf = np.frombuffer(self._mm, dtype=np.uint8)
+        elif load_mode == "direct":
+            from moe_infinity_tpu.store.native import NativeBlobReader
+
+            self._native = NativeBlobReader(blob_path)
+            self._buf = None
         else:
             raise ValueError(f"unknown load_mode {load_mode!r}")
         self.load_mode = load_mode
@@ -173,17 +182,34 @@ class ExpertStore:
         return (layer * self.num_experts + expert) * self.stride
 
     def get_record(self, layer: int, expert: int) -> np.ndarray:
-        """Zero-copy uint8 view of the whole record (stride bytes)."""
+        """uint8 view/buffer of the whole record (stride bytes).
+        mmap/ram: zero-copy view; direct: one aligned O_DIRECT read."""
         base = self._record_base(layer, expert)
+        if self._native is not None:
+            return self._native.read(base, self.stride)
         return self._buf[base : base + self.stride]
+
+    def _fields_from(self, rec: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            f.name: rec[f.offset : f.offset + f.nbytes]
+            .view(np_dtype(f.dtype))
+            .reshape(f.shape)
+            for f in self.fields
+        }
 
     def get_tensor(self, layer: int, expert: int, name: str) -> np.ndarray:
         f = self._field_by_name[name]
+        if self._native is not None:
+            rec = self.get_record(layer, expert)
+            raw = rec[f.offset : f.offset + f.nbytes]
+            return raw.view(np_dtype(f.dtype)).reshape(f.shape)
         base = self._record_base(layer, expert)
         raw = self._buf[base + f.offset : base + f.offset + f.nbytes]
         return raw.view(np_dtype(f.dtype)).reshape(f.shape)
 
     def get_expert(self, layer: int, expert: int) -> Dict[str, np.ndarray]:
+        if self._native is not None:
+            return self._fields_from(self.get_record(layer, expert))
         return {f.name: self.get_tensor(layer, expert, f.name) for f in self.fields}
 
     def warm(self, layer: int, expert: int) -> None:
