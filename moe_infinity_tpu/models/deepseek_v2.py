@@ -58,6 +58,8 @@ class DeepseekV2Spec:
     rms_eps: float
     rope_theta: float
     tie_embeddings: bool
+    router_variant: str = "v2"  # 'v2' softmax | 'v3' sigmoid + noaux bias
+    norm_topk_prob: bool = False
 
     @property
     def qk_head_dim(self) -> int:
@@ -88,6 +90,10 @@ class DeepseekV2Spec:
             rms_eps=config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
             tie_embeddings=getattr(config, "tie_word_embeddings", False),
+            router_variant=(
+                "v3" if getattr(config, "model_type", "") == "deepseek_v3" else "v2"
+            ),
+            norm_topk_prob=getattr(config, "norm_topk_prob", False),
         )
 
 
@@ -155,6 +161,10 @@ class DeepseekV2ModelJax:
                 pl["mlp_down"] = get(p + "mlp.down_proj.weight")
             else:
                 pl["router"] = get(p + "mlp.gate.weight", jnp.float32)
+                if s.router_variant == "v3":
+                    pl["router_bias"] = get(
+                        p + "mlp.gate.e_score_correction_bias", jnp.float32
+                    )
                 if s.n_shared_experts:
                     pl["shared_gate"] = get(p + "mlp.shared_experts.gate_proj.weight")
                     pl["shared_up"] = get(p + "mlp.shared_experts.up_proj.weight")
@@ -257,6 +267,8 @@ class DeepseekV2ModelJax:
         s = self.spec
         B, T, D = h.shape
         logits = linear(h.astype(jnp.float32), pl["router"])  # [B, T, E]
+        if s.router_variant == "v3":
+            return self._route_v3(pl, logits, B, T)
         scores = jax.nn.softmax(logits.reshape(B * T, -1), axis=-1)
         if s.topk_method == "group_limited_greedy":
             n = scores.shape[0]
@@ -271,6 +283,34 @@ class DeepseekV2ModelJax:
             cw, ids = jax.lax.top_k(masked, s.top_k)
         else:
             cw, ids = jax.lax.top_k(scores, s.top_k)
+        cw = cw * s.routed_scaling_factor
+        return (
+            cw.reshape(B, T, s.top_k),
+            ids.astype(jnp.int32).reshape(B, T, s.top_k),
+        )
+
+    def _route_v3(self, pl, logits, B, T):
+        """DeepSeek-V3 noaux-tc router: sigmoid scores; selection uses
+        scores + e_score_correction_bias with sum-of-top-2 group scoring;
+        combine weights use the *raw* sigmoid scores of the selected
+        experts, optionally normalized (HF DeepseekV3TopkRouter)."""
+        s = self.spec
+        n = B * T
+        scores = jax.nn.sigmoid(logits.reshape(n, s.num_experts))
+        choice = scores + pl["router_bias"][None, :]
+        gsz = s.num_experts // s.n_group
+        g2, _ = jax.lax.top_k(choice.reshape(n, s.n_group, gsz), 2)
+        group_scores = g2.sum(axis=-1)  # [n, G]
+        _, gidx = jax.lax.top_k(group_scores, s.topk_group)
+        gmask = jnp.zeros_like(group_scores).at[
+            jnp.arange(n)[:, None], gidx
+        ].set(1.0)
+        smask = jnp.repeat(gmask, gsz, axis=-1)
+        masked = jnp.where(smask > 0, choice, 0.0)
+        _, ids = jax.lax.top_k(masked, s.top_k)
+        cw = jnp.take_along_axis(scores, ids, axis=-1)
+        if s.norm_topk_prob:
+            cw = cw / (cw.sum(axis=-1, keepdims=True) + 1e-20)
         cw = cw * s.routed_scaling_factor
         return (
             cw.reshape(B, T, s.top_k),
