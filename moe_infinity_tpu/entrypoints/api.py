@@ -41,6 +41,7 @@ def _register_models():
         DeepseekV2Spec,
     )
     from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+    from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
     from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
 
     _REGISTRY.update(
@@ -49,6 +50,7 @@ def _register_models():
             "deepseek": (DeepseekV2Spec, DeepseekV2ModelJax),
             "deepseek_v3": (DeepseekV2Spec, DeepseekV2ModelJax),
             "switch": (SwitchSpec, SwitchModel),
+            "nllb": (NllbSpec, NllbModel),
         }
     )
 
