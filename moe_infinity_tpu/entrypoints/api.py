@@ -40,6 +40,7 @@ def _register_models():
         DeepseekV2ModelJax,
         DeepseekV2Spec,
     )
+    from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
     from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
     from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
     from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
@@ -51,6 +52,7 @@ def _register_models():
             "deepseek_v3": (DeepseekV2Spec, DeepseekV2ModelJax),
             "switch": (SwitchSpec, SwitchModel),
             "nllb": (NllbSpec, NllbModel),
+            "grok": (GrokSpec, GrokModel),
         }
     )
 
