@@ -40,6 +40,7 @@ def _register_models():
         DeepseekV2ModelJax,
         DeepseekV2Spec,
     )
+    from moe_infinity_tpu.models.arctic import ArcticModel, ArcticSpec
     from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
     from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
     from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
@@ -53,6 +54,7 @@ def _register_models():
             "switch": (SwitchSpec, SwitchModel),
             "nllb": (NllbSpec, NllbModel),
             "grok": (GrokSpec, GrokModel),
+            "arctic": (ArcticSpec, ArcticModel),
         }
     )
 

@@ -94,12 +94,21 @@ def parse_geometry(config) -> MoEGeometry:
             encoder_sparse_step=enc_step,
             decoder_sparse_step=dec_step,
         )
-    if arch in ("mixtral", "arctic"):
+    if arch == "mixtral":
         return MoEGeometry(
             arch=arch,
             num_moe_layers=config.num_hidden_layers,
             num_experts=config.num_local_experts,
             num_encoder_moe_layers=0,
+        )
+    if arch == "arctic":
+        freq = getattr(config, "moe_layer_frequency", 1) or 1
+        return MoEGeometry(
+            arch=arch,
+            num_moe_layers=config.num_hidden_layers // freq,
+            num_experts=config.num_local_experts,
+            num_encoder_moe_layers=0,
+            decoder_sparse_step=freq,
         )
     if arch == "grok":
         return MoEGeometry(
@@ -180,6 +189,9 @@ def parse_expert_param(
         block, expert = int(block), int(expert)
         if g.arch in ("deepseek", "deepseek_v3"):
             layer = (block - g.first_k_dense_replace) // g.decoder_sparse_step
+        elif g.arch == "arctic":
+            # MoE layers sit at (i+1) % freq == 0
+            layer = (block + 1) // g.decoder_sparse_step - 1
         else:
             layer = block
     return layer, expert, tail
