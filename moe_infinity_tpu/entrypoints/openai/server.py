@@ -41,11 +41,24 @@ class EngineHolder:
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.lock = threading.Lock()
+        self.requests = 0
+        self.tokens_generated = 0
+
+    def metrics(self) -> dict:
+        m = {
+            "requests": self.requests,
+            "tokens_generated": self.tokens_generated,
+            "model": self.model_name,
+        }
+        if hasattr(self.engine, "stats"):
+            m["expert_cache"] = self.engine.stats()
+        return m
 
     def run(self, prompt: str, gen_kwargs) -> tuple:
         ids = self.tokenizer(prompt, return_tensors="np").input_ids
         eos = self.tokenizer.eos_token_id
         with self.lock:
+            self.requests += 1
             out = self.engine.generate(
                 ids, eos_token_id=eos, pad_token_id=eos or 0, **gen_kwargs
             )
@@ -56,6 +69,7 @@ class EngineHolder:
             if keep.size:
                 gen_ids = gen_ids[: keep[0]]
         text = self.tokenizer.decode(gen_ids, skip_special_tokens=True)
+        self.tokens_generated += int(len(gen_ids))
         return text, prompt_len, int(len(gen_ids))
 
     def chat_prompt(self, messages) -> str:
@@ -93,6 +107,8 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
+        elif self.path == "/metrics":
+            self._json(200, HOLDER.metrics())
         elif self.path == "/v1/models":
             self._json(
                 200,

@@ -131,6 +131,17 @@ def test_completions_endpoint(server):
     assert resp["usage"]["completion_tokens"] > 0
 
 
+def test_metrics_endpoint(server):
+    _post(
+        server + "/v1/completions",
+        {"prompt": "hello", "max_tokens": 2, "temperature": 0.0},
+    )
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1
+    assert m["tokens_generated"] >= 1
+
+
 def test_chat_completions_endpoint(server):
     resp = _post(
         server + "/v1/chat/completions",
