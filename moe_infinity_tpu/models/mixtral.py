@@ -173,18 +173,28 @@ class MixtralModel:
         return params["embed"][tokens].astype(self.dtype)
 
     def attn_block(
-        self, pl, x, kv: KVCache, positions, kv_len
+        self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None
     ) -> Tuple[jax.Array, KVCache]:
+        """positions are cache-column positions; with left padding,
+        pad_offsets [B] shifts rope to sequence positions and masks the
+        padded key columns."""
         s = self.spec
         B, T, D = x.shape
         h = rms_norm(x, pl["input_norm"], s.rms_eps)
         q = linear(h, pl["q"]).reshape(B, T, s.num_heads, s.head_dim)
         k = linear(h, pl["k"]).reshape(B, T, s.num_kv_heads, s.head_dim)
         v = linear(h, pl["v"]).reshape(B, T, s.num_kv_heads, s.head_dim)
-        cos, sin = rope_cos_sin(positions, s.head_dim, s.rope_theta)
+        rope_pos = positions
+        pad_mask = None
+        if pad_offsets is not None:
+            rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
+            S = kv.k.shape[1]
+            cols = jnp.arange(S, dtype=jnp.int32)[None, :]
+            pad_mask = cols >= pad_offsets[:, None]
+        cos, sin = rope_cos_sin(rope_pos, s.head_dim, s.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
         kv = kv.update(k, v, kv_len)
-        out = attend(q, kv.k, kv.v, positions, kv_len + T)
+        out = attend(q, kv.k, kv.v, positions, kv_len + T, pad_mask=pad_mask)
         out = linear(out.reshape(B, T, -1), pl["o"])
         return x + out, kv
 
@@ -226,10 +236,10 @@ class MixtralModel:
         return y.reshape(B, T, D)
 
     # ---- layer-step protocol (offload engine drives these per layer) -------
-    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len):
+    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None):
         """Everything before expert compute for one layer: attention,
         post-norm, routing. Returns (x_resid, h_norm, combine, ids, kv)."""
-        x, kv = self.attn_block(pl, x, kv, positions, kv_len)
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets)
         h = rms_norm(x, pl["post_norm"], self.spec.rms_eps)
         cw, ids = self.route(pl, h)
         return x, h, cw, ids, kv
@@ -260,6 +270,7 @@ class MixtralModel:
         *,
         for_layer,
         impl: str = "ragged",
+        pad_offsets=None,
     ):
         """Whole-model forward. Returns (logits [B,T,V] f32, new kv list,
         router trace (ids [L,B,T,K] i32, weights [L,B,T,K] f32))."""
@@ -268,7 +279,9 @@ class MixtralModel:
         new_kvs, trace_ids, trace_w = [], [], []
         for li in range(s.num_layers):
             pl = params["layers"][li]
-            x, h, cw, ids, kv = self.pre_moe(pl, x, kv_caches[li], positions, kv_len)
+            x, h, cw, ids, kv = self.pre_moe(
+                pl, x, kv_caches[li], positions, kv_len, pad_offsets
+            )
             mli = self.moe_layer_index(li)
             w, slot_map, biases = for_layer(experts, mli)
             x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)
