@@ -127,6 +127,9 @@ def bench_mixtral_offload(args):
         model, params, arena,
         tracer=tracer, predictor=ExpertPredictor(tracer),
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
+        # large experts + constrained interconnect: cap the prefetch plan so
+        # speculative uploads don't starve on-demand fetches
+        prefetch_budget=4,
     )
     gen = Generator(stepper=engine, max_seq_len=256)
 
