@@ -158,6 +158,8 @@ class ExpertArena:
         self._in_flight: Dict[Key, threading.Event] = {}
         self._escalated: set = set()  # keys a caller is blocked on
         self._errors: Dict[Key, Exception] = {}
+        self._pending_fetches = 0  # slots allocated but not yet registered
+        self._fetching: set = set()  # keys a worker is actively fetching
         self.current_layer = 0
         self._decoder_matrix: Optional[np.ndarray] = None
         self._shutdown = False
@@ -281,8 +283,14 @@ class ExpertArena:
                 if self._shutdown:
                     return
                 prio, gen, _, key = heapq.heappop(self._queue)
-                if key in self.key_to_slot or key not in self._in_flight:
-                    continue  # duplicate/stale order
+                if (
+                    key in self.key_to_slot
+                    or key not in self._in_flight
+                    or key in self._fetching
+                ):
+                    # resident, stale, or another worker is already fetching
+                    # it (the waiter shares the same in-flight event)
+                    continue
                 if (
                     prio == PRIO_PREFETCH
                     and gen != self._gen
@@ -292,6 +300,14 @@ class ExpertArena:
                     del self._in_flight[key]
                     continue
                 slot = self._allocate_slot_locked(key)
+                if slot is None and self._pending_fetches > 0:
+                    # other fetches hold allocated-but-unregistered slots;
+                    # once they land their nodes become evictable — retry
+                    heapq.heappush(
+                        self._queue, (prio, gen, next(self._seq), key)
+                    )
+                    self._cv.wait(timeout=0.02)
+                    continue
                 if slot is None:
                     if prio == PRIO_ONDEMAND or key in self._escalated:
                         # surface in the blocked caller, keep the worker alive
@@ -308,6 +324,8 @@ class ExpertArena:
                     # prefetch can't find a victim — drop the order
                     del self._in_flight[key]
                     continue
+                self._pending_fetches += 1
+                self._fetching.add(key)
             # host read + cast outside the lock (page-cache fault / RAM copy)
             layer, expert = key
             record = self.store.get_expert(layer, expert)
@@ -336,7 +354,10 @@ class ExpertArena:
                 self.expert_to_slot[key] = slot
                 self.policy.on_insert(key, prefetched=(prio == PRIO_PREFETCH))
                 self._escalated.discard(key)
+                self._pending_fetches -= 1
+                self._fetching.discard(key)
                 ev = self._in_flight.pop(key, None)
+                self._cv.notify_all()  # wake workers waiting on pending slots
             if ev is not None:
                 ev.set()
 
