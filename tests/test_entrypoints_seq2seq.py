@@ -1,0 +1,51 @@
+"""MoE facade end-to-end for an encoder-decoder checkpoint (Switch)."""
+
+import numpy as np
+import pytest
+import torch
+from transformers import (
+    SwitchTransformersConfig,
+    SwitchTransformersForConditionalGeneration,
+)
+
+from moe_infinity_tpu.entrypoints.api import MoE
+
+
+def test_switch_through_facade(tmp_path):
+    cfg = SwitchTransformersConfig(
+        vocab_size=96,
+        d_model=32,
+        d_kv=8,
+        d_ff=64,
+        num_layers=2,
+        num_decoder_layers=2,
+        num_heads=4,
+        num_experts=4,
+        expert_capacity=8,
+        num_sparse_encoder_layers=1,
+        num_sparse_decoder_layers=1,
+        relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        dropout_rate=0.0,
+        router_jitter_noise=0.0,
+        decoder_start_token_id=0,
+        eos_token_id=1,
+        pad_token_id=0,
+        torch_dtype=torch.float32,
+        architectures=["SwitchTransformersForConditionalGeneration"],
+    )
+    torch.manual_seed(3)
+    hf = SwitchTransformersForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    engine = MoE(str(ckpt), {"expert_dtype": "float32"})
+    assert engine.arch == "switch"
+    prompt = np.array([[5, 31, 8, 77]])
+    with torch.no_grad():
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False
+        ).numpy()
+    got = engine.generate(prompt, max_new_tokens=6)
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_array_equal(got[:, :n], want[:, :n])
