@@ -326,9 +326,15 @@ def bench_dsv2lite_resident(args):
                 "up": genf(ks[1], (E_, D_, F_), jnp.bfloat16),
                 "down": genf(ks[2], (E_, F_, D_), jnp.bfloat16),
             }
-        for v in lt.values():
-            force(v)
         layer_trees.append(lt)
+        # materialize in waves: enough to bound deferred-generation temps,
+        # few enough to amortize the relay's D2H sync cost
+        if li % 3 == 2 or li == Lm_ - 1:
+            for lt_ in layer_trees[max(0, li - 2) :]:
+                for v in lt_.values():
+                    force(v)
+            print(f"[bench] experts materialized through layer {li}",
+                  file=sys.stderr, flush=True)
     experts = {
         "layers": layer_trees,
         "slot_map": jnp.arange(E_, dtype=jnp.int32),
