@@ -281,6 +281,10 @@ def bench_dsv2lite_resident(args):
     # pair to fit the full int8 model + dense side in one chip's HBM)
     spec_kw["tie_embeddings"] = True
     spec = DeepseekV2Spec(**spec_kw)
+    # shared_in_pool=False: folding shared experts into the gather was
+    # measured SLOWER here (51 vs 45 ms/tok) — the gather path copies the
+    # always-used shared weights every step, while the dense shared MLP
+    # reads them once; the fold pays off only on the gmm kernel path
     model = DeepseekV2ModelJax(spec, compute_dtype=jnp.bfloat16)
     quant = args.arena_dtype == "int8"
 
@@ -340,8 +344,6 @@ def bench_dsv2lite_resident(args):
         "slot_map": jnp.arange(E_, dtype=jnp.int32),
     }
 
-    Lm = spec.num_layers - spec.first_k_dense_replace
-    E, D, F = spec.num_experts, spec.hidden_size, spec.moe_intermediate_size
 
     # python-looped layers (unrolled under jit: a layer-scan hits a severe
     # performance cliff on this backend) + gather/pallas/ragged expert impl
@@ -389,7 +391,7 @@ def bench_dsv2lite_resident(args):
         "tokens_per_s": round(B * n / dt, 2),
         "warm_s": round(warm_s, 1),
         "hbm_experts_gb": round(
-            Lm * E * 3 * D * F * (1 if quant else 2) / 2**30, 1
+            Lm_ * E_ * 3 * D_ * F_ * (1 if quant else 2) / 2**30, 1
         ),
     }
 

@@ -113,10 +113,19 @@ def rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 class DeepseekV2ModelJax:
     arch = "deepseek"
 
-    def __init__(self, spec: DeepseekV2Spec, compute_dtype=jnp.bfloat16, mesh=None):
+    def __init__(
+        self, spec: DeepseekV2Spec, compute_dtype=jnp.bfloat16, mesh=None,
+        shared_in_pool: bool = False,
+    ):
+        """shared_in_pool: fold the shared experts into the routed expert
+        pool as `n_shared_experts` always-routed pseudo-experts (the
+        down-projection decomposes exactly over F-sized chunks, so outputs
+        are identical); removes the separate shared-MLP matmuls per layer
+        — the expert tree then has E + n_shared rows per layer."""
         self.spec = spec
         self.dtype = compute_dtype
         self.mesh = mesh
+        self.shared_in_pool = shared_in_pool and spec.n_shared_experts > 0
 
     # ---- param loading ---------------------------------------------------
     def load_params(self, dense, device_put=jax.device_put) -> Dict[str, Any]:
@@ -344,6 +353,16 @@ class DeepseekV2ModelJax:
     def apply_moe(self, pl, x, h, cw, ids, weights, slot_map, biases, impl):
         s = self.spec
         B, T, D = h.shape
+        if self.shared_in_pool:
+            n = s.n_shared_experts
+            extra_ids = jnp.broadcast_to(
+                jnp.arange(s.num_experts, s.num_experts + n, dtype=jnp.int32),
+                (B, T, n),
+            )
+            ids = jnp.concatenate([ids, extra_ids], axis=-1)
+            cw = jnp.concatenate(
+                [cw, jnp.ones((B, T, n), cw.dtype)], axis=-1
+            )
         K = ids.shape[-1]
         if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
             y = grouped_ffn_ep(
@@ -358,7 +377,7 @@ class DeepseekV2ModelJax:
                 "silu", biases=biases, impl=impl,
             )
         y = y.reshape(B, T, D)
-        if s.n_shared_experts:
+        if s.n_shared_experts and not self.shared_in_pool:
             y = y + self._dense_mlp(
                 h, pl["shared_gate"], pl["shared_up"], pl["shared_down"]
             )
@@ -393,6 +412,35 @@ class DeepseekV2ModelJax:
             new_kvs.append(kv)
         logits = self.head(params, x)
         return logits, new_kvs, (jnp.stack(trace_ids), jnp.stack(trace_w))
+
+    def pool_shared_experts(self, expert_layers, params):
+        """Build the extended expert trees for shared_in_pool from a
+        default expert tree + loaded params: shared gate/up split into
+        F-sized column chunks, shared down into F-sized row chunks —
+        summing the chunk outputs reproduces the shared MLP exactly."""
+        s = self.spec
+        F, n, k0 = s.moe_intermediate_size, s.n_shared_experts, s.first_k_dense_replace
+        out = []
+        for mli, lt in enumerate(expert_layers):
+            if lt["gate"].dtype == jnp.int8:
+                raise NotImplementedError(
+                    "pool_shared_experts requires unquantized trees; "
+                    "quantize after pooling"
+                )
+            pl = params["layers"][k0 + mli]
+            g, u, d = pl["shared_gate"], pl["shared_up"], pl["shared_down"]
+            gs = jnp.stack([g[k * F : (k + 1) * F, :].T for k in range(n)])
+            us = jnp.stack([u[k * F : (k + 1) * F, :].T for k in range(n)])
+            ds = jnp.stack([d[:, k * F : (k + 1) * F].T for k in range(n)])
+            new = dict(lt)
+            new["gate"] = jnp.concatenate([lt["gate"], gs.astype(lt["gate"].dtype)], 0)
+            new["up"] = jnp.concatenate([lt["up"], us.astype(lt["up"].dtype)], 0)
+            new["down"] = jnp.concatenate([lt["down"], ds.astype(lt["down"].dtype)], 0)
+            out.append(new)
+        return {
+            "layers": out,
+            "slot_map": jnp.arange(s.num_experts + n, dtype=jnp.int32),
+        }
 
     # ---- fused scan-over-layers path (single-chip serving fast path) ------
     def stack_moe_layers(self, params):
@@ -587,7 +635,7 @@ class DeepseekV2ModelJax:
                 pl["mlp_down"] = mat(ks[8], (s.hidden_size, s.intermediate_size))
             else:
                 pl["router"] = mat(ks[6], (s.num_experts, s.hidden_size), jnp.float32)
-                if s.n_shared_experts:
+                if s.n_shared_experts and not self.shared_in_pool:
                     fs = s.moe_intermediate_size * s.n_shared_experts
                     pl["shared_gate"] = mat(ks[7], (fs, s.hidden_size))
                     pl["shared_up"] = mat(ks[8], (fs, s.hidden_size))
@@ -599,6 +647,8 @@ class DeepseekV2ModelJax:
                         return mat(k, shape, expert_dtype)
 
                     E, D, Fm = s.num_experts, s.hidden_size, s.moe_intermediate_size
+                    if self.shared_in_pool:
+                        E = E + s.n_shared_experts
                     layer_e = {
                         "gate": emat(ks[10], (E, D, Fm)),
                         "up": emat(ks[11], (E, D, Fm)),
@@ -619,7 +669,10 @@ class DeepseekV2ModelJax:
             params["lm_head"] = mat(keys[1], (s.vocab_size, s.hidden_size))
         if not with_experts:
             return params, None
+        n_slots = s.num_experts + (
+            s.n_shared_experts if self.shared_in_pool else 0
+        )
         return params, {
             "layers": experts,
-            "slot_map": jnp.arange(s.num_experts, dtype=jnp.int32),
+            "slot_map": jnp.arange(n_slots, dtype=jnp.int32),
         }

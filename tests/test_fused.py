@@ -66,6 +66,31 @@ def test_fused_gather_impl_matches(setup):
     )
 
 
+def test_shared_in_pool_matches_default(setup):
+    """Shared experts folded into the routed pool reproduce the default
+    path exactly (down-proj decomposes over F-sized chunks)."""
+    from moe_infinity_tpu.runtime.generate import Generator
+
+    model, params, experts, _ = setup
+    pooled_model = DeepseekV2ModelJax(
+        SPEC, compute_dtype=jnp.float32, shared_in_pool=True
+    )
+    pooled_experts = pooled_model.pool_shared_experts(
+        experts["layers"], params
+    )
+    gen_a = Generator(
+        model, params, experts, ResidentProvider.for_layer, max_seq_len=32
+    )
+    gen_b = Generator(
+        pooled_model, params, pooled_experts, ResidentProvider.for_layer,
+        max_seq_len=32, impl="gather",
+    )
+    prompt = np.array([[5, 31, 8, 77]])
+    a = gen_a.generate(prompt, max_new_tokens=6).sequences
+    b = gen_b.generate(prompt, max_new_tokens=6).sequences
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_decode_matches_stepwise(setup):
     model, params, experts, runner = setup
     B, T, CAP, N = 1, 4, 16, 5
