@@ -20,7 +20,7 @@ current layer, since decode revisits layer 0 right after layer L-1.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 import numpy as np

@@ -20,7 +20,6 @@ Two interchangeable implementations:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
