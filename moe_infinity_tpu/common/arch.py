@@ -54,19 +54,17 @@ def expert_layout(config) -> ArchExpertLayout:
     """Build the expert tensor layout for one checkpoint config."""
     arch = detect_arch(config)
     if arch == "switch":
+        # Experts are always DenseActDense (wi/wo) — HF's SparseMLP never
+        # uses the gated class even when is_gated_act (the gated FF applies
+        # to dense layers only); activation follows dense_act_fn.
         d_model, d_ff = config.d_model, config.d_ff
-        if getattr(config, "is_gated_act", False):
-            tensors = (
-                ExpertTensorSpec("wi_0.weight", (d_model, d_ff)),
-                ExpertTensorSpec("wi_1.weight", (d_model, d_ff)),
-                ExpertTensorSpec("wo.weight", (d_ff, d_model)),
-            )
-            return ArchExpertLayout(arch, tensors, "gelu", True)
+        act = getattr(config, "dense_act_fn", "relu")
+        activation = "gelu_tanh" if act in ("gelu_new", "gelu") else "relu"
         tensors = (
             ExpertTensorSpec("wi.weight", (d_model, d_ff)),
             ExpertTensorSpec("wo.weight", (d_ff, d_model)),
         )
-        return ArchExpertLayout(arch, tensors, "relu", False)
+        return ArchExpertLayout(arch, tensors, activation, False)
     if arch == "nllb":
         d_model, d_ff = config.d_model, config.encoder_ffn_dim
         tensors = (

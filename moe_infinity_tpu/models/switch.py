@@ -55,6 +55,7 @@ class SwitchSpec:
     rms_eps: float
     tie_embeddings: bool
     is_gated: bool
+    dense_act_gelu: bool
     decoder_start_token_id: int
 
     @classmethod
@@ -76,6 +77,8 @@ class SwitchSpec:
             rms_eps=config.layer_norm_epsilon,
             tie_embeddings=getattr(config, "tie_word_embeddings", True),
             is_gated=getattr(config, "is_gated_act", False),
+            dense_act_gelu=getattr(config, "dense_act_fn", "relu")
+            in ("gelu_new", "gelu"),
             decoder_start_token_id=config.decoder_start_token_id,
         )
 
@@ -112,7 +115,9 @@ class SwitchModel:
         self.spec = spec
         self.dtype = compute_dtype
         self.mesh = mesh
-        self.activation = "gelu_tanh" if spec.is_gated else "relu"
+        # expert + non-gated dense activation follows dense_act_fn;
+        # is_gated selects the gated class for DENSE FF layers only
+        self.activation = "gelu_tanh" if spec.dense_act_gelu else "relu"
 
     # ---- params ---------------------------------------------------------
     def load_params(self, dense, device_put=jax.device_put) -> Dict[str, Any]:
@@ -153,11 +158,9 @@ class SwitchModel:
                         p + f"{ff}.mlp.router.classifier.weight", jnp.float32
                     )
                 else:
-                    if s.is_gated:
-                        b["wi_0"] = get(p + f"{ff}.mlp.wi_0.weight")
-                        b["wi_1"] = get(p + f"{ff}.mlp.wi_1.weight")
-                    else:
-                        b["wi"] = get(p + f"{ff}.mlp.wi.weight")
+                    # dense FF is always DenseActDense in current HF
+                    # (is_gated_act selects only the activation function)
+                    b["wi"] = get(p + f"{ff}.mlp.wi.weight")
                     b["wo"] = get(p + f"{ff}.mlp.wo.weight")
                 blocks.append(b)
             return blocks
@@ -202,16 +205,18 @@ class SwitchModel:
         weights, slot_map, biases = for_layer(experts, mli)
         y = grouped_ffn(
             h.reshape(B * T, D), ids, cw, slot_map, weights,
-            self.activation if s.is_gated else "relu",
-            biases=biases, impl=impl,
+            self.activation, biases=biases, impl=impl,
         )
         return y.reshape(B, T, D), ids.reshape(B, T)
 
     def _dense_ff(self, b, h):
-        if self.spec.is_gated:
-            a = jax.nn.gelu(linear(h, b["wi_0"]), approximate=True)
-            return linear(a * linear(h, b["wi_1"]), b["wo"])
-        return linear(jax.nn.relu(linear(h, b["wi"])), b["wo"])
+        a = linear(h, b["wi"])
+        a = (
+            jax.nn.gelu(a, approximate=True)
+            if self.spec.dense_act_gelu
+            else jax.nn.relu(a)
+        )
+        return linear(a, b["wo"])
 
     # ---- encoder --------------------------------------------------------
     def encode(self, params, experts, tokens, pad_mask, for_layer, impl="ragged"):

@@ -70,6 +70,43 @@ def test_spec_geometry(switch_setup):
     assert s.moe_layer_id(3, True) == 3
 
 
+def test_gated_switch_matches(tmp_path):
+    """switch-large style: is_gated_act=True (gelu-gated experts)."""
+    cfg = SwitchTransformersConfig(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+        num_layers=2, num_decoder_layers=2, num_heads=4, num_experts=4,
+        expert_capacity=8, num_sparse_encoder_layers=1,
+        num_sparse_decoder_layers=1, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        router_jitter_noise=0.0, decoder_start_token_id=0, eos_token_id=1,
+        pad_token_id=0, is_gated_act=True, dense_act_fn="gelu_new",
+        torch_dtype=torch.float32,
+        architectures=["SwitchTransformersForConditionalGeneration"],
+    )
+    torch.manual_seed(29)
+    hf = SwitchTransformersForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    store_dir = str(tmp_path / "store")
+    ingest_checkpoint(
+        str(ckpt), store_dir, cfg, expert_dtype="float32", dense_dtype="float32"
+    )
+    model = SwitchModel(SwitchSpec.from_hf(cfg), compute_dtype=jnp.float32)
+    params = model.load_params(DenseArchive(store_dir))
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen = Seq2SeqGenerator(
+        model, params, provider.pytree(), ResidentProvider.for_layer
+    )
+    prompt = np.array([[5, 31, 8, 77]])
+    with torch.no_grad():
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False
+        ).numpy()
+    got = gen.generate(prompt, max_new_tokens=6).sequences
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_array_equal(got[:, :n], want[:, :n])
+
+
 def test_greedy_generation_matches(switch_setup):
     cfg, hf, model, gen = switch_setup
     prompt = np.array([[5, 31, 8, 77, 2, 9]])
