@@ -213,7 +213,10 @@ class DeepseekV2ModelJax:
         freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,T,half]
         return jnp.cos(freqs), jnp.sin(freqs)
 
-    def attn_block(self, pl, x, kv: KVCache, positions, kv_len):
+    def attn_block(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None):
+        """positions are cache-column positions; with left padding /
+        continuous batching, pad_offsets [B] shifts rope to sequence
+        positions and masks foreign/padded key columns."""
         s = self.spec
         B, T, D = x.shape
         H = s.num_heads
@@ -235,7 +238,10 @@ class DeepseekV2ModelJax:
         k_pe = ckv[..., s.kv_lora_rank :][:, :, None, :]  # [B, T, 1, P]
         c = rms_norm(c, pl["kv_a_norm"], s.rms_eps)
 
-        cos, sin = self._rope_tables(positions)
+        rope_pos = positions
+        if pad_offsets is not None:
+            rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
+        cos, sin = self._rope_tables(rope_pos)
         q_pe = rope_interleaved(q_pe, cos, sin)
         k_pe = rope_interleaved(k_pe, cos, sin)
 
@@ -262,6 +268,10 @@ class DeepseekV2ModelJax:
         S = c_cache.shape[1]
         key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
         valid = (key_pos < kv_len + T) & (key_pos <= positions[:, None, :, None])
+        if pad_offsets is not None:
+            valid = jnp.logical_and(
+                valid, key_pos >= pad_offsets[:, None, None, None]
+            )
         logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1)
         out_lat = jnp.einsum("bhts,bsr->bthr", probs, c_cache.astype(jnp.float32))
@@ -336,16 +346,16 @@ class DeepseekV2ModelJax:
             return None
         return layer_idx - self.spec.first_k_dense_replace
 
-    def dense_layer(self, pl, x, kv, positions, kv_len):
+    def dense_layer(self, pl, x, kv, positions, kv_len, pad_offsets=None):
         """Full step for a first_k_dense_replace layer."""
         s = self.spec
-        x, kv = self.attn_block(pl, x, kv, positions, kv_len)
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         return x + self._dense_mlp(h, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]), kv
 
-    def pre_moe(self, pl, x, kv, positions, kv_len):
+    def pre_moe(self, pl, x, kv, positions, kv_len, pad_offsets=None):
         s = self.spec
-        x, kv = self.attn_block(pl, x, kv, positions, kv_len)
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         cw, ids = self.route(pl, h)
         return x, h, cw, ids, kv
@@ -391,7 +401,7 @@ class DeepseekV2ModelJax:
     # ---- full forward ----------------------------------------------------
     def forward(
         self, params, experts, tokens, positions, kv_caches, kv_len,
-        *, for_layer, impl: str = "ragged",
+        *, for_layer, impl: str = "ragged", pad_offsets=None,
     ):
         s = self.spec
         x = self.embed(params, tokens)
@@ -400,10 +410,12 @@ class DeepseekV2ModelJax:
             pl = params["layers"][li]
             mli = self.moe_layer_index(li)
             if mli is None:
-                x, kv = self.dense_layer(pl, x, kv_caches[li], positions, kv_len)
+                x, kv = self.dense_layer(
+                    pl, x, kv_caches[li], positions, kv_len, pad_offsets
+                )
             else:
                 x, h, cw, ids, kv = self.pre_moe(
-                    pl, x, kv_caches[li], positions, kv_len
+                    pl, x, kv_caches[li], positions, kv_len, pad_offsets
                 )
                 w, slot_map, biases = for_layer(experts, mli)
                 x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)

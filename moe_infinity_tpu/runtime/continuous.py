@@ -32,11 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from moe_infinity_tpu.runtime.paged_kv import (
-    PageAllocator,
-    PagedKVCache,
-    init_paged_caches,
-)
+from moe_infinity_tpu.runtime.paged_kv import PageAllocator, PagedKVCache
 
 
 @dataclass
@@ -86,11 +82,18 @@ class ContinuousBatcher:
         self.alloc.allocate("__null__", 1)
         self.idle_sleep_s = idle_sleep_s
 
-        spec = model.spec
-        self._kvs = init_paged_caches(
-            spec.num_layers, num_pages, page_size, spec.num_kv_heads,
-            spec.head_dim, model.dtype, self.B, self.max_pages_per_seq,
-        )
+        # derive per-layer pool shapes from the model's own cache layout
+        # (MLA caches have asymmetric k/v slots, GQA has [Hkv, Dh], ...)
+        probe = model.init_cache(1, 1)
+        table0 = jnp.zeros((self.B, self.max_pages_per_seq), jnp.int32)
+        self._kvs = [
+            PagedKVCache(
+                jnp.zeros((num_pages, page_size) + kv.k.shape[2:], kv.k.dtype),
+                jnp.zeros((num_pages, page_size) + kv.v.shape[2:], kv.v.dtype),
+                table0,
+            )
+            for kv in probe
+        ]
 
         def fwd(params, experts, tokens, positions, kvs, kv_len, pad_offsets):
             return model.forward(

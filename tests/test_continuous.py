@@ -63,6 +63,45 @@ def test_slot_reuse_after_completion(setup):
         np.testing.assert_array_equal(got, want)
 
 
+def test_continuous_deepseek(setup_unused=None):
+    """pad_offsets path on the MLA/DeepSeek family."""
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+
+    spec = DeepseekV2Spec(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_layers=2, num_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, num_experts=8, top_k=2,
+        n_shared_experts=1, first_k_dense_replace=1, topk_method="greedy",
+        n_group=None, topk_group=None, routed_scaling_factor=1.0,
+        rms_eps=1e-6, rope_theta=10000.0, tie_embeddings=False,
+    )
+    model = DeepseekV2ModelJax(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(6))
+    gen = Generator(
+        model, params, experts, ResidentProvider.for_layer, max_seq_len=64
+    )
+    batcher = ContinuousBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=2, page_size=8, num_pages=32, max_cols=64,
+    )
+    try:
+        p1 = np.array([5, 31, 8])
+        p2 = np.array([9, 3, 44, 6])
+        want1 = gen.generate(p1[None], max_new_tokens=6).sequences[0]
+        want2 = gen.generate(p2[None], max_new_tokens=5).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=6)
+        time.sleep(0.3)
+        f2 = batcher.submit(p2, max_new_tokens=5)
+        np.testing.assert_array_equal(f1.result(120), want1)
+        np.testing.assert_array_equal(f2.result(120), want2)
+    finally:
+        batcher.shutdown()
+
+
 def test_eos_frees_slot_early(setup):
     model, gen, batcher = setup
     p = np.array([5, 31, 8])
