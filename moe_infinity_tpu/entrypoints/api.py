@@ -119,6 +119,7 @@ class MoE:
         self.model = model_cls(spec_cls.from_hf(hf_config), compute_dtype)
         self.params = self.model.load_params(dense)
 
+        self.batcher = None
         # ---- seq2seq archs use the encoder-decoder generator ------------
         if self.arch in _SEQ2SEQ_ARCHS:
             from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
@@ -188,12 +189,50 @@ class MoE:
             stepper=stepper, max_seq_len=config.max_seq_len
         )
 
+        # continuous batching for concurrent serving: decoder-only models
+        # with pad_offsets support, resident plan, batch slots configured
+        if (
+            self.engine is None
+            and config.max_batch_size > 1
+            and "pad_offsets" in self.model.forward.__code__.co_varnames
+        ):
+            from moe_infinity_tpu.runtime.continuous import ContinuousBatcher
+
+            page_size = min(config.kv_page_size, config.max_seq_len)
+            pages = max(
+                8,
+                (config.max_seq_len // page_size)
+                * (config.max_batch_size + 1),
+            )
+            self.batcher = ContinuousBatcher(
+                self.model, self.params, provider.pytree(),
+                ResidentProvider.for_layer,
+                max_batch_size=config.max_batch_size,
+                page_size=page_size,
+                num_pages=pages,
+                max_cols=config.max_seq_len,
+            )
+
     # ---- generation -----------------------------------------------------
     def generate(self, input_ids, **kwargs) -> np.ndarray:
         """HF-like generate. Accepts max_new_tokens, temperature,
-        eos_token_id, pad_token_id, do_sample, seed. Returns [B, T'] ids."""
+        eos_token_id, pad_token_id, do_sample, seed. Returns [B, T'] ids.
+        Concurrent callers share the continuous batcher when active."""
         if hasattr(input_ids, "numpy"):  # torch tensor
             input_ids = input_ids.numpy()
+        arr = np.atleast_2d(np.asarray(input_ids))
+        if (
+            self.batcher is not None
+            and arr.shape[0] == 1
+            and not kwargs.get("do_sample")
+            and kwargs.get("temperature", 0.0) == 0.0
+        ):
+            out = self.batcher.generate(
+                arr[0],
+                max_new_tokens=kwargs.get("max_new_tokens", 32),
+                eos_token_id=kwargs.get("eos_token_id"),
+            )
+            return out[None]
         kw = dict(kwargs)
         if not kw.pop("do_sample", False):
             kw.setdefault("temperature", 0.0)
@@ -218,3 +257,5 @@ class MoE:
     def shutdown(self) -> None:
         if self.engine:
             self.engine.arena.shutdown()
+        if getattr(self, "batcher", None) is not None:
+            self.batcher.shutdown()

@@ -55,9 +55,18 @@ class EngineHolder:
         return m
 
     def run(self, prompt: str, gen_kwargs) -> tuple:
+        import contextlib
+
         ids = self.tokenizer(prompt, return_tensors="np").input_ids
         eos = self.tokenizer.eos_token_id
-        with self.lock:
+        # with a continuous batcher, concurrent requests batch on-device;
+        # otherwise serialize like the reference's single-slot queue
+        guard = (
+            contextlib.nullcontext()
+            if getattr(self.engine, "batcher", None) is not None
+            else self.lock
+        )
+        with guard:
             self.requests += 1
             out = self.engine.generate(
                 ids, eos_token_id=eos, pad_token_id=eos or 0, **gen_kwargs

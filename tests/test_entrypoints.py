@@ -131,6 +131,34 @@ def test_completions_endpoint(server):
     assert resp["usage"]["completion_tokens"] > 0
 
 
+def test_continuous_serving_through_facade(tiny_ckpt):
+    """max_batch_size > 1 activates the continuous batcher; concurrent
+    generate() calls batch on-device and match serial outputs."""
+    import concurrent.futures as cf
+
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64, "max_batch_size": 2,
+         "kv_page_size": 8},
+    )
+    assert engine.batcher is not None
+    prompts = [np.array([[5, 9, 33]]), np.array([[7, 21, 4, 90]])]
+    wants = [
+        hf.generate(
+            torch.tensor(p), max_new_tokens=5, do_sample=False, pad_token_id=0
+        ).numpy()
+        for p in prompts
+    ]
+    with cf.ThreadPoolExecutor(2) as ex:
+        gots = list(
+            ex.map(lambda p: engine.generate(p, max_new_tokens=5), prompts)
+        )
+    for got, want in zip(gots, wants):
+        np.testing.assert_array_equal(got, want)
+    engine.shutdown()
+
+
 def test_metrics_endpoint(server):
     _post(
         server + "/v1/completions",
