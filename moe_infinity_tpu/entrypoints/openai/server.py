@@ -92,11 +92,12 @@ class EngineHolder:
         )
 
 
-HOLDER: Optional[EngineHolder] = None
-
-
 class Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
+
+    @property
+    def holder(self) -> "EngineHolder":
+        return self.server.holder
 
     def log_message(self, fmt, *args):  # route through our logger
         logger.info("%s %s", self.address_string(), fmt % args)
@@ -117,7 +118,7 @@ class Handler(BaseHTTPRequestHandler):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
         elif self.path == "/metrics":
-            self._json(200, HOLDER.metrics())
+            self._json(200, self.holder.metrics())
         elif self.path == "/v1/models":
             self._json(
                 200,
@@ -125,7 +126,7 @@ class Handler(BaseHTTPRequestHandler):
                     "object": "list",
                     "data": [
                         {
-                            "id": HOLDER.model_name,
+                            "id": self.holder.model_name,
                             "object": "model",
                             "owned_by": "moe_infinity_tpu",
                         }
@@ -162,7 +163,7 @@ class Handler(BaseHTTPRequestHandler):
         choices = []
         pt = ct = 0
         for i, p in enumerate(prompts):
-            text, p_len, c_len = HOLDER.run(p, req.to_generate_kwargs())
+            text, p_len, c_len = self.holder.run(p, req.to_generate_kwargs())
             pt += p_len
             ct += c_len
             choices.append(
@@ -173,18 +174,19 @@ class Handler(BaseHTTPRequestHandler):
                     "finish_reason": "length" if c_len >= req.max_tokens else "stop",
                 }
             )
-        resp = completion_response(req.model or HOLDER.model_name, "", pt, ct)
+        resp = completion_response(req.model or self.holder.model_name, "", pt, ct)
         resp["choices"] = choices
         self._json(200, resp)
 
     def _chat(self, data):
         req = ChatCompletionRequest.from_json(data)
-        prompt = HOLDER.chat_prompt(req.messages)
-        text, p_len, c_len = HOLDER.run(prompt, req.to_generate_kwargs())
-        model = req.model or HOLDER.model_name
+        model = req.model or self.holder.model_name
+        if req.stream and getattr(self.holder.engine, "batcher", None) is not None:
+            self.holder.requests += 1
+            return self._chat_stream_tokens(req, model)
+        prompt = self.holder.chat_prompt(req.messages)
+        text, p_len, c_len = self.holder.run(prompt, req.to_generate_kwargs())
         if req.stream:
-            # single-chunk SSE stream (token-level streaming arrives with
-            # the continuous-batching scheduler)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Transfer-Encoding", "chunked")
@@ -205,11 +207,62 @@ class Handler(BaseHTTPRequestHandler):
         else:
             self._json(200, chat_response(model, text, p_len, c_len))
 
+    def _chat_stream_tokens(self, req, model):
+        """True token-level SSE streaming via the continuous batcher."""
+        import queue as _q
+
+        prompt = self.holder.chat_prompt(req.messages)
+        tok = self.holder.tokenizer
+        ids = tok(prompt, return_tensors="np").input_ids[0]
+        eos = tok.eos_token_id
+        q: "_q.Queue" = _q.Queue()
+        fut = self.holder.engine.batcher.submit(
+            ids,
+            max_new_tokens=req.to_generate_kwargs()["max_new_tokens"],
+            eos_token_id=eos,
+            on_token=q.put,
+        )
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def send_chunk(obj):
+            payload = f"data: {json.dumps(obj)}\n\n".encode()
+            self.wfile.write(hex(len(payload))[2:].encode() + b"\r\n")
+            self.wfile.write(payload + b"\r\n")
+
+        rid = "chatcmpl-stream"
+        emitted = 0
+        finished = False
+        while True:
+            try:
+                t = q.get(timeout=0.2)
+            except _q.Empty:
+                if finished:
+                    break  # queue fully drained after completion
+                finished = fut.done()
+                continue
+            if eos is not None and t == eos:
+                continue  # drop the terminator, keep draining
+            send_chunk(chat_chunk(rid, model, tok.decode([t])))
+            emitted += 1
+        self.holder.tokens_generated += emitted
+        send_chunk(chat_chunk(rid, model, "", finish="stop"))
+        done = b"data: [DONE]\n\n"
+        self.wfile.write(hex(len(done))[2:].encode() + b"\r\n")
+        self.wfile.write(done + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
+
+
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+
 
 def build_server(engine, tokenizer, model_name: str, host: str, port: int):
-    global HOLDER
-    HOLDER = EngineHolder(engine, tokenizer, model_name)
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = _Server((host, port), Handler)
+    srv.holder = EngineHolder(engine, tokenizer, model_name)
+    return srv
 
 
 def main():

@@ -40,6 +40,7 @@ class _Req:
     input_ids: np.ndarray
     max_new_tokens: int
     eos_token_id: Optional[int]
+    on_token: Optional[Callable[[int], None]] = None
     future: Future = field(default_factory=Future)
 
 
@@ -112,8 +113,15 @@ class ContinuousBatcher:
         self._thread.start()
 
     # ---- client API ------------------------------------------------------
-    def submit(self, input_ids, max_new_tokens=32, eos_token_id=None) -> Future:
-        r = _Req(np.asarray(input_ids).reshape(-1), max_new_tokens, eos_token_id)
+    def submit(
+        self, input_ids, max_new_tokens=32, eos_token_id=None, on_token=None
+    ) -> Future:
+        """on_token: optional callback fired from the scheduler thread for
+        every generated token (token-level streaming)."""
+        r = _Req(
+            np.asarray(input_ids).reshape(-1), max_new_tokens, eos_token_id,
+            on_token,
+        )
         self._queue.put(r)
         return r.future
 
@@ -214,6 +222,11 @@ class ContinuousBatcher:
                 tok = int(nxt[b])
                 s.generated.append(tok)
                 last_tokens[b] = tok
+                if s.req.on_token is not None:
+                    try:
+                        s.req.on_token(tok)
+                    except Exception:
+                        pass  # stream consumers must not stall decode
                 done = len(s.generated) >= s.req.max_new_tokens or (
                     s.req.eos_token_id is not None
                     and tok == s.req.eos_token_id

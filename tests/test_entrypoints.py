@@ -170,6 +170,66 @@ def test_metrics_endpoint(server):
     assert m["tokens_generated"] >= 1
 
 
+def test_chat_streaming_tokens(tiny_ckpt):
+    """Token-level SSE streaming through the continuous batcher."""
+    import threading
+    import urllib.request as ur
+
+    from transformers import AutoTokenizer
+
+    from moe_infinity_tpu.entrypoints.openai.server import build_server
+
+    path, _ = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64, "max_batch_size": 2,
+         "kv_page_size": 8},
+    )
+    assert engine.batcher is not None
+    tokenizer = AutoTokenizer.from_pretrained(path)
+    srv = build_server(engine, tokenizer, "tiny", "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = ur.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            json.dumps(
+                {
+                    "messages": [{"role": "user", "content": "hello world"}],
+                    "max_tokens": 4,
+                    "temperature": 0.0,
+                    "stream": True,
+                }
+            ).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with ur.urlopen(req, timeout=120) as r:
+            body = r.read().decode()
+        chunks = [
+            json.loads(line[6:])
+            for line in body.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        deltas = [
+            c["choices"][0]["delta"].get("content")
+            for c in chunks
+            if c["choices"][0]["delta"].get("content")
+        ]
+        # reference: what the engine generates for the same chat prompt
+        prompt = "user: hello world\nassistant:"
+        ids = tokenizer(prompt, return_tensors="np").input_ids
+        ref = engine.generate(
+            ids, max_new_tokens=4, eos_token_id=tokenizer.eos_token_id
+        )[0, ids.shape[1] :]
+        ref = [int(t) for t in ref if t != tokenizer.eos_token_id]
+        assert deltas == [tokenizer.decode([t]) for t in ref]
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+        assert "data: [DONE]" in body
+    finally:
+        srv.shutdown()
+        engine.shutdown()
+
+
 def test_chat_completions_endpoint(server):
     resp = _post(
         server + "/v1/chat/completions",
