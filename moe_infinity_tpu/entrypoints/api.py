@@ -120,29 +120,65 @@ class MoE:
         self.params = self.model.load_params(dense)
 
         self.batcher = None
-        # ---- seq2seq archs use the encoder-decoder generator ------------
+        # ---- residency budget ------------------------------------------
+        expert_bytes_all = store.stride * store.num_layers * store.num_experts
+        budget_all = config.device_memory_bytes
+        if budget_all is None:
+            budget_all = int(16 * 2**30 * config.device_memory_ratio)
+        dense_bytes_all = sum(
+            a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
+        )
+        fits = expert_bytes_all <= budget_all - dense_bytes_all
+
+        # ---- seq2seq archs: enc-dec generator or enc-dec offload engine --
         if self.arch in _SEQ2SEQ_ARCHS:
             from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
 
-            provider = ResidentProvider(store, dtype=compute_dtype)
-            self.generator = Seq2SeqGenerator(
-                self.model, self.params, provider.pytree(),
-                ResidentProvider.for_layer,
-                max_seq_len=config.max_seq_len,
-            )
-            self.engine = None
+            if fits:
+                provider = ResidentProvider(store, dtype=compute_dtype)
+                self.generator = Seq2SeqGenerator(
+                    self.model, self.params, provider.pytree(),
+                    ResidentProvider.for_layer,
+                    max_seq_len=config.max_seq_len,
+                )
+                self.engine = None
+            else:
+                from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
+                from moe_infinity_tpu.runtime.arena import ExpertArena
+                from moe_infinity_tpu.runtime.engine_seq2seq import (
+                    Seq2SeqOffloadEngine,
+                )
+
+                num_slots = config.num_slots or max(
+                    store.num_experts,
+                    int((budget_all - dense_bytes_all) // store.stride),
+                )
+                arena = ExpertArena(
+                    store, num_slots,
+                    compute_dtype=compute_dtype,
+                    num_threads=config.num_threads,
+                )
+                tracer = ExpertTracer(
+                    config.trace_capacity, store.num_layers,
+                    store.num_experts,
+                    store.meta.get("num_encoder_moe_layers", 0),
+                )
+                if config.trace_path and os.path.exists(config.trace_path):
+                    tracer.load_trace(config.trace_path)
+                self.engine = Seq2SeqOffloadEngine(
+                    self.model, self.params, arena,
+                    tracer=tracer, predictor=ExpertPredictor(tracer),
+                    prefetch=config.prefetch,
+                )
+                self.generator = self.engine  # same generate() surface
             return
 
-        # ---- residency plan --------------------------------------------
-        expert_bytes = store.stride * store.num_layers * store.num_experts
-        budget = config.device_memory_bytes
-        if budget is None:
-            budget = int(16 * 2**30 * config.device_memory_ratio)
-        dense_bytes = sum(
-            a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
+        # ---- decoder-only residency plan --------------------------------
+        expert_bytes, budget, dense_bytes = (
+            expert_bytes_all, budget_all, dense_bytes_all
         )
         self.engine = None
-        if expert_bytes <= budget - dense_bytes:
+        if fits:
             logger.info(
                 "experts fit in HBM (%.1f GB <= %.1f GB budget): resident plan",
                 expert_bytes / 2**30, (budget - dense_bytes) / 2**30,

@@ -188,8 +188,8 @@ class SwitchModel:
         )
         return linear(out.reshape(B, T, H * Dk), b[prefix + "o"])
 
-    def _routed_ff(self, b, h, mli, experts, for_layer, impl):
-        """Capacity-masked top-1 sparse FF. h: [B, T, D] post-LN."""
+    def switch_route(self, b, h):
+        """Capacity-masked top-1 router. Returns (cw [B,T,1], ids [B,T,1])."""
         s = self.spec
         B, T, D = h.shape
         logits = linear(h.astype(jnp.float32), b["router"])  # [B, T, E]
@@ -200,14 +200,26 @@ class SwitchModel:
         keep = (priority <= s.expert_capacity).astype(jnp.float32)
         keep = jnp.take_along_axis(keep, idx[..., None], axis=-1)[..., 0]
         maxp = jnp.max(probs, axis=-1)
-        cw = (maxp * keep).reshape(B * T, 1)
-        ids = idx.reshape(B * T, 1).astype(jnp.int32)
-        weights, slot_map, biases = for_layer(experts, mli)
+        return (maxp * keep)[..., None], idx[..., None].astype(jnp.int32)
+
+    def apply_ff(self, x, h, cw, ids, weights, slot_map, biases, impl):
+        """Routed expert FF + residual (engine-facing)."""
+        B, T, D = h.shape
         y = grouped_ffn(
-            h.reshape(B * T, D), ids, cw, slot_map, weights,
+            h.reshape(B * T, D), ids.reshape(B * T, 1),
+            cw.reshape(B * T, 1), slot_map, weights,
             self.activation, biases=biases, impl=impl,
         )
-        return y.reshape(B, T, D), ids.reshape(B, T)
+        return x + y.reshape(B, T, D)
+
+    def _routed_ff(self, b, h, mli, experts, for_layer, impl):
+        """Capacity-masked top-1 sparse FF. h: [B, T, D] post-LN."""
+        cw, ids = self.switch_route(b, h)
+        weights, slot_map, biases = for_layer(experts, mli)
+        y = self.apply_ff(
+            jnp.zeros_like(h), h, cw, ids, weights, slot_map, biases, impl
+        )
+        return y, ids[..., 0]
 
     def _dense_ff(self, b, h):
         a = linear(h, b["wi"])
@@ -217,6 +229,103 @@ class SwitchModel:
             else jax.nn.relu(a)
         )
         return linear(a, b["wo"])
+
+    # ---- stage methods (seq2seq offload engine drives these per block) ----
+    def enc_prelude(self, params, tokens, pad_mask):
+        s = self.spec
+        B, T = tokens.shape
+        x = params["embed"][tokens].astype(self.dtype)
+        pos = jnp.arange(T, dtype=jnp.int32)
+        bias = t5_position_bias(
+            params["enc_blocks"][0]["rel_bias"], pos, pos, True,
+            s.rel_buckets, s.rel_max_distance,
+        )
+        bias = bias + jnp.where(
+            pad_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
+        )
+        q_pos = jnp.broadcast_to(pos, (B, T))
+        return x, bias, q_pos
+
+    def _enc_attn(self, b, x, bias, q_pos):
+        s = self.spec
+        B, T, _ = x.shape
+        h = rms_norm(x, b["ln0"], s.rms_eps)
+        k = linear(h, b["k"]).reshape(B, T, s.num_heads, s.d_kv)
+        v = linear(h, b["v"]).reshape(B, T, s.num_heads, s.d_kv)
+        x = x + self._attn(b, h, k, v, q_pos, jnp.int32(T), bias)
+        return x, rms_norm(x, b["ln_ff"], s.rms_eps)
+
+    def enc_block_sparse_pre(self, b, x, bias, q_pos):
+        x, h = self._enc_attn(b, x, bias, q_pos)
+        cw, ids = self.switch_route(b, h)
+        return x, h, cw, ids
+
+    def enc_block_dense(self, b, x, bias, q_pos):
+        x, h = self._enc_attn(b, x, bias, q_pos)
+        return x + self._dense_ff(b, h)
+
+    def enc_final(self, params, x):
+        return rms_norm(x, params["enc_final_ln"], self.spec.rms_eps)
+
+    def dec_prelude(self, params, positions, cache_len: int, enc_mask):
+        s = self.spec
+        k_pos = jnp.arange(cache_len, dtype=jnp.int32)
+        bias = t5_position_bias(
+            params["dec_blocks"][0]["rel_bias"], positions[0], k_pos, False,
+            s.rel_buckets, s.rel_max_distance,
+        )
+        cross_bias = jnp.where(
+            enc_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
+        )
+        return bias, cross_bias
+
+    def _dec_attn(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):
+        s = self.spec
+        B, T, _ = x.shape
+        h = rms_norm(x, b["ln0"], s.rms_eps)
+        k = linear(h, b["k"]).reshape(B, T, s.num_heads, s.d_kv)
+        v = linear(h, b["v"]).reshape(B, T, s.num_heads, s.d_kv)
+        kv = kv.update(k, v, kv_len)
+        q = linear(h, b["q"]).reshape(B, T, s.num_heads, s.d_kv)
+        a = attend(
+            q, kv.k, kv.v, positions, kv_len + T,
+            scale=1.0, causal=True, bias=bias,
+        )
+        x = x + linear(a.reshape(B, T, -1), b["o"])
+        h = rms_norm(x, b["ln_cross"], s.rms_eps)
+        a = attend(
+            linear(h, b["cq"]).reshape(B, T, s.num_heads, s.d_kv),
+            ck, cv, positions, jnp.int32(ck.shape[1]),
+            scale=1.0, causal=False, bias=cross_bias,
+        )
+        x = x + linear(a.reshape(B, T, -1), b["co"])
+        return x, rms_norm(x, b["ln_ff"], s.rms_eps), kv
+
+    def dec_block_sparse_pre(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):
+        x, h, kv = self._dec_attn(
+            b, x, kv, positions, kv_len, bias, ck, cv, cross_bias
+        )
+        cw, ids = self.switch_route(b, h)
+        return x, h, cw, ids, kv
+
+    def dec_block_dense(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):
+        x, h, kv = self._dec_attn(
+            b, x, kv, positions, kv_len, bias, ck, cv, cross_bias
+        )
+        return x + self._dense_ff(b, h), kv
+
+    def dec_final(self, params, x):
+        s = self.spec
+        x = rms_norm(x, params["dec_final_ln"], s.rms_eps)
+        if s.tie_embeddings:
+            x = x * (s.d_model**-0.5)
+            w = params["embed"]
+        else:
+            w = params["lm_head"]
+        return linear(x.astype(jnp.float32), w.astype(jnp.float32))
+
+    def dec_embed(self, params, dec_tokens):
+        return params["embed"][dec_tokens].astype(self.dtype)
 
     # ---- encoder --------------------------------------------------------
     def encode(self, params, experts, tokens, pad_mask, for_layer, impl="ragged"):

@@ -1,0 +1,203 @@
+"""Offload engine for encoder-decoder MoE models (Switch / NLLB).
+
+The reference's headline offload configs are encoder-decoder
+(Switch-large-128, NLLB-MoE-54B on one 24 GB GPU — BASELINE.md); this
+engine brings those models' experts out of HBM on the TPU side. Same
+design as the decoder-only OffloadEngine (runtime/engine.py): the engine
+owns the block loop, jitting attention+routing stages per block, pulling
+the routed ids to the host between stages, and acquiring experts from the
+slot arena (tracing + activation-aware prefetch across the encoder→decoder
+layer sequence — the EAMC policy's encoder/decoder topology scoring
+applies, cache_policy._topo_score).
+
+Drives SwitchModel's stage protocol (enc_prelude / enc_block_* /
+dec_block_* / *_final); models expose it by implementing those methods.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moe_infinity_tpu.memory.predictor import ExpertPredictor
+from moe_infinity_tpu.memory.prefetch_plan import plan_prefetch
+from moe_infinity_tpu.memory.tracer import ExpertTracer
+from moe_infinity_tpu.runtime.arena import ExpertArena
+from moe_infinity_tpu.runtime.engine import _split_arena_tree
+from moe_infinity_tpu.runtime.generate import GenerationResult, _bucket_len
+
+
+class Seq2SeqOffloadEngine:
+    def __init__(
+        self,
+        model,
+        params,
+        arena: ExpertArena,
+        *,
+        tracer: Optional[ExpertTracer] = None,
+        predictor: Optional[ExpertPredictor] = None,
+        prefetch: bool = True,
+        lookahead: int = 3,
+        prefetch_budget: Optional[int] = None,
+        impl: str = "ragged",
+    ):
+        self.model = model
+        self.params = params
+        self.arena = arena
+        self.tracer = tracer
+        self.predictor = predictor
+        self.prefetch = prefetch and predictor is not None
+        self.lookahead = lookahead
+        self.prefetch_budget = prefetch_budget or max(1, arena.num_slots // 2)
+        if arena.num_slots < model.spec.num_experts:
+            raise ValueError("arena must fit one full MoE layer of experts")
+
+        m = model
+        self._enc_prelude = jax.jit(m.enc_prelude)
+        self._enc_sparse = jax.jit(m.enc_block_sparse_pre)
+        self._enc_dense = jax.jit(m.enc_block_dense)
+        self._enc_final = jax.jit(m.enc_final)
+        self._cross = jax.jit(m.cross_kv)
+        self._dec_prelude = jax.jit(m.dec_prelude, static_argnums=(2,))
+        self._dec_sparse = jax.jit(m.dec_block_sparse_pre, donate_argnums=(2,))
+        self._dec_dense = jax.jit(m.dec_block_dense, donate_argnums=(2,))
+        self._dec_final = jax.jit(m.dec_final)
+        self._dec_embed = jax.jit(m.dec_embed)
+
+        def apply(x, h, cw, ids, tree, slot_row):
+            weights, biases = _split_arena_tree(tree)
+            return m.apply_ff(x, h, cw, ids, weights, slot_row, biases, impl)
+
+        self._apply = jax.jit(apply)
+
+    # ---- shared expert acquire/apply --------------------------------------
+    def _moe(self, x, h, cw, ids, mli, seq_ids):
+        ids_np = np.asarray(ids)
+        keys = [(mli, int(e)) for e in np.unique(ids_np)]
+        if self.tracer is not None and seq_ids:
+            if self.prefetch:
+                score = None
+                for b, sid in enumerate(seq_ids):
+                    score = self.predictor.predict(sid, ids_np[b], mli)
+                self.arena.set_context(
+                    mli, self.tracer.get_entry_decoder(seq_ids[0]).matrix
+                )
+                orders = plan_prefetch(
+                    score, mli,
+                    lookahead=self.lookahead, budget=self.prefetch_budget,
+                    is_resident=self.arena.is_resident,
+                )
+                if orders:
+                    self.arena.prefetch(orders)
+            else:
+                for b, sid in enumerate(seq_ids):
+                    self.tracer.update_entry(sid, ids_np[b], mli)
+        self.arena.acquire(keys, mli)
+        with self.arena.locked_tree() as tree:
+            slot_row = jnp.asarray(self.arena.slot_map(mli))
+            x = self._apply(x, h, cw, ids, tree, slot_row)
+        self.arena.release(keys)
+        return x
+
+    # ---- generation -------------------------------------------------------
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        max_new_tokens: int = 32,
+        *,
+        attention_mask: Optional[np.ndarray] = None,
+        eos_token_id: Optional[int] = 1,
+        pad_token_id: int = 0,
+        decoder_start_token_id: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> GenerationResult:
+        if temperature != 0.0:
+            raise NotImplementedError(
+                "seq2seq offload engine currently decodes greedily"
+            )
+        model, params, s = self.model, self.params, self.model.spec
+        input_ids = np.atleast_2d(np.asarray(input_ids))
+        B, T = input_ids.shape
+        seq_ids = (
+            [self.tracer.create_entry() for _ in range(B)]
+            if self.tracer is not None
+            else None
+        )
+        start = (
+            decoder_start_token_id
+            if decoder_start_token_id is not None
+            else s.decoder_start_token_id
+        )
+        mask = (
+            jnp.asarray(attention_mask, jnp.float32)
+            if attention_mask is not None
+            else jnp.ones((B, T), jnp.float32)
+        )
+
+        # ---- encoder ---------------------------------------------------
+        x, bias, q_pos = self._enc_prelude(
+            params, jnp.asarray(input_ids, jnp.int32), mask
+        )
+        for i, b in enumerate(params["enc_blocks"]):
+            if s.is_sparse(i, False):
+                x, h, cw, ids = self._enc_sparse(b, x, bias, q_pos)
+                x = self._moe(x, h, cw, ids, s.moe_layer_id(i, False), seq_ids)
+            else:
+                x = self._enc_dense(b, x, bias, q_pos)
+        enc_out = self._enc_final(params, x)
+        cross = self._cross(params, enc_out)
+
+        # ---- decoder ---------------------------------------------------
+        cap = _bucket_len(max_new_tokens + 1)
+        kvs = model.init_cache(B, cap)
+        out = np.full((B, max_new_tokens + 1), pad_token_id, dtype=np.int64)
+        out[:, 0] = start
+        finished = np.zeros(B, dtype=bool)
+        num_gen = np.zeros(B, dtype=np.int64)
+        cur_tok = jnp.full((B, 1), start, jnp.int32)
+        for step in range(max_new_tokens):
+            positions = jnp.full((B, 1), step, jnp.int32)
+            bias, cross_bias = self._dec_prelude(params, positions, cap, mask)
+            x = self._dec_embed(params, cur_tok)
+            for i, b in enumerate(params["dec_blocks"]):
+                ck, cv = cross[i]
+                if s.is_sparse(i, True):
+                    x, h, cw, ids, kvs[i] = self._dec_sparse(
+                        b, x, kvs[i], positions, jnp.int32(step), bias,
+                        ck, cv, cross_bias,
+                    )
+                    x = self._moe(
+                        x, h, cw, ids, s.moe_layer_id(i, True), seq_ids
+                    )
+                else:
+                    x, kvs[i] = self._dec_dense(
+                        b, x, kvs[i], positions, jnp.int32(step), bias,
+                        ck, cv, cross_bias,
+                    )
+            logits = self._dec_final(params, x)
+            nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1)).astype(
+                np.int64
+            )
+            out[~finished, step + 1] = nxt[~finished]
+            num_gen[~finished] += 1
+            if eos_token_id is not None:
+                finished |= nxt == eos_token_id
+                if finished.all():
+                    break
+            cur_tok = jnp.asarray(nxt[:, None], jnp.int32)
+        if self.tracer is not None and seq_ids:
+            for sid in seq_ids:
+                self.tracer.finish_entry(sid)
+        return GenerationResult(
+            sequences=out[:, : int(num_gen.max()) + 1], num_generated=num_gen
+        )
+
+    def stats(self) -> dict:
+        return self.arena.hit_stats()
+
+    def hit_rate(self) -> float:
+        return self.arena.policy.stats.hit_rate

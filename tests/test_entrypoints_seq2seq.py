@@ -49,3 +49,15 @@ def test_switch_through_facade(tmp_path):
     got = engine.generate(prompt, max_new_tokens=6)
     n = min(got.shape[1], want.shape[1])
     np.testing.assert_array_equal(got[:, :n], want[:, :n])
+
+    # tiny device budget forces the enc-dec OFFLOAD engine; same output
+    engine2 = MoE(
+        str(ckpt),
+        {"expert_dtype": "float32", "device_memory_bytes": 1, "num_slots": 4},
+    )
+    assert engine2.engine is not None
+    got2 = engine2.generate(prompt, max_new_tokens=6)
+    n = min(got2.shape[1], want.shape[1])
+    np.testing.assert_array_equal(got2[:, :n], want[:, :n])
+    assert engine2.stats()["visits"] > 0
+    engine2.shutdown()

@@ -1,0 +1,73 @@
+"""Encoder-decoder offload engine: Switch with a constrained expert arena
+matches the resident path exactly, with live hit accounting across the
+encoder→decoder layer sequence."""
+
+import numpy as np
+import pytest
+import torch
+from transformers import SwitchTransformersConfig, SwitchTransformersForConditionalGeneration
+
+import jax.numpy as jnp
+
+from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
+from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
+from moe_infinity_tpu.runtime.arena import ExpertArena
+from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
+from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
+from moe_infinity_tpu.runtime.providers import ResidentProvider
+from moe_infinity_tpu.store.blob import DenseArchive, ExpertStore
+from moe_infinity_tpu.store.ingest import ingest_checkpoint
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    cfg = SwitchTransformersConfig(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+        num_layers=4, num_decoder_layers=4, num_heads=4, num_experts=4,
+        expert_capacity=8, num_sparse_encoder_layers=2,
+        num_sparse_decoder_layers=2, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        router_jitter_noise=0.0, decoder_start_token_id=0, eos_token_id=1,
+        pad_token_id=0, torch_dtype=torch.float32,
+        architectures=["SwitchTransformersForConditionalGeneration"],
+    )
+    torch.manual_seed(13)
+    hf = SwitchTransformersForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path_factory.mktemp("s2so") / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    store_dir = str(tmp_path_factory.mktemp("s2so") / "store")
+    ingest_checkpoint(
+        str(ckpt), store_dir, cfg, expert_dtype="float32", dense_dtype="float32"
+    )
+    model = SwitchModel(SwitchSpec.from_hf(cfg), compute_dtype=jnp.float32)
+    params = model.load_params(DenseArchive(store_dir))
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Seq2SeqGenerator(
+        model, params, provider.pytree(), ResidentProvider.for_layer
+    )
+    return model, params, store_dir, gen_res
+
+
+def test_offload_matches_resident(setup):
+    model, params, store_dir, gen_res = setup
+    # 4 slots for 16 (layer, expert) pairs — heavy eviction across the
+    # encoder->decoder sequence
+    arena = ExpertArena(
+        ExpertStore(store_dir), 4, compute_dtype=jnp.float32, num_threads=2
+    )
+    tracer = ExpertTracer(16, 4, 4, num_encoder_layers=2)
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena,
+        tracer=tracer, predictor=ExpertPredictor(tracer), prefetch=True,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        s = engine.stats()
+        assert s["visits"] > 0 and s["evictions"] > 0
+        assert not tracer.trace  # sequences finished
+    finally:
+        arena.shutdown()
