@@ -208,6 +208,99 @@ class NllbModel:
         )
         return y.reshape(B, T, D)
 
+    # ---- stage protocol (seq2seq offload engine) -------------------------
+    def apply_ff(self, x, h, cw, ids, weights, slot_map, biases, impl):
+        B, T, D = h.shape
+        K = ids.shape[-1]
+        y = grouped_ffn(
+            h.reshape(B * T, D), ids.reshape(B * T, K),
+            cw.reshape(B * T, K), slot_map, weights, "relu",
+            biases=biases, impl=impl,
+        )
+        return x + y.reshape(B, T, D)
+
+    def enc_prelude(self, params, tokens, pad_mask):
+        B, T = tokens.shape
+        x = self._embed(params, tokens)
+        bias = jnp.where(
+            pad_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
+        )
+        q_pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        return x, bias, q_pos
+
+    def _enc_attn(self, b, x, bias, q_pos):
+        T = x.shape[1]
+        h = layer_norm(x, b["ln0_w"], b["ln0_b"], 1e-5)
+        k, v = self._kv(b["self_attn"], h)
+        x = x + self._attn(
+            b["self_attn"], h, k, v, q_pos, jnp.int32(T),
+            causal=False, pad_bias=bias,
+        )
+        return x, layer_norm(x, b["lnf_w"], b["lnf_b"], 1e-5)
+
+    def enc_block_sparse_pre(self, b, x, bias, q_pos):
+        x, h = self._enc_attn(b, x, bias, q_pos)
+        B, T, _ = h.shape
+        cw, ids = self._route_top2(b, h)
+        return x, h, cw.reshape(B, T, -1), ids.reshape(B, T, -1)
+
+    def enc_block_dense(self, b, x, bias, q_pos):
+        x, h = self._enc_attn(b, x, bias, q_pos)
+        a = jax.nn.relu(linear(h, b["fc1"], b["fc1b"]))
+        return x + linear(a, b["fc2"], b["fc2b"])
+
+    def enc_final(self, params, x):
+        return layer_norm(
+            x, params["enc_final_ln_w"], params["enc_final_ln_b"], 1e-5
+        )
+
+    def dec_prelude(self, params, positions, cache_len: int, enc_mask):
+        cross_bias = jnp.where(
+            enc_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
+        )
+        return None, cross_bias  # no self-attn bias in NLLB
+
+    def _dec_attn(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):
+        B, T, _ = x.shape
+        h = layer_norm(x, b["ln0_w"], b["ln0_b"], 1e-5)
+        k, v = self._kv(b["self_attn"], h)
+        kv = kv.update(k, v, kv_len)
+        x = x + self._attn(
+            b["self_attn"], h, kv.k, kv.v, positions, kv_len + T, causal=True
+        )
+        h = layer_norm(x, b["lnc_w"], b["lnc_b"], 1e-5)
+        x = x + self._attn(
+            b["cross_attn"], h, ck, cv, positions,
+            jnp.int32(ck.shape[1]), causal=False, pad_bias=cross_bias,
+        )
+        return x, layer_norm(x, b["lnf_w"], b["lnf_b"], 1e-5), kv
+
+    def dec_block_sparse_pre(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):
+        x, h, kv = self._dec_attn(
+            b, x, kv, positions, kv_len, bias, ck, cv, cross_bias
+        )
+        B, T, _ = h.shape
+        cw, ids = self._route_top2(b, h)
+        return x, h, cw.reshape(B, T, -1), ids.reshape(B, T, -1), kv
+
+    def dec_block_dense(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):
+        x, h, kv = self._dec_attn(
+            b, x, kv, positions, kv_len, bias, ck, cv, cross_bias
+        )
+        a = jax.nn.relu(linear(h, b["fc1"], b["fc1b"]))
+        return x + linear(a, b["fc2"], b["fc2b"]), kv
+
+    def dec_final(self, params, x):
+        x = layer_norm(
+            x, params["dec_final_ln_w"], params["dec_final_ln_b"], 1e-5
+        )
+        return linear(
+            x.astype(jnp.float32), params["embed"].astype(jnp.float32)
+        )
+
+    def dec_embed(self, params, dec_tokens, step=0):
+        return self._embed(params, dec_tokens, step)
+
     def _positions(self, tokens: jax.Array, past: int) -> jax.Array:
         mask = (tokens != self.spec.pad_token_id).astype(jnp.int32)
         return (jnp.cumsum(mask, axis=1) + past) * mask + self.spec.pad_token_id

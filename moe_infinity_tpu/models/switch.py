@@ -324,7 +324,7 @@ class SwitchModel:
             w = params["lm_head"]
         return linear(x.astype(jnp.float32), w.astype(jnp.float32))
 
-    def dec_embed(self, params, dec_tokens):
+    def dec_embed(self, params, dec_tokens, step=0):
         return params["embed"][dec_tokens].astype(self.dtype)
 
     # ---- encoder --------------------------------------------------------

@@ -162,7 +162,7 @@ class Seq2SeqOffloadEngine:
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
             bias, cross_bias = self._dec_prelude(params, positions, cap, mask)
-            x = self._dec_embed(params, cur_tok)
+            x = self._dec_embed(params, cur_tok, jnp.int32(step))
             for i, b in enumerate(params["dec_blocks"]):
                 ck, cv = cross[i]
                 if s.is_sparse(i, True):

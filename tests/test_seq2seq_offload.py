@@ -71,3 +71,52 @@ def test_offload_matches_resident(setup):
         assert not tracer.trace  # sequences finished
     finally:
         arena.shutdown()
+
+
+def test_nllb_offload_matches_resident(tmp_path):
+    from transformers import NllbMoeConfig, NllbMoeForConditionalGeneration
+
+    from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
+
+    cfg = NllbMoeConfig(
+        vocab_size=96, d_model=32, encoder_layers=4, decoder_layers=4,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, encoder_sparse_step=2,
+        decoder_sparse_step=2, num_experts=4, max_position_embeddings=64,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        moe_token_dropout=0.0, router_jitter_noise=0.0, pad_token_id=1,
+        bos_token_id=0, eos_token_id=2, decoder_start_token_id=2,
+        torch_dtype=torch.float32,
+        architectures=["NllbMoeForConditionalGeneration"],
+    )
+    torch.manual_seed(27)
+    hf = NllbMoeForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    store_dir = str(tmp_path / "store")
+    ingest_checkpoint(
+        str(ckpt), store_dir, cfg, expert_dtype="float32", dense_dtype="float32"
+    )
+    model = NllbModel(NllbSpec.from_hf(cfg), compute_dtype=jnp.float32)
+    params = model.load_params(DenseArchive(store_dir))
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Seq2SeqGenerator(
+        model, params, provider.pytree(), ResidentProvider.for_layer
+    )
+    arena = ExpertArena(
+        ExpertStore(store_dir), 4, compute_dtype=jnp.float32, num_threads=2
+    )
+    tracer = ExpertTracer(16, 4, 4, num_encoder_layers=2)
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena,
+        tracer=tracer, predictor=ExpertPredictor(tracer), prefetch=True,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2]])
+        want = gen_res.generate(prompt, max_new_tokens=6, eos_token_id=2).sequences
+        got = engine.generate(prompt, max_new_tokens=6, eos_token_id=2).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine.stats()["visits"] > 0
+    finally:
+        arena.shutdown()
