@@ -6,11 +6,15 @@ number for the same model/metric on its 1xA5000 setup (BASELINE.md):
 baseline_latency / our_latency, so > 1.0 means we beat the reference.
 
 Presets (``--preset``):
+  dsv2lite-resident     DeepSeek-V2-Lite, experts fully HBM-resident
+                        (int8 by default), device-side scan decode —
+                        the HEADLINE (baseline 0.155 s/tok, BASELINE.md)
+  mixtral-offload       Mixtral-8x7B geometry, int8 experts offloaded to
+                        a synthetic host store through the slot arena
+                        (baseline 0.735 s/tok)
+  mixtral-resident      Mixtral geometry resident via the Pallas gmm path
   tiny                  resident tiny Mixtral, decode tok/s (CI sanity)
-  mixtral-offload       Mixtral-8x7B geometry, int8 experts offloaded to a
-                        synthetic host store, per-token decode latency
-                        (baseline 0.735 s/tok, BASELINE.md)
-Default: tiny (headline preset lands with the Pallas kernel work).
+Default: dsv2lite-resident.
 """
 
 from __future__ import annotations
