@@ -257,12 +257,15 @@ class MoE:
         if hasattr(input_ids, "numpy"):  # torch tensor
             input_ids = input_ids.numpy()
         arr = np.atleast_2d(np.asarray(input_ids))
-        if (
-            self.batcher is not None
-            and arr.shape[0] == 1
-            and not kwargs.get("do_sample")
+        plain_greedy = (
+            not kwargs.get("do_sample")
             and kwargs.get("temperature", 0.0) == 0.0
-        ):
+            and not kwargs.get("logprobs")
+            and kwargs.get("repetition_penalty", 1.0) == 1.0
+            and not kwargs.get("presence_penalty")
+            and not kwargs.get("frequency_penalty")
+        )
+        if self.batcher is not None and arr.shape[0] == 1 and plain_greedy:
             out = self.batcher.generate(
                 arr[0],
                 max_new_tokens=kwargs.get("max_new_tokens", 32),
@@ -270,8 +273,9 @@ class MoE:
             )
             return out[None]
         kw = dict(kwargs)
-        if not kw.pop("do_sample", False):
-            kw.setdefault("temperature", 0.0)
+        # HF semantics: do_sample=True defaults temperature to 1.0;
+        # without it, default to greedy (explicit temperature still wins)
+        kw.setdefault("temperature", 1.0 if kw.get("do_sample") else 0.0)
         kw.pop("max_length", None)
         kw.setdefault("max_new_tokens", 32)
         result = self.generator.generate(np.asarray(input_ids), **kw)

@@ -19,6 +19,36 @@ def _gen_id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex}"
 
 
+def _sampling_kwargs(req) -> Dict[str, Any]:
+    """Shared sampling-knob mapping onto our generate kwargs (the reference
+    maps the same fields onto HF generate, protocol.py:90-131)."""
+    kw: Dict[str, Any] = {}
+    if req.temperature == 0.0:
+        kw["temperature"] = 0.0
+    else:
+        kw["do_sample"] = True
+        kw["temperature"] = req.temperature
+    if req.top_p != 1.0:
+        kw["top_p"] = req.top_p
+    if getattr(req, "top_k", 0):
+        kw["top_k"] = req.top_k
+    if req.presence_penalty:
+        kw["presence_penalty"] = req.presence_penalty
+    if req.frequency_penalty:
+        kw["frequency_penalty"] = req.frequency_penalty
+    if getattr(req, "repetition_penalty", 1.0) != 1.0:
+        kw["repetition_penalty"] = req.repetition_penalty
+    if req.seed is not None:
+        kw["seed"] = req.seed
+    return kw
+
+
+def stop_list(stop: Union[str, List[str], None]) -> List[str]:
+    if stop is None:
+        return []
+    return [stop] if isinstance(stop, str) else [s for s in stop if s]
+
+
 @dataclass
 class CompletionRequest:
     model: str = ""
@@ -26,11 +56,17 @@ class CompletionRequest:
     max_tokens: int = 16
     temperature: float = 1.0
     top_p: float = 1.0
+    top_k: int = 0
     n: int = 1
     stream: bool = False
     stop: Union[str, List[str], None] = None
     seed: Optional[int] = None
     echo: bool = False
+    logprobs: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    best_of: Optional[int] = None
 
     @classmethod
     def from_json(cls, data: Dict[str, Any]) -> "CompletionRequest":
@@ -38,14 +74,9 @@ class CompletionRequest:
         return cls(**{k: v for k, v in data.items() if k in known})
 
     def to_generate_kwargs(self) -> Dict[str, Any]:
-        kw: Dict[str, Any] = {"max_new_tokens": self.max_tokens}
-        if self.temperature == 0.0:
-            kw["temperature"] = 0.0
-        else:
-            kw["do_sample"] = True
-            kw["temperature"] = self.temperature
-        if self.seed is not None:
-            kw["seed"] = self.seed
+        kw = {"max_new_tokens": self.max_tokens, **_sampling_kwargs(self)}
+        if self.logprobs:
+            kw["logprobs"] = int(self.logprobs)
         return kw
 
 
@@ -57,10 +88,14 @@ class ChatCompletionRequest:
     max_completion_tokens: Optional[int] = None
     temperature: float = 1.0
     top_p: float = 1.0
+    top_k: int = 0
     n: int = 1
     stream: bool = False
     stop: Union[str, List[str], None] = None
     seed: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
 
     @classmethod
     def from_json(cls, data: Dict[str, Any]) -> "ChatCompletionRequest":
@@ -68,17 +103,10 @@ class ChatCompletionRequest:
         return cls(**{k: v for k, v in data.items() if k in known})
 
     def to_generate_kwargs(self) -> Dict[str, Any]:
-        kw: Dict[str, Any] = {
-            "max_new_tokens": self.max_completion_tokens or self.max_tokens or 16
+        return {
+            "max_new_tokens": self.max_completion_tokens or self.max_tokens or 16,
+            **_sampling_kwargs(self),
         }
-        if self.temperature == 0.0:
-            kw["temperature"] = 0.0
-        else:
-            kw["do_sample"] = True
-            kw["temperature"] = self.temperature
-        if self.seed is not None:
-            kw["seed"] = self.seed
-        return kw
 
 
 def usage(prompt_tokens: int, completion_tokens: int) -> Dict[str, int]:

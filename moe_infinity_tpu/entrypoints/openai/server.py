@@ -54,7 +54,9 @@ class EngineHolder:
             m["expert_cache"] = self.engine.stats()
         return m
 
-    def run(self, prompt: str, gen_kwargs) -> tuple:
+    def run(self, prompt: str, gen_kwargs, stop=None) -> tuple:
+        """Returns (text, prompt_len, completion_len, finish_reason,
+        logprobs_payload_or_None)."""
         import contextlib
 
         ids = self.tokenizer(prompt, return_tensors="np").input_ids
@@ -73,13 +75,51 @@ class EngineHolder:
             )
         prompt_len = ids.shape[1]
         gen_ids = out[0, prompt_len:]
+        finish = "length"
         if eos is not None:
             keep = np.nonzero(gen_ids == eos)[0]
             if keep.size:
                 gen_ids = gen_ids[: keep[0]]
+                finish = "stop"
+        lp = None
+        if gen_kwargs.get("logprobs"):
+            result = getattr(self.engine, "last_result", None)
+            if result is not None and result.token_logprobs is not None:
+                lp = self._logprobs_payload(gen_ids, result)
         text = self.tokenizer.decode(gen_ids, skip_special_tokens=True)
+        for s in stop or []:
+            i = text.find(s)
+            if i != -1:
+                text = text[:i]
+                finish = "stop"
         self.tokens_generated += int(len(gen_ids))
-        return text, prompt_len, int(len(gen_ids))
+        return text, prompt_len, int(len(gen_ids)), finish, lp
+
+    def _logprobs_payload(self, gen_ids, result) -> dict:
+        """OpenAI completions `logprobs` object for choice 0."""
+        tl = result.token_logprobs[0]
+        top_lp, top_tok = result.top_logprobs[0], result.top_tokens[0]
+        tokens, token_logprobs, tops, offsets = [], [], [], []
+        off = 0
+        n = min(len(gen_ids), tl.shape[0])
+        for i in range(n):
+            piece = self.tokenizer.decode([int(gen_ids[i])])
+            tokens.append(piece)
+            offsets.append(off)
+            off += len(piece)
+            token_logprobs.append(float(tl[i]))
+            tops.append(
+                {
+                    self.tokenizer.decode([int(t)]): float(v)
+                    for t, v in zip(top_tok[i], top_lp[i])
+                }
+            )
+        return {
+            "tokens": tokens,
+            "token_logprobs": token_logprobs,
+            "top_logprobs": tops,
+            "text_offset": offsets,
+        }
 
     def chat_prompt(self, messages) -> str:
         if getattr(self.tokenizer, "chat_template", None):
@@ -158,20 +198,24 @@ class Handler(BaseHTTPRequestHandler):
                 pass
 
     def _completions(self, data):
+        from moe_infinity_tpu.entrypoints.openai.protocol import stop_list
+
         req = CompletionRequest.from_json(data)
         prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
         choices = []
         pt = ct = 0
         for i, p in enumerate(prompts):
-            text, p_len, c_len = self.holder.run(p, req.to_generate_kwargs())
+            text, p_len, c_len, finish, lp = self.holder.run(
+                p, req.to_generate_kwargs(), stop=stop_list(req.stop)
+            )
             pt += p_len
             ct += c_len
             choices.append(
                 {
                     "index": i,
                     "text": (p + text) if req.echo else text,
-                    "logprobs": None,
-                    "finish_reason": "length" if c_len >= req.max_tokens else "stop",
+                    "logprobs": lp,
+                    "finish_reason": finish,
                 }
             )
         resp = completion_response(req.model or self.holder.model_name, "", pt, ct)
@@ -184,8 +228,12 @@ class Handler(BaseHTTPRequestHandler):
         if req.stream and getattr(self.holder.engine, "batcher", None) is not None:
             self.holder.requests += 1
             return self._chat_stream_tokens(req, model)
+        from moe_infinity_tpu.entrypoints.openai.protocol import stop_list
+
         prompt = self.holder.chat_prompt(req.messages)
-        text, p_len, c_len = self.holder.run(prompt, req.to_generate_kwargs())
+        text, p_len, c_len, finish, _ = self.holder.run(
+            prompt, req.to_generate_kwargs(), stop=stop_list(req.stop)
+        )
         if req.stream:
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -205,7 +253,7 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(done + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
         else:
-            self._json(200, chat_response(model, text, p_len, c_len))
+            self._json(200, chat_response(model, text, p_len, c_len, finish))
 
     def _chat_stream_tokens(self, req, model):
         """True token-level SSE streaming via the continuous batcher."""

@@ -113,12 +113,28 @@ class Seq2SeqOffloadEngine:
         pad_token_id: int = 0,
         decoder_start_token_id: Optional[int] = None,
         temperature: float = 0.0,
+        do_sample: Optional[bool] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+        logprobs: int = 0,
         seed: int = 0,
     ) -> GenerationResult:
-        if temperature != 0.0:
-            raise NotImplementedError(
-                "seq2seq offload engine currently decodes greedily"
-            )
+        from moe_infinity_tpu.runtime.sampling import Sampler, params_from_kwargs
+
+        sp = params_from_kwargs(
+            temperature=temperature, do_sample=do_sample, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty, logprobs=logprobs,
+        )
+        if not hasattr(self, "_samplers"):
+            self._samplers = {}
+        if sp not in self._samplers:
+            self._samplers[sp] = Sampler(sp)
+        sampler = self._samplers[sp]
         model, params, s = self.model, self.params, self.model.spec
         input_ids = np.atleast_2d(np.asarray(input_ids))
         B, T = input_ids.shape
@@ -159,6 +175,8 @@ class Seq2SeqOffloadEngine:
         finished = np.zeros(B, dtype=bool)
         num_gen = np.zeros(B, dtype=np.int64)
         cur_tok = jnp.full((B, 1), start, jnp.int32)
+        sstate = None
+        lp_tok, lp_top, lp_ids = [], [], []
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
             bias, cross_bias = self._dec_prelude(params, positions, cap, mask)
@@ -179,9 +197,17 @@ class Seq2SeqOffloadEngine:
                         ck, cv, cross_bias,
                     )
             logits = self._dec_final(params, x)
-            nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1)).astype(
-                np.int64
-            )
+            if sstate is None:
+                sstate = sampler.init(
+                    B, logits.shape[-1],
+                    prompt_ids=np.full((B, 1), start), seed=seed,
+                )
+            sout, sstate = sampler(logits[:, -1, :], sstate)
+            if sp.logprobs > 0:
+                lp_tok.append(np.asarray(sout.logprob))
+                lp_top.append(np.asarray(sout.top_logprobs))
+                lp_ids.append(np.asarray(sout.top_tokens))
+            nxt = np.asarray(sout.token).astype(np.int64)
             out[~finished, step + 1] = nxt[~finished]
             num_gen[~finished] += 1
             if eos_token_id is not None:
@@ -193,7 +219,10 @@ class Seq2SeqOffloadEngine:
             for sid in seq_ids:
                 self.tracer.finish_entry(sid)
         return GenerationResult(
-            sequences=out[:, : int(num_gen.max()) + 1], num_generated=num_gen
+            sequences=out[:, : int(num_gen.max()) + 1], num_generated=num_gen,
+            token_logprobs=np.stack(lp_tok, 1) if lp_tok else None,
+            top_logprobs=np.stack(lp_top, 1) if lp_top else None,
+            top_tokens=np.stack(lp_ids, 1) if lp_ids else None,
         )
 
     def stats(self) -> dict:

@@ -20,6 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from moe_infinity_tpu.runtime.sampling import (
+    Sampler,
+    SamplingParams,
+    params_from_kwargs,
+)
+
 
 def _bucket_len(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
     for b in buckets:
@@ -35,6 +41,10 @@ class GenerationResult:
     router_trace: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
     # decode-time stats filled by the engine
     stats: dict = field(default_factory=dict)
+    # filled when logprobs requested: [B, steps], [B, steps, K], [B, steps, K]
+    token_logprobs: Optional[np.ndarray] = None
+    top_logprobs: Optional[np.ndarray] = None
+    top_tokens: Optional[np.ndarray] = None
 
 
 class ResidentStepper:
@@ -123,6 +133,7 @@ class Seq2SeqGenerator:
         self.params = params
         self.experts = experts
         self.max_seq_len = max_seq_len
+        self._samplers = {}
 
         self._encode = jax.jit(
             lambda p, e, t, m: model.encode(p, e, t, m, for_layer, impl)
@@ -145,6 +156,13 @@ class Seq2SeqGenerator:
         pad_token_id: int = 0,
         decoder_start_token_id: Optional[int] = None,
         temperature: float = 0.0,
+        do_sample: Optional[bool] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+        logprobs: int = 0,
         seed: int = 0,
     ) -> GenerationResult:
         input_ids = np.atleast_2d(np.asarray(input_ids))
@@ -159,33 +177,48 @@ class Seq2SeqGenerator:
             if attention_mask is not None
             else jnp.ones((B, T), jnp.float32)
         )
+        sp = params_from_kwargs(
+            temperature=temperature, do_sample=do_sample, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty, logprobs=logprobs,
+        )
+        if sp not in self._samplers:
+            self._samplers[sp] = Sampler(sp)
+        sampler = self._samplers[sp]
         enc_out = self._encode(
             self.params, self.experts, jnp.asarray(input_ids, jnp.int32), mask
         )
         cross = self._cross(self.params, enc_out)
         cap = _bucket_len(max_new_tokens + 1)
         kvs = self.model.init_cache(B, cap)
-        key = jax.random.PRNGKey(seed)
+        # HF's repetition penalty on enc-dec counts decoder ids only, which
+        # at step 0 is just the start token
+        sstate = None
 
         out = np.full((B, max_new_tokens + 1), pad_token_id, dtype=np.int64)
         out[:, 0] = start
         finished = np.zeros(B, dtype=bool)
         num_gen = np.zeros(B, dtype=np.int64)
         cur_tok = jnp.full((B, 1), start, jnp.int32)
+        lp_tok, lp_top, lp_ids = [], [], []
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
             logits, kvs, _ = self._step(
                 self.params, self.experts, cur_tok, positions, kvs,
                 jnp.int32(step), mask, cross,
             )
-            if temperature == 0.0:
-                nxt = jnp.argmax(logits[:, -1, :], axis=-1)
-            else:
-                key, sub = jax.random.split(key)
-                nxt = jax.random.categorical(
-                    sub, logits[:, -1, :] / temperature, axis=-1
+            if sstate is None:
+                sstate = sampler.init(
+                    B, logits.shape[-1],
+                    prompt_ids=np.full((B, 1), start), seed=seed,
                 )
-            tok_host = np.asarray(nxt).astype(np.int64)
+            sout, sstate = sampler(logits[:, -1, :], sstate)
+            if sp.logprobs > 0:
+                lp_tok.append(np.asarray(sout.logprob))
+                lp_top.append(np.asarray(sout.top_logprobs))
+                lp_ids.append(np.asarray(sout.top_tokens))
+            tok_host = np.asarray(sout.token).astype(np.int64)
             out[~finished, step + 1] = tok_host[~finished]
             num_gen[~finished] += 1
             if eos_token_id is not None:
@@ -196,6 +229,9 @@ class Seq2SeqGenerator:
         return GenerationResult(
             sequences=out[:, : int(num_gen.max()) + 1],
             num_generated=num_gen,
+            token_logprobs=np.stack(lp_tok, 1) if lp_tok else None,
+            top_logprobs=np.stack(lp_top, 1) if lp_top else None,
+            top_tokens=np.stack(lp_ids, 1) if lp_ids else None,
         )
 
 
@@ -224,13 +260,12 @@ class Generator:
         self.stepper = stepper
         self.max_seq_len = max_seq_len
         self.step_callback = step_callback
+        self._samplers = {}
 
-    def _sample(self, logits: jax.Array, temperature: float, key) -> jax.Array:
-        if temperature == 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(key, logits / temperature, axis=-1).astype(
-            jnp.int32
-        )
+    def _sampler(self, params: SamplingParams) -> Sampler:
+        if params not in self._samplers:
+            self._samplers[params] = Sampler(params)
+        return self._samplers[params]
 
     def generate(
         self,
@@ -240,6 +275,13 @@ class Generator:
         eos_token_id: Optional[int] = None,
         pad_token_id: int = 0,
         temperature: float = 0.0,
+        do_sample: Optional[bool] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+        logprobs: int = 0,
         seed: int = 0,
         collect_trace: bool = False,
     ) -> GenerationResult:
@@ -252,8 +294,14 @@ class Generator:
             raise ValueError(
                 f"prompt {T} + new {max_new_tokens} exceeds capacity {cap}"
             )
+        params = params_from_kwargs(
+            temperature=temperature, do_sample=do_sample, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty, logprobs=logprobs,
+        )
+        sampler = self._sampler(params)
         kv = self.stepper.init_cache(B, cap)
-        key = jax.random.PRNGKey(seed)
         seq_ids = self.stepper.begin_sequences(B)
 
         # ---- prefill -----------------------------------------------------
@@ -265,13 +313,25 @@ class Generator:
         traces = []
         if collect_trace:
             traces.append((np.asarray(trace[0]), np.asarray(trace[1])))
-        next_tok = self._sample(logits[:, -1, :], temperature, key)
+        vocab = logits.shape[-1]
+        state = sampler.init(B, vocab, prompt_ids=input_ids, seed=seed)
+        sout, state = sampler(logits[:, -1, :], state)
+        next_tok = sout.token
 
         # ---- decode ------------------------------------------------------
         out = np.full((B, T + max_new_tokens), pad_token_id, dtype=np.int64)
         out[:, :T] = input_ids
         finished = np.zeros(B, dtype=bool)
         num_gen = np.zeros(B, dtype=np.int64)
+        lp_tok, lp_top, lp_ids = [], [], []
+
+        def record_logprobs(s):
+            if params.logprobs > 0:
+                lp_tok.append(np.asarray(s.logprob))
+                lp_top.append(np.asarray(s.top_logprobs))
+                lp_ids.append(np.asarray(s.top_tokens))
+
+        record_logprobs(sout)
         cur = T
         for step in range(max_new_tokens):
             tok_host = np.asarray(next_tok)
@@ -285,7 +345,6 @@ class Generator:
             if step == max_new_tokens - 1:
                 cur += 1
                 break
-            key, sub = jax.random.split(key)
             positions = jnp.full((B, 1), cur, jnp.int32)
             logits, kv, trace = self.stepper.forward(
                 jnp.asarray(tok_host[:, None], jnp.int32),
@@ -298,7 +357,9 @@ class Generator:
                 traces.append((np.asarray(trace[0]), np.asarray(trace[1])))
             if self.step_callback is not None:
                 self.step_callback(step, trace)
-            next_tok = self._sample(logits[:, -1, :], temperature, sub)
+            sout, state = sampler(logits[:, -1, :], state)
+            record_logprobs(sout)
+            next_tok = sout.token
             cur += 1
 
         self.stepper.end_sequences(seq_ids)
@@ -306,4 +367,7 @@ class Generator:
             sequences=out[:, :cur],
             num_generated=num_gen,
             router_trace=traces if collect_trace else None,
+            token_logprobs=np.stack(lp_tok, 1) if lp_tok else None,
+            top_logprobs=np.stack(lp_top, 1) if lp_top else None,
+            top_tokens=np.stack(lp_ids, 1) if lp_ids else None,
         )

@@ -1,0 +1,274 @@
+"""Device-side sampling: the full OpenAI/HF sampling-parameter surface.
+
+The reference forwards temperature / top_p / penalties straight into HF
+`model.generate` (/root/reference/moe_infinity/entrypoints/openai/
+protocol.py:90-131); our engine owns the decode loop, so the logit
+processors live here as jittable JAX functions with exact HF semantics
+(`transformers.generation.logits_process`):
+
+* temperature scaling, top-k, top-p — match TemperatureLogitsWarper,
+  TopKLogitsWarper, TopPLogitsWarper bit-for-bit (warper order:
+  temperature -> top-k -> top-p, as in HF's default warper chain);
+* repetition penalty — RepetitionPenaltyLogitsProcessor over prompt +
+  generated tokens;
+* presence / frequency penalties — OpenAI semantics over *generated*
+  tokens only.
+
+State (per-vocab token counts + PRNG key) is a small pytree so the whole
+sampler can live inside a jitted decode step or a `lax.scan` carry — no
+host round-trips for the sampling math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = -float("inf")
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Static (trace-time) sampling configuration."""
+
+    temperature: float = 1.0
+    top_k: int = 0  # 0 disables
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    do_sample: bool = True
+    logprobs: int = 0  # collect top-N logprobs per step (0 = off)
+
+    @property
+    def greedy(self) -> bool:
+        return (not self.do_sample) or self.temperature == 0.0
+
+    @property
+    def needs_full_counts(self) -> bool:
+        """Repetition penalty counts prompt + generated tokens."""
+        return self.repetition_penalty != 1.0
+
+    @property
+    def needs_gen_counts(self) -> bool:
+        """Presence/frequency penalties count generated tokens only."""
+        return self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+
+    @property
+    def trivial(self) -> bool:
+        """Plain greedy with no penalties and no logprobs: argmax fast path."""
+        return (
+            self.greedy
+            and not self.needs_full_counts
+            and not self.needs_gen_counts
+            and self.logprobs == 0
+        )
+
+
+class SamplerState(NamedTuple):
+    """Carry pytree. Count tensors are [B, V] int32 (zero-size V axis when
+    the corresponding penalty is off, so the carry stays tiny)."""
+
+    key: jax.Array
+    counts_full: jax.Array  # prompt + generated (repetition penalty)
+    counts_gen: jax.Array  # generated only (presence/frequency)
+
+
+class StepOutput(NamedTuple):
+    token: jax.Array  # [B] int32
+    logprob: jax.Array  # [B] f32 log-prob of the chosen token (raw logits)
+    top_logprobs: jax.Array  # [B, N] f32
+    top_tokens: jax.Array  # [B, N] int32
+
+
+# ---------------------------------------------------------------------------
+# logit processors (HF parity)
+# ---------------------------------------------------------------------------
+
+
+def apply_repetition_penalty(
+    logits: jax.Array, counts: jax.Array, penalty: float
+) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor: for every token that has
+    appeared, divide positive scores by `penalty`, multiply negative ones."""
+    seen = counts > 0
+    scaled = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, scaled, logits)
+
+
+def apply_presence_frequency(
+    logits: jax.Array,
+    counts: jax.Array,
+    presence: float,
+    frequency: float,
+) -> jax.Array:
+    """OpenAI: logit -= frequency * count + presence * 1[count > 0]."""
+    c = counts.astype(logits.dtype)
+    return logits - frequency * c - presence * (c > 0)
+
+
+def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
+    """HF TopKLogitsWarper: keep scores >= the k-th largest, -inf the rest."""
+    k = min(k, logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, _NEG_INF, logits)
+
+
+def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
+    """HF TopPLogitsWarper (min_tokens_to_keep=1): sort ascending, drop
+    tokens whose ascending-cumulative probability is <= 1 - p."""
+    sorted_idx = jnp.argsort(logits, axis=-1)  # ascending
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - p)
+    remove_sorted = remove_sorted.at[..., -1].set(False)  # keep >= 1 token
+    inv = jnp.argsort(sorted_idx, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+    return jnp.where(remove, _NEG_INF, logits)
+
+
+def process_logits(
+    logits: jax.Array, state: SamplerState, params: SamplingParams
+) -> jax.Array:
+    """Full HF processor/warper chain on raw [B, V] logits."""
+    if params.needs_full_counts:
+        logits = apply_repetition_penalty(
+            logits, state.counts_full, params.repetition_penalty
+        )
+    if params.needs_gen_counts:
+        logits = apply_presence_frequency(
+            logits, state.counts_gen,
+            params.presence_penalty, params.frequency_penalty,
+        )
+    if not params.greedy and params.temperature != 1.0:
+        logits = logits / params.temperature
+    if not params.greedy and params.top_k > 0:
+        logits = top_k_filter(logits, params.top_k)
+    if not params.greedy and params.top_p < 1.0:
+        logits = top_p_filter(logits, params.top_p)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# state init / step
+# ---------------------------------------------------------------------------
+
+
+def _count_tokens(ids: jax.Array, mask: Optional[jax.Array], vocab: int) -> jax.Array:
+    """[B, T] ids (+ optional validity mask) -> [B, vocab] int32 counts."""
+    one = jnp.ones(ids.shape, jnp.int32) if mask is None else mask.astype(jnp.int32)
+    zeros = jnp.zeros((ids.shape[0], vocab), jnp.int32)
+    b = jnp.arange(ids.shape[0])[:, None]
+    return zeros.at[b, ids].add(one)
+
+
+def init_state(
+    params: SamplingParams,
+    batch: int,
+    vocab: int,
+    *,
+    prompt_ids: Optional[np.ndarray] = None,
+    prompt_mask: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> SamplerState:
+    key = jax.random.PRNGKey(seed)
+    if params.needs_full_counts:
+        if prompt_ids is not None:
+            counts_full = _count_tokens(
+                jnp.asarray(prompt_ids, jnp.int32),
+                None if prompt_mask is None else jnp.asarray(prompt_mask),
+                vocab,
+            )
+        else:
+            counts_full = jnp.zeros((batch, vocab), jnp.int32)
+    else:
+        counts_full = jnp.zeros((batch, 0), jnp.int32)
+    counts_gen = (
+        jnp.zeros((batch, vocab), jnp.int32)
+        if params.needs_gen_counts
+        else jnp.zeros((batch, 0), jnp.int32)
+    )
+    return SamplerState(key, counts_full, counts_gen)
+
+
+def sample_step(
+    logits: jax.Array, state: SamplerState, params: SamplingParams
+) -> Tuple[StepOutput, SamplerState]:
+    """One sampling step on [B, V] raw logits. Jittable (params static)."""
+    processed = process_logits(logits, state, params)
+    key = state.key
+    if params.greedy:
+        token = jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    else:
+        key, sub = jax.random.split(key)
+        token = jax.random.categorical(sub, processed, axis=-1).astype(jnp.int32)
+
+    b = jnp.arange(logits.shape[0])
+    if params.logprobs > 0:
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        chosen = lp[b, token]
+        top_lp, top_tok = jax.lax.top_k(lp, params.logprobs)
+    else:
+        chosen = jnp.zeros(logits.shape[0], logits.dtype)
+        top_lp = jnp.zeros((logits.shape[0], 0), logits.dtype)
+        top_tok = jnp.zeros((logits.shape[0], 0), jnp.int32)
+
+    counts_full = state.counts_full
+    if params.needs_full_counts:
+        counts_full = counts_full.at[b, token].add(1)
+    counts_gen = state.counts_gen
+    if params.needs_gen_counts:
+        counts_gen = counts_gen.at[b, token].add(1)
+    return (
+        StepOutput(token, chosen, top_lp, top_tok),
+        SamplerState(key, counts_full, counts_gen),
+    )
+
+
+class Sampler:
+    """Host-side convenience wrapper: jits `sample_step` once per params."""
+
+    def __init__(self, params: SamplingParams):
+        self.params = params
+        self._step = jax.jit(
+            lambda logits, state: sample_step(logits, state, params)
+        )
+
+    def init(self, batch: int, vocab: int, **kw) -> SamplerState:
+        return init_state(self.params, batch, vocab, **kw)
+
+    def __call__(
+        self, logits: jax.Array, state: SamplerState
+    ) -> Tuple[StepOutput, SamplerState]:
+        return self._step(logits, state)
+
+
+def params_from_kwargs(
+    *,
+    temperature: float = 0.0,
+    do_sample: Optional[bool] = None,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.0,
+    presence_penalty: float = 0.0,
+    frequency_penalty: float = 0.0,
+    logprobs: int = 0,
+) -> SamplingParams:
+    """Map HF-style generate kwargs onto SamplingParams. `do_sample=None`
+    infers from temperature (0.0 -> greedy), matching our historical API."""
+    if do_sample is None:
+        do_sample = temperature != 0.0
+    return SamplingParams(
+        temperature=float(temperature),
+        top_k=int(top_k or 0),
+        top_p=float(top_p),
+        repetition_penalty=float(repetition_penalty),
+        presence_penalty=float(presence_penalty),
+        frequency_penalty=float(frequency_penalty),
+        do_sample=bool(do_sample),
+        logprobs=int(logprobs or 0),
+    )

@@ -241,3 +241,57 @@ def test_chat_completions_endpoint(server):
     )
     assert resp["object"] == "chat.completion"
     assert resp["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_completions_sampling_params(server):
+    """Full sampling surface accepted; fixed seed => deterministic."""
+    payload = {
+        "prompt": "hello world",
+        "max_tokens": 6,
+        "temperature": 0.8,
+        "top_p": 0.9,
+        "top_k": 20,
+        "presence_penalty": 0.3,
+        "frequency_penalty": 0.2,
+        "repetition_penalty": 1.1,
+        "seed": 7,
+    }
+    a = _post(server + "/v1/completions", payload)
+    b = _post(server + "/v1/completions", payload)
+    assert a["choices"][0]["text"] == b["choices"][0]["text"]
+
+
+def test_completions_logprobs(server):
+    resp = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 4, "temperature": 0.0,
+         "logprobs": 3},
+    )
+    lp = resp["choices"][0]["logprobs"]
+    assert lp is not None
+    n = len(lp["tokens"])
+    assert n > 0
+    assert len(lp["token_logprobs"]) == n
+    assert len(lp["top_logprobs"]) == n
+    assert all(len(t) == 3 for t in lp["top_logprobs"])
+    assert lp["text_offset"][0] == 0
+    # greedy: the chosen token's logprob equals the max of its top dict
+    for tok_lp, tops in zip(lp["token_logprobs"], lp["top_logprobs"]):
+        assert abs(tok_lp - max(tops.values())) < 1e-4
+
+
+def test_completions_stop_string(server):
+    # first learn what greedy emits, then stop on its first token's text
+    free = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 6, "temperature": 0.0},
+    )["choices"][0]["text"]
+    first_word = free.split()[0]
+    resp = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 6, "temperature": 0.0,
+         "stop": [first_word]},
+    )
+    choice = resp["choices"][0]
+    assert first_word not in choice["text"]
+    assert choice["finish_reason"] == "stop"
