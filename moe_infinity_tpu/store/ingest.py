@@ -60,6 +60,33 @@ def _iter_checkpoint_tensors(checkpoint: str):
             del state
 
 
+def _iter_model_tensors(checkpoint: str, config):
+    """Checkpoint tensor stream with GPTQ-quantized linears reconstructed
+    as plain float `.weight` tensors (reference loads these via AutoGPTQ
+    QuantLinear conversion, model_offload.py:452-467)."""
+    from moe_infinity_tpu.store.gptq import GptqReassembler, gptq_config
+
+    qcfg = gptq_config(config)
+    if qcfg is None:
+        yield from _iter_checkpoint_tensors(checkpoint)
+        return
+    logger.info("GPTQ checkpoint detected (bits=%d group_size=%d): "
+                "dequantizing at ingest", qcfg["bits"], qcfg["group_size"])
+    import torch
+
+    from moe_infinity_tpu.store.gptq import GPTQ_COMPONENTS
+
+    asm = GptqReassembler(qcfg)
+    for name, tensor in _iter_checkpoint_tensors(checkpoint):
+        if any(name.endswith("." + c) for c in GPTQ_COMPONENTS):
+            for out_name, arr in asm.feed(name, torch_to_numpy(tensor)):
+                yield out_name, torch.from_numpy(np.ascontiguousarray(arr))
+        else:
+            yield name, tensor
+    for out_name, arr in asm.flush():
+        yield out_name, torch.from_numpy(np.ascontiguousarray(arr))
+
+
 def _expert_fields(layout, expert_dtype: str):
     """Record field list for one expert given the storage dtype."""
     fields = []
@@ -125,7 +152,7 @@ def ingest_checkpoint(
     n_expert_tensors = 0
     n_dense = 0
 
-    for name, tensor in _iter_checkpoint_tensors(checkpoint):
+    for name, tensor in _iter_model_tensors(checkpoint, config):
         parsed = parse_expert_param(name, config)
         arr = torch_to_numpy(tensor)
         if parsed is not None:
