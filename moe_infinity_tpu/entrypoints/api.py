@@ -230,7 +230,7 @@ class MoE:
         if (
             self.engine is None
             and config.max_batch_size > 1
-            and "pad_offsets" in self.model.forward.__code__.co_varnames
+            and "key_valid" in self.model.forward.__code__.co_varnames
         ):
             from moe_infinity_tpu.runtime.continuous import ContinuousBatcher
 
@@ -247,6 +247,7 @@ class MoE:
                 page_size=page_size,
                 num_pages=pages,
                 max_cols=config.max_seq_len,
+                prefill_chunk=config.prefill_chunk,
             )
 
     # ---- generation -----------------------------------------------------

@@ -213,10 +213,13 @@ class DeepseekV2ModelJax:
         freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,T,half]
         return jnp.cos(freqs), jnp.sin(freqs)
 
-    def attn_block(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None):
+    def attn_block(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None,
+                   rope_positions=None, key_valid=None):
         """positions are cache-column positions; with left padding /
         continuous batching, pad_offsets [B] shifts rope to sequence
-        positions and masks foreign/padded key columns."""
+        positions and masks foreign/padded key columns. rope_positions /
+        key_valid give per-row timelines for chunked prefill (see
+        models/mixtral.py attn_block)."""
         s = self.spec
         B, T, D = x.shape
         H = s.num_heads
@@ -239,7 +242,9 @@ class DeepseekV2ModelJax:
         c = rms_norm(c, pl["kv_a_norm"], s.rms_eps)
 
         rope_pos = positions
-        if pad_offsets is not None:
+        if rope_positions is not None:
+            rope_pos = rope_positions
+        elif pad_offsets is not None:
             rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
         cos, sin = self._rope_tables(rope_pos)
         q_pe = rope_interleaved(q_pe, cos, sin)
@@ -268,7 +273,9 @@ class DeepseekV2ModelJax:
         S = c_cache.shape[1]
         key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
         valid = (key_pos < kv_len + T) & (key_pos <= positions[:, None, :, None])
-        if pad_offsets is not None:
+        if key_valid is not None:
+            valid = jnp.logical_and(valid, key_valid[:, None, None, :])
+        elif pad_offsets is not None:
             valid = jnp.logical_and(
                 valid, key_pos >= pad_offsets[:, None, None, None]
             )
@@ -346,16 +353,20 @@ class DeepseekV2ModelJax:
             return None
         return layer_idx - self.spec.first_k_dense_replace
 
-    def dense_layer(self, pl, x, kv, positions, kv_len, pad_offsets=None):
+    def dense_layer(self, pl, x, kv, positions, kv_len, pad_offsets=None,
+                    rope_positions=None, key_valid=None):
         """Full step for a first_k_dense_replace layer."""
         s = self.spec
-        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets)
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets,
+                                rope_positions, key_valid)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         return x + self._dense_mlp(h, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]), kv
 
-    def pre_moe(self, pl, x, kv, positions, kv_len, pad_offsets=None):
+    def pre_moe(self, pl, x, kv, positions, kv_len, pad_offsets=None,
+                rope_positions=None, key_valid=None):
         s = self.spec
-        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets)
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets,
+                                rope_positions, key_valid)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         cw, ids = self.route(pl, h)
         return x, h, cw, ids, kv
@@ -402,6 +413,7 @@ class DeepseekV2ModelJax:
     def forward(
         self, params, experts, tokens, positions, kv_caches, kv_len,
         *, for_layer, impl: str = "ragged", pad_offsets=None,
+        rope_positions=None, key_valid=None,
     ):
         s = self.spec
         x = self.embed(params, tokens)
@@ -411,11 +423,13 @@ class DeepseekV2ModelJax:
             mli = self.moe_layer_index(li)
             if mli is None:
                 x, kv = self.dense_layer(
-                    pl, x, kv_caches[li], positions, kv_len, pad_offsets
+                    pl, x, kv_caches[li], positions, kv_len, pad_offsets,
+                    rope_positions, key_valid,
                 )
             else:
                 x, h, cw, ids, kv = self.pre_moe(
-                    pl, x, kv_caches[li], positions, kv_len, pad_offsets
+                    pl, x, kv_caches[li], positions, kv_len, pad_offsets,
+                    rope_positions, key_valid,
                 )
                 w, slot_map, biases = for_layer(experts, mli)
                 x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)

@@ -173,11 +173,15 @@ class MixtralModel:
         return params["embed"][tokens].astype(self.dtype)
 
     def attn_block(
-        self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None
+        self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None,
+        rope_positions=None, key_valid=None,
     ) -> Tuple[jax.Array, KVCache]:
         """positions are cache-column positions; with left padding,
         pad_offsets [B] shifts rope to sequence positions and masks the
-        padded key columns."""
+        padded key columns. For per-row timelines (chunked prefill in the
+        continuous batcher), rope_positions [B, T] gives each row's logical
+        sequence positions directly and key_valid [B, S] masks hole columns
+        (junk K/V written by rows that fed fewer real tokens this step)."""
         s = self.spec
         B, T, D = x.shape
         h = rms_norm(x, pl["input_norm"], s.rms_eps)
@@ -186,7 +190,10 @@ class MixtralModel:
         v = linear(h, pl["v"]).reshape(B, T, s.num_kv_heads, s.head_dim)
         rope_pos = positions
         pad_mask = None
-        if pad_offsets is not None:
+        if rope_positions is not None:
+            rope_pos = rope_positions
+            pad_mask = key_valid
+        elif pad_offsets is not None:
             rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
             S = kv.k.shape[1]
             cols = jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -236,10 +243,12 @@ class MixtralModel:
         return y.reshape(B, T, D)
 
     # ---- layer-step protocol (offload engine drives these per layer) -------
-    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None):
+    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None,
+                rope_positions=None, key_valid=None):
         """Everything before expert compute for one layer: attention,
         post-norm, routing. Returns (x_resid, h_norm, combine, ids, kv)."""
-        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets)
+        x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets,
+                                rope_positions, key_valid)
         h = rms_norm(x, pl["post_norm"], self.spec.rms_eps)
         cw, ids = self.route(pl, h)
         return x, h, cw, ids, kv
@@ -271,6 +280,8 @@ class MixtralModel:
         for_layer,
         impl: str = "ragged",
         pad_offsets=None,
+        rope_positions=None,
+        key_valid=None,
     ):
         """Whole-model forward. Returns (logits [B,T,V] f32, new kv list,
         router trace (ids [L,B,T,K] i32, weights [L,B,T,K] f32))."""
@@ -280,7 +291,8 @@ class MixtralModel:
         for li in range(s.num_layers):
             pl = params["layers"][li]
             x, h, cw, ids, kv = self.pre_moe(
-                pl, x, kv_caches[li], positions, kv_len, pad_offsets
+                pl, x, kv_caches[li], positions, kv_len, pad_offsets,
+                rope_positions, key_valid,
             )
             mli = self.moe_layer_index(li)
             w, slot_map, biases = for_layer(experts, mli)

@@ -4,18 +4,22 @@ Unlike the wave batcher (runtime/batching.py), requests join and leave a
 persistent decode batch mid-flight:
 
 * the batch runs on a shared cache-column timeline C (every active slot
-  writes its K/V at column C each step), so the causal mask and the scalar
-  kv_len stay batch-uniform while rope uses per-slot sequence positions
-  via `pad_offsets` (= the column where the request started);
+  writes its K/V at columns [C, C+W) each step), so the scalar kv_len
+  stays batch-uniform while rope uses per-row *logical* positions
+  (`rope_positions`) and a per-row column-validity bitmap (`key_valid`)
+  masks hole columns;
 * a joining request takes a free slot and *piggybacks its prefill*: its
-  prompt tokens are fed one per shared step while other slots decode
-  (chunked prefill with chunk=1 — no separate prefill program, no
-  recompilation);
+  prompt is fed `prefill_chunk` tokens per shared step while other slots
+  decode — decode rows feed their one real token at the first chunk
+  column and the remaining columns become masked holes. With chunk=1 the
+  timeline is hole-free (the original design); larger chunks trade a few
+  masked columns for prompt ingestion that is chunk× faster;
 * each slot owns pages from the shared pool only for its live column
   range; completion frees the pages and the slot immediately.
 
-The model must support `pad_offsets` (Mixtral-family does). One jitted
-step function serves the whole lifetime; shapes never change.
+The model must support `rope_positions`/`key_valid` (Mixtral and DeepSeek
+families do). Two jitted step programs serve the whole lifetime (width 1
+and width `prefill_chunk`); shapes never change after warmup.
 """
 
 from __future__ import annotations
@@ -70,6 +74,7 @@ class ContinuousBatcher:
         page_size: int = 16,
         num_pages: int = 64,
         max_cols: int = 256,
+        prefill_chunk: int = 1,
         idle_sleep_s: float = 0.005,
     ):
         self.model = model
@@ -77,6 +82,7 @@ class ContinuousBatcher:
         self.page_size = page_size
         self.max_cols = max_cols
         self.max_pages_per_seq = max_cols // page_size
+        self.chunk = max(1, int(prefill_chunk))
         self.alloc = PageAllocator(num_pages, page_size)
         # reserve page 0 as the null page: inactive slots write their
         # (masked) rows there and unused table entries point at it
@@ -96,21 +102,32 @@ class ContinuousBatcher:
             for kv in probe
         ]
 
-        def fwd(params, experts, tokens, positions, kvs, kv_len, pad_offsets):
+        def fwd(params, experts, tokens, positions, kvs, kv_len,
+                rope_positions, key_valid):
             return model.forward(
                 params, experts, tokens, positions, kvs, kv_len,
-                for_layer=for_layer, impl=impl, pad_offsets=pad_offsets,
+                for_layer=for_layer, impl=impl,
+                rope_positions=rope_positions, key_valid=key_valid,
             )
 
         self._params = params
         self._experts = experts
-        self._fwd = jax.jit(fwd, donate_argnums=(4,))
+        self._fwd_raw = fwd
+        self._fwd = {}  # width -> jitted program
+        # per-row timeline state
+        self._valid = np.zeros((self.B, max_cols), dtype=bool)
+        self._logical = np.zeros(self.B, dtype=np.int64)
         self._slots = [_Slot() for _ in range(self.B)]
         self._col = 0  # shared cache-column clock
         self._queue: "queue.Queue[_Req]" = queue.Queue()
         self._shutdown = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _program(self, width: int):
+        if width not in self._fwd:
+            self._fwd[width] = jax.jit(self._fwd_raw, donate_argnums=(4,))
+        return self._fwd[width]
 
     # ---- client API ------------------------------------------------------
     def submit(
@@ -136,7 +153,7 @@ class ContinuousBatcher:
     def _admit(self) -> bool:
         """Seat queued requests into free slots. Returns True if any slot
         is active afterwards."""
-        for slot in self._slots:
+        for b, slot in enumerate(self._slots):
             if slot.active:
                 continue
             try:
@@ -144,7 +161,7 @@ class ContinuousBatcher:
             except queue.Empty:
                 break
             T = len(req.input_ids)
-            if self._col + T + req.max_new_tokens >= self.max_cols:
+            if self._col + T + req.max_new_tokens + self.chunk >= self.max_cols:
                 # timeline nearly exhausted; requeue until reset
                 self._queue.put(req)
                 break
@@ -160,6 +177,8 @@ class ContinuousBatcher:
             slot.prompt_pos = 0
             slot.generated = []
             slot.active = True
+            self._valid[b, :] = False
+            self._logical[b] = 0
         return any(s.active for s in self._slots)
 
     def _finish(self, slot: _Slot):
@@ -176,6 +195,7 @@ class ContinuousBatcher:
     def _reset_if_idle(self):
         if not any(s.active for s in self._slots) and self._col > 0:
             self._col = 0  # fresh timeline once the batch drains
+            self._valid[:] = False
 
     def _loop(self):
         last_tokens = np.zeros(self.B, dtype=np.int64)
@@ -184,19 +204,44 @@ class ContinuousBatcher:
             if not self._admit():
                 time.sleep(self.idle_sleep_s)
                 continue
+            # ---- pick this step's width -------------------------------
+            W = (
+                self.chunk
+                if any(s.prefilling for s in self._slots)
+                and self._col + self.chunk <= self.max_cols
+                else 1
+            )
+            if self._col + W > self.max_cols:
+                # timeline exhausted with live slots: truncate them
+                for s in self._slots:
+                    if s.active:
+                        self._finish(s)
+                continue
             # ---- build this step's inputs -----------------------------
-            toks = np.zeros((self.B, 1), dtype=np.int32)
-            pad_offsets = np.zeros(self.B, dtype=np.int32)
+            toks = np.zeros((self.B, W), dtype=np.int32)
+            rope_pos = np.zeros((self.B, W), dtype=np.int32)
+            n_feed = np.zeros(self.B, dtype=np.int64)  # real tokens per row
             for b, s in enumerate(self._slots):
                 if not s.active:
-                    pad_offsets[b] = self._col  # fully masked row
                     continue
-                pad_offsets[b] = s.start_col
+                rope_pos[b] = self._logical[b] + np.arange(W)
                 if s.prefilling:
-                    toks[b, 0] = s.req.input_ids[s.prompt_pos]
-                    s.prompt_pos += 1
+                    n = min(W, len(s.req.input_ids) - s.prompt_pos)
+                    toks[b, :n] = s.req.input_ids[
+                        s.prompt_pos : s.prompt_pos + n
+                    ]
+                    n_feed[b] = n
                 else:
                     toks[b, 0] = last_tokens[b]
+                    n_feed[b] = 1
+                self._valid[b, self._col : self._col + int(n_feed[b])] = True
+                # extend the page allocation over this step's columns
+                # (holes burn columns beyond the admission-time estimate)
+                try:
+                    self.alloc.allocate(id(s.req), self._col + W)
+                except RuntimeError:
+                    self._finish(s)  # pool exhausted: truncate this slot
+                    n_feed[b] = 0
             table = self.alloc.table(
                 [id(s.req) if s.active else "__free__" for s in self._slots],
                 self.max_pages_per_seq,
@@ -205,21 +250,33 @@ class ContinuousBatcher:
                 PagedKVCache(c.pool_k, c.pool_v, jnp.asarray(table))
                 for c in self._kvs
             ]
-            positions = jnp.full((self.B, 1), self._col, jnp.int32)
-            logits, kvs, _ = self._fwd(
-                self._params, self._experts, jnp.asarray(toks), positions,
-                kvs, jnp.int32(self._col), jnp.asarray(pad_offsets),
+            positions = np.broadcast_to(
+                self._col + np.arange(W, dtype=np.int32), (self.B, W)
+            )
+            logits, kvs, _ = self._program(W)(
+                self._params, self._experts, jnp.asarray(toks),
+                jnp.asarray(positions), kvs, jnp.int32(self._col),
+                jnp.asarray(rope_pos),
+                jnp.asarray(self._valid[:, : self.max_cols]),
             )
             self._kvs = kvs
-            nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
-            self._col += 1
+            nxt = np.asarray(jnp.argmax(logits, axis=-1))  # [B, W]
+            self._col += W
             # ---- bookkeeping ------------------------------------------
             for b, s in enumerate(self._slots):
-                if not s.active:
+                if not s.active or n_feed[b] == 0:
                     continue
                 if s.prefilling:
-                    continue  # still consuming the prompt
-                tok = int(nxt[b])
+                    s.prompt_pos += int(n_feed[b])
+                    self._logical[b] += int(n_feed[b])
+                    if s.prefilling:
+                        continue  # still consuming the prompt
+                    # final prompt token consumed at chunk index n_feed-1:
+                    # its logits give the first generated token
+                    tok = int(nxt[b, int(n_feed[b]) - 1])
+                else:
+                    self._logical[b] += 1
+                    tok = int(nxt[b, 0])
                 s.generated.append(tok)
                 last_tokens[b] = tok
                 if s.req.on_token is not None:

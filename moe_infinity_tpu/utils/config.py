@@ -74,6 +74,10 @@ class EngineConfig:
     max_batch_size: int = 8
     """Continuous-batching slot count."""
 
+    prefill_chunk: int = 8
+    """Prompt tokens ingested per shared step in the continuous batcher
+    (chunked prefill). 1 = hole-free single-token piggyback prefill."""
+
     # ---- parallelism ----------------------------------------------------
     data_parallel: int = 1
     tensor_parallel: int = 1

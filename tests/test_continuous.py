@@ -109,3 +109,62 @@ def test_eos_frees_slot_early(setup):
     eos = int(ref[5])  # stop at the 3rd generated token
     got = batcher.submit(p, max_new_tokens=8, eos_token_id=eos).result(120)
     np.testing.assert_array_equal(got, ref[:6])
+
+
+class TestChunkedPrefill:
+    """prefill_chunk > 1: prompts are ingested chunk-at-a-time while other
+    slots decode through masked hole columns — outputs must stay exact."""
+
+    @pytest.fixture(scope="class")
+    def chunked(self):
+        model = MixtralModel(SPEC, compute_dtype=jnp.float32)
+        params, experts = model.init_random(jax.random.PRNGKey(4))
+        gen = Generator(
+            model, params, experts, ResidentProvider.for_layer, max_seq_len=64
+        )
+        batcher = ContinuousBatcher(
+            model, params, experts, ResidentProvider.for_layer,
+            max_batch_size=3, page_size=8, num_pages=64, max_cols=128,
+            prefill_chunk=4,
+        )
+        yield gen, batcher
+        batcher.shutdown()
+
+    def test_single_request_exact(self, chunked):
+        gen, batcher = chunked
+        p = np.array([5, 31, 8, 77, 12, 9, 3])  # 7 tokens: 4+3 chunks
+        want = gen.generate(p[None], max_new_tokens=8).sequences[0]
+        got = batcher.submit(p, max_new_tokens=8).result(timeout=120)
+        np.testing.assert_array_equal(got, want)
+
+    def test_join_mid_decode_exact(self, chunked):
+        """A long prompt joining mid-decode punches hole columns into the
+        decoding row's timeline; both outputs must stay exact."""
+        gen, batcher = chunked
+        p1 = np.array([5, 31, 8])
+        p2 = np.array([9, 3, 44, 6, 21, 2, 17, 8, 4, 11])  # 10-token prompt
+        want1 = gen.generate(p1[None], max_new_tokens=10).sequences[0]
+        want2 = gen.generate(p2[None], max_new_tokens=6).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=10)
+        time.sleep(0.3)  # request 1 decodes before 2 joins
+        f2 = batcher.submit(p2, max_new_tokens=6)
+        np.testing.assert_array_equal(f1.result(timeout=120), want1)
+        np.testing.assert_array_equal(f2.result(timeout=120), want2)
+
+    def test_three_way_staggered(self, chunked):
+        gen, batcher = chunked
+        prompts = [
+            np.array([7, 11, 13, 17, 19, 23]),
+            np.array([29, 31, 37]),
+            np.array([41, 43, 47, 53, 59, 61, 67, 71]),
+        ]
+        wants = [
+            gen.generate(p[None], max_new_tokens=5).sequences[0]
+            for p in prompts
+        ]
+        futures = []
+        for p in prompts:
+            futures.append(batcher.submit(p, max_new_tokens=5))
+            time.sleep(0.15)
+        for f, want in zip(futures, wants):
+            np.testing.assert_array_equal(f.result(timeout=120), want)
