@@ -258,19 +258,35 @@ class MoE:
         if hasattr(input_ids, "numpy"):  # torch tensor
             input_ids = input_ids.numpy()
         arr = np.atleast_2d(np.asarray(input_ids))
-        plain_greedy = (
-            not kwargs.get("do_sample")
-            and kwargs.get("temperature", 0.0) == 0.0
+        if (
+            self.batcher is not None
+            and arr.shape[0] == 1
             and not kwargs.get("logprobs")
-            and kwargs.get("repetition_penalty", 1.0) == 1.0
-            and not kwargs.get("presence_penalty")
-            and not kwargs.get("frequency_penalty")
-        )
-        if self.batcher is not None and arr.shape[0] == 1 and plain_greedy:
+            and not kwargs.get("collect_trace")
+        ):
+            from moe_infinity_tpu.runtime.continuous import RequestSampling
+
+            do_sample = kwargs.get("do_sample")
+            temp = kwargs.get("temperature", 1.0 if do_sample else 0.0)
+            if do_sample is False or (do_sample is None and temp == 0.0):
+                temp = 0.0
             out = self.batcher.generate(
                 arr[0],
                 max_new_tokens=kwargs.get("max_new_tokens", 32),
                 eos_token_id=kwargs.get("eos_token_id"),
+                sampling=RequestSampling(
+                    temperature=float(temp),
+                    top_k=int(kwargs.get("top_k", 0) or 0),
+                    top_p=float(kwargs.get("top_p", 1.0)),
+                    repetition_penalty=float(
+                        kwargs.get("repetition_penalty", 1.0)
+                    ),
+                    presence_penalty=float(kwargs.get("presence_penalty", 0.0)),
+                    frequency_penalty=float(
+                        kwargs.get("frequency_penalty", 0.0)
+                    ),
+                    seed=int(kwargs.get("seed", 0)),
+                ),
             )
             return out[None]
         kw = dict(kwargs)

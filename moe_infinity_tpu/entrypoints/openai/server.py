@@ -264,11 +264,14 @@ class Handler(BaseHTTPRequestHandler):
         ids = tok(prompt, return_tensors="np").input_ids[0]
         eos = tok.eos_token_id
         q: "_q.Queue" = _q.Queue()
+        gk = req.to_generate_kwargs()
+        gk.pop("logprobs", None)
         fut = self.holder.engine.batcher.submit(
             ids,
-            max_new_tokens=req.to_generate_kwargs()["max_new_tokens"],
+            max_new_tokens=gk.pop("max_new_tokens"),
             eos_token_id=eos,
             on_token=q.put,
+            **gk,
         )
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")

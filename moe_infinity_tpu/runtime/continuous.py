@@ -37,6 +37,47 @@ import jax
 import jax.numpy as jnp
 
 from moe_infinity_tpu.runtime.paged_kv import PageAllocator, PagedKVCache
+from moe_infinity_tpu.runtime.sampling import (
+    RowParams,
+    reset_rows,
+    sample_rows,
+    update_counts,
+)
+
+
+@dataclass(frozen=True)
+class RequestSampling:
+    """Per-request sampling settings for batched serving. Requests with
+    different settings share one compiled step program (row params are
+    traced [B] vectors)."""
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    seed: int = 0
+
+    @property
+    def greedy_plain(self) -> bool:
+        return (
+            self.temperature == 0.0
+            and self.repetition_penalty == 1.0
+            and self.presence_penalty == 0.0
+            and self.frequency_penalty == 0.0
+        )
+
+    @property
+    def needs_counts(self) -> bool:
+        return (
+            self.repetition_penalty != 1.0
+            or self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+        )
+
+
+_GREEDY = RequestSampling()
 
 
 @dataclass
@@ -45,6 +86,7 @@ class _Req:
     max_new_tokens: int
     eos_token_id: Optional[int]
     on_token: Optional[Callable[[int], None]] = None
+    sampling: RequestSampling = _GREEDY
     future: Future = field(default_factory=Future)
 
 
@@ -117,6 +159,19 @@ class ContinuousBatcher:
         # per-row timeline state
         self._valid = np.zeros((self.B, max_cols), dtype=bool)
         self._logical = np.zeros(self.B, dtype=np.int64)
+        # per-row sampling state (device-resident token counts for
+        # repetition/presence/frequency penalties)
+        V = model.spec.vocab_size
+        self._counts_full = jnp.zeros((self.B, V), jnp.int32)
+        self._counts_gen = jnp.zeros((self.B, V), jnp.int32)
+        self._update_counts = jax.jit(update_counts)
+        self._reset_rows = jax.jit(reset_rows)
+
+        def sample_step(logits, idx, seeds, counters, cf, cg, rp):
+            row = jnp.take_along_axis(logits, idx[:, None, None], axis=1)
+            return sample_rows(row[:, 0, :], seeds, counters, cf, cg, rp)
+
+        self._sample = jax.jit(sample_step)
         self._slots = [_Slot() for _ in range(self.B)]
         self._col = 0  # shared cache-column clock
         self._queue: "queue.Queue[_Req]" = queue.Queue()
@@ -131,13 +186,23 @@ class ContinuousBatcher:
 
     # ---- client API ------------------------------------------------------
     def submit(
-        self, input_ids, max_new_tokens=32, eos_token_id=None, on_token=None
+        self, input_ids, max_new_tokens=32, eos_token_id=None, on_token=None,
+        sampling: Optional[RequestSampling] = None, **sampling_kwargs,
     ) -> Future:
         """on_token: optional callback fired from the scheduler thread for
-        every generated token (token-level streaming)."""
+        every generated token (token-level streaming). Per-request sampling
+        via `sampling=RequestSampling(...)` or bare kwargs (temperature,
+        top_k, top_p, repetition_penalty, presence/frequency_penalty, seed)."""
+        if sampling is None:
+            sampling_kwargs.pop("do_sample", None)
+            sampling = (
+                RequestSampling(**sampling_kwargs)
+                if sampling_kwargs
+                else _GREEDY
+            )
         r = _Req(
             np.asarray(input_ids).reshape(-1), max_new_tokens, eos_token_id,
-            on_token,
+            on_token, sampling,
         )
         self._queue.put(r)
         return r.future
@@ -179,6 +244,12 @@ class ContinuousBatcher:
             slot.active = True
             self._valid[b, :] = False
             self._logical[b] = 0
+            if req.sampling.needs_counts:
+                keep = np.ones(self.B, dtype=bool)
+                keep[b] = False
+                self._counts_full, self._counts_gen = self._reset_rows(
+                    self._counts_full, self._counts_gen, jnp.asarray(keep)
+                )
         return any(s.active for s in self._slots)
 
     def _finish(self, slot: _Slot):
@@ -260,7 +331,58 @@ class ContinuousBatcher:
                 jnp.asarray(self._valid[:, : self.max_cols]),
             )
             self._kvs = kvs
-            nxt = np.asarray(jnp.argmax(logits, axis=-1))  # [B, W]
+            active = [s for s in self._slots if s.active]
+            needs_counts = any(s.req.sampling.needs_counts for s in active)
+            needs_sampling = any(
+                not s.req.sampling.greedy_plain for s in active
+            )
+            if needs_counts:
+                # count this step's fed tokens (prompt for prefill rows;
+                # the previously generated token for decode rows) BEFORE
+                # sampling, so penalties see everything generated so far
+                fed_valid = np.zeros((self.B, W), dtype=bool)
+                gen_mask = np.zeros((self.B, W), dtype=bool)
+                for b, s in enumerate(self._slots):
+                    if not s.active or n_feed[b] == 0:
+                        continue
+                    fed_valid[b, : int(n_feed[b])] = True
+                    if not s.prefilling:
+                        # decode rows feed a *generated* token at index 0;
+                        # its first feed is the prompt's last token only
+                        # when generated is empty (prefill-final edge)
+                        gen_mask[b, 0] = len(s.generated) > 0
+                self._counts_full, self._counts_gen = self._update_counts(
+                    self._counts_full, self._counts_gen, jnp.asarray(toks),
+                    jnp.asarray(fed_valid), jnp.asarray(gen_mask),
+                )
+            if needs_sampling:
+                idx = np.maximum(n_feed - 1, 0).astype(np.int32)
+                sp = [
+                    s.req.sampling if s.active else _GREEDY
+                    for s in self._slots
+                ]
+                rp = RowParams.from_lists(
+                    [p.temperature for p in sp],
+                    [p.top_k for p in sp],
+                    [p.top_p for p in sp],
+                    [p.repetition_penalty for p in sp],
+                    [p.presence_penalty for p in sp],
+                    [p.frequency_penalty for p in sp],
+                )
+                seeds = jnp.asarray([p.seed for p in sp], jnp.int32)
+                counters = jnp.asarray(
+                    [len(s.generated) if s.active else 0 for s in self._slots],
+                    jnp.int32,
+                )
+                row_tok = np.asarray(
+                    self._sample(
+                        logits, jnp.asarray(idx), seeds, counters,
+                        self._counts_full, self._counts_gen, rp,
+                    )
+                )  # [B]
+                nxt = np.broadcast_to(row_tok[:, None], (self.B, W))
+            else:
+                nxt = np.asarray(jnp.argmax(logits, axis=-1))  # [B, W]
             self._col += W
             # ---- bookkeeping ------------------------------------------
             for b, s in enumerate(self._slots):

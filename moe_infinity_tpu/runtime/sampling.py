@@ -247,6 +247,111 @@ class Sampler:
         return self._step(logits, state)
 
 
+# ---------------------------------------------------------------------------
+# row-wise (per-request) sampling for the continuous batcher
+# ---------------------------------------------------------------------------
+
+
+class RowParams(NamedTuple):
+    """Per-row sampling parameters as [B] device arrays — traced inputs, so
+    requests with different settings share one compiled program."""
+
+    temperature: jax.Array  # f32; 0 = greedy
+    top_k: jax.Array  # i32; 0 = off
+    top_p: jax.Array  # f32; 1 = off
+    repetition_penalty: jax.Array  # f32; 1 = off
+    presence_penalty: jax.Array  # f32
+    frequency_penalty: jax.Array  # f32
+
+    @classmethod
+    def from_lists(cls, temperature, top_k, top_p, repetition_penalty,
+                   presence_penalty, frequency_penalty) -> "RowParams":
+        return cls(
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(repetition_penalty, jnp.float32),
+            jnp.asarray(presence_penalty, jnp.float32),
+            jnp.asarray(frequency_penalty, jnp.float32),
+        )
+
+
+def sample_rows(
+    logits: jax.Array,  # [B, V] raw
+    seeds: jax.Array,  # [B] int32 per-request seeds
+    counters: jax.Array,  # [B] int32 tokens generated so far by the row
+    counts_full: jax.Array,  # [B, V] int32 prompt+generated counts
+    counts_gen: jax.Array,  # [B, V] int32 generated counts
+    rp: RowParams,
+) -> jax.Array:
+    """One vectorized sampling step with per-row parameters. Returns
+    tokens [B]. Keys derive from (seed, counter) so a request's draws
+    depend only on its own progress, not on batch co-tenants — the same
+    request alone or batched samples identically. Fully jittable."""
+    B, V = logits.shape
+    # processors (apply in greedy mode too, like HF)
+    rep = rp.repetition_penalty[:, None]
+    scaled = jnp.where(logits < 0, logits * rep, logits / rep)
+    x = jnp.where(counts_full > 0, scaled, logits)
+    c = counts_gen.astype(x.dtype)
+    x = x - rp.frequency_penalty[:, None] * c - rp.presence_penalty[:, None] * (
+        c > 0
+    )
+    greedy = rp.temperature <= 0.0
+    greedy_tok = jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+    # warpers (sampling rows only)
+    t = jnp.where(greedy, 1.0, rp.temperature)[:, None]
+    w = x / t
+    # per-row top-k: keep scores >= the k-th largest (k=0 disables)
+    sorted_desc = jnp.sort(w, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(rp.top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    kth = jnp.where((rp.top_k > 0)[:, None], kth, -jnp.inf)
+    w = jnp.where(w < kth, _NEG_INF, w)
+    # per-row top-p (HF semantics, min_tokens_to_keep=1)
+    sorted_idx = jnp.argsort(w, axis=-1)  # ascending
+    sorted_w = jnp.take_along_axis(w, sorted_idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_w, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - rp.top_p[:, None])
+    remove_sorted = remove_sorted.at[:, -1].set(False)
+    inv = jnp.argsort(sorted_idx, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+    w = jnp.where(remove, _NEG_INF, w)
+
+    def draw(seed, counter, row):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), counter)
+        return jax.random.categorical(key, row).astype(jnp.int32)
+
+    sampled_tok = jax.vmap(draw)(seeds, counters, w)
+    return jnp.where(greedy, greedy_tok, sampled_tok)
+
+
+def update_counts(
+    counts_full: jax.Array,  # [B, V]
+    counts_gen: jax.Array,
+    tokens: jax.Array,  # [B, W] tokens fed/generated this step
+    valid: jax.Array,  # [B, W] bool — count these
+    gen_mask: jax.Array,  # [B, W] bool — also count into counts_gen
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter-add this step's tokens into the per-row count tensors."""
+    B = tokens.shape[0]
+    b = jnp.broadcast_to(jnp.arange(B)[:, None], tokens.shape)
+    counts_full = counts_full.at[b, tokens].add(valid.astype(jnp.int32))
+    counts_gen = counts_gen.at[b, tokens].add(
+        (valid & gen_mask).astype(jnp.int32)
+    )
+    return counts_full, counts_gen
+
+
+def reset_rows(
+    counts_full: jax.Array, counts_gen: jax.Array, keep: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Zero the count rows where keep[b] is False (slot re-seated)."""
+    m = keep[:, None]
+    return jnp.where(m, counts_full, 0), jnp.where(m, counts_gen, 0)
+
+
 def params_from_kwargs(
     *,
     temperature: float = 0.0,

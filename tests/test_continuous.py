@@ -168,3 +168,69 @@ class TestChunkedPrefill:
             time.sleep(0.15)
         for f, want in zip(futures, wants):
             np.testing.assert_array_equal(f.result(timeout=120), want)
+
+
+class TestBatchedSampling:
+    """Per-request sampling params inside the shared batch: mixed greedy +
+    sampled requests, per-request determinism independent of co-tenants."""
+
+    @pytest.fixture(scope="class")
+    def batcher(self):
+        from moe_infinity_tpu.runtime.continuous import RequestSampling  # noqa
+
+        model = MixtralModel(SPEC, compute_dtype=jnp.float32)
+        params, experts = model.init_random(jax.random.PRNGKey(4))
+        gen = Generator(
+            model, params, experts, ResidentProvider.for_layer, max_seq_len=64
+        )
+        b = ContinuousBatcher(
+            model, params, experts, ResidentProvider.for_layer,
+            max_batch_size=3, page_size=8, num_pages=64, max_cols=128,
+            prefill_chunk=4,
+        )
+        yield gen, b
+        b.shutdown()
+
+    def test_greedy_request_unaffected_by_sampled_cotenant(self, batcher):
+        gen, b = batcher
+        p1 = np.array([5, 31, 8])
+        want = gen.generate(p1[None], max_new_tokens=8).sequences[0]
+        f1 = b.submit(p1, max_new_tokens=8)
+        f2 = b.submit(
+            np.array([9, 3, 44]), max_new_tokens=8,
+            temperature=0.9, top_p=0.9, seed=11,
+        )
+        np.testing.assert_array_equal(f1.result(timeout=120), want)
+        f2.result(timeout=120)
+
+    def test_sampled_deterministic_regardless_of_batch(self, batcher):
+        """Same sampled request alone vs with co-tenants: identical draws
+        (keys derive from (seed, own progress), not batch state)."""
+        gen, b = batcher
+        p = np.array([7, 11, 13])
+        kw = dict(max_new_tokens=6, temperature=0.8, top_k=12, seed=5)
+        alone = b.submit(p, **kw).result(timeout=120)
+        f1 = b.submit(p, **kw)
+        f2 = b.submit(np.array([1, 2, 3, 4, 5]), max_new_tokens=6)
+        f3 = b.submit(np.array([6]), max_new_tokens=6, temperature=1.2, seed=9)
+        together = f1.result(timeout=120)
+        f2.result(timeout=120)
+        f3.result(timeout=120)
+        np.testing.assert_array_equal(alone, together)
+
+    def test_repetition_penalty_in_batch(self, batcher):
+        """Greedy + strong repetition penalty through the batcher must not
+        repeat any token while unpenalized greedy repeats (tiny random
+        models loop quickly)."""
+        gen, b = batcher
+        p = np.array([5, 31])
+        free = b.submit(p, max_new_tokens=12).result(timeout=120)
+        # the tiny model loops on one token without a penalty
+        assert any(a == b2 for a, b2 in zip(free[2:], free[3:]))
+        pen = b.submit(
+            p, max_new_tokens=12, repetition_penalty=10.0, seed=0
+        ).result(timeout=120)
+        gen_pen = pen[len(p):]
+        # penalized generation never emits the same token twice in a row
+        assert all(a != b2 for a, b2 in zip(gen_pen, gen_pen[1:]))
+        assert pen.shape == free.shape
