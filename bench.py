@@ -298,8 +298,13 @@ def bench_dsv2lite_resident(args):
         np.asarray(a.reshape(-1)[:8])
 
     params, _ = model.init_random(jax.random.PRNGKey(99), with_experts=False)
+    fold = not args.no_fold_mla
+    if fold:
+        # fold w_uk/scale into q-proj and w_uv into o-proj: two fewer
+        # matmuls + one multiply per layer on the op-bound decode path
+        params = model.fold_mla_params(params)
     for pl_ in params["layers"]:
-        force(pl_["o"])
+        force(pl_["o_fold" if fold else "o"])
     force(params["embed"])
 
     E_, D_, F_ = spec.num_experts, spec.hidden_size, spec.moe_intermediate_size
@@ -316,17 +321,31 @@ def bench_dsv2lite_resident(args):
         lambda k, s: jax.random.uniform(k, s, jnp.float32, 1e-3, 2e-3),
         static_argnums=1,
     )
+    fuse = not args.no_fuse_gateup
     layer_trees = []
     for li in range(Lm_):
         ks = jax.random.split(jax.random.PRNGKey(li), 6)
         if quant:
+            if fuse:  # one gather + one matmul for gate+up
+                lt = {
+                    "gateup": geni(ks[0], (E_, D_, 2 * F_)),
+                    "down": geni(ks[2], (E_, F_, D_)),
+                    "gateup_scale": gens(ks[3], (E_, 2 * F_)),
+                    "down_scale": gens(ks[5], (E_, D_)),
+                }
+            else:
+                lt = {
+                    "gate": geni(ks[0], (E_, D_, F_)),
+                    "up": geni(ks[1], (E_, D_, F_)),
+                    "down": geni(ks[2], (E_, F_, D_)),
+                    "gate_scale": gens(ks[3], (E_, F_)),
+                    "up_scale": gens(ks[4], (E_, F_)),
+                    "down_scale": gens(ks[5], (E_, D_)),
+                }
+        elif fuse:
             lt = {
-                "gate": geni(ks[0], (E_, D_, F_)),
-                "up": geni(ks[1], (E_, D_, F_)),
-                "down": geni(ks[2], (E_, F_, D_)),
-                "gate_scale": gens(ks[3], (E_, F_)),
-                "up_scale": gens(ks[4], (E_, F_)),
-                "down_scale": gens(ks[5], (E_, D_)),
+                "gateup": genf(ks[0], (E_, D_, 2 * F_), jnp.bfloat16),
+                "down": genf(ks[2], (E_, F_, D_), jnp.bfloat16),
             }
         else:
             lt = {
@@ -423,6 +442,10 @@ def main():
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))
+    p.add_argument("--no-fold-mla", action="store_true",
+                   help="disable MLA weight folding (dsv2 preset)")
+    p.add_argument("--no-fuse-gateup", action="store_true",
+                   help="disable fused gate+up expert weights (dsv2 preset)")
     args = p.parse_args()
     result = PRESETS[args.preset](args)
     print(json.dumps(result))

@@ -118,6 +118,8 @@ class MoE:
         )
         self.model = model_cls(spec_cls.from_hf(hf_config), compute_dtype)
         self.params = self.model.load_params(dense)
+        if config.fold_mla and hasattr(self.model, "fold_mla_params"):
+            self.params = self.model.fold_mla_params(self.params)
 
         self.batcher = None
         # ---- residency budget ------------------------------------------
@@ -183,7 +185,9 @@ class MoE:
                 "experts fit in HBM (%.1f GB <= %.1f GB budget): resident plan",
                 expert_bytes / 2**30, (budget - dense_bytes) / 2**30,
             )
-            provider = ResidentProvider(store, dtype=compute_dtype)
+            provider = ResidentProvider(
+                store, dtype=compute_dtype, fuse_gateup=config.fuse_gateup
+            )
             stepper = ResidentStepper(
                 self.model, self.params, provider.pytree(),
                 ResidentProvider.for_layer,

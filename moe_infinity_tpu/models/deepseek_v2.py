@@ -214,39 +214,61 @@ class DeepseekV2ModelJax:
         return jnp.cos(freqs), jnp.sin(freqs)
 
     def attn_block(self, pl, x, kv: KVCache, positions, kv_len, pad_offsets=None,
-                   rope_positions=None, key_valid=None):
+                   rope_positions=None, key_valid=None, rope=None):
         """positions are cache-column positions; with left padding /
         continuous batching, pad_offsets [B] shifts rope to sequence
         positions and masks foreign/padded key columns. rope_positions /
         key_valid give per-row timelines for chunked prefill (see
-        models/mixtral.py attn_block)."""
+        models/mixtral.py attn_block). rope=(cos, sin) passes hoisted
+        tables (computed once per step instead of per layer).
+
+        With folded params (fold_mla_params), the q projection emits the
+        latent-absorbed query directly and w_uv is folded into the output
+        projection — two fewer matmuls and one fewer multiply per layer on
+        the decode path, exact up to f32 re-association."""
         s = self.spec
         B, T, D = x.shape
         H = s.num_heads
+        folded = "o_fold" in pl
         h = rms_norm(x, pl["input_norm"], s.rms_eps)
 
-        if s.q_lora_rank is None:
-            q = linear(h, pl["q"])
+        if folded:
+            R, P = s.kv_lora_rank, s.qk_rope_head_dim
+            if s.q_lora_rank is None:
+                qcat = linear(h, pl["q_fold"])
+            else:
+                qcat = linear(
+                    rms_norm(linear(h, pl["q_a"]), pl["q_a_norm"], s.rms_eps),
+                    pl["q_b_fold"],
+                )
+            qcat = qcat.reshape(B, T, H, R + P)
+            q_lat = qcat[..., :R].astype(jnp.float32)  # pre-scaled
+            q_pe = qcat[..., R:]
         else:
-            q = linear(
-                rms_norm(linear(h, pl["q_a"]), pl["q_a_norm"], s.rms_eps),
-                pl["q_b"],
-            )
-        q = q.reshape(B, T, H, s.qk_head_dim)
-        q_nope = q[..., : s.qk_nope_head_dim]
-        q_pe = q[..., s.qk_nope_head_dim :]
+            if s.q_lora_rank is None:
+                q = linear(h, pl["q"])
+            else:
+                q = linear(
+                    rms_norm(linear(h, pl["q_a"]), pl["q_a_norm"], s.rms_eps),
+                    pl["q_b"],
+                )
+            q = q.reshape(B, T, H, s.qk_head_dim)
+            q_nope = q[..., : s.qk_nope_head_dim]
+            q_pe = q[..., s.qk_nope_head_dim :]
 
         ckv = linear(h, pl["kv_a"])  # [B, T, R + P]
         c = ckv[..., : s.kv_lora_rank]
         k_pe = ckv[..., s.kv_lora_rank :][:, :, None, :]  # [B, T, 1, P]
         c = rms_norm(c, pl["kv_a_norm"], s.rms_eps)
 
-        rope_pos = positions
-        if rope_positions is not None:
-            rope_pos = rope_positions
-        elif pad_offsets is not None:
-            rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
-        cos, sin = self._rope_tables(rope_pos)
+        if rope is None:
+            rope_pos = positions
+            if rope_positions is not None:
+                rope_pos = rope_positions
+            elif pad_offsets is not None:
+                rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
+            rope = self._rope_tables(rope_pos)
+        cos, sin = rope
         q_pe = rope_interleaved(q_pe, cos, sin)
         k_pe = rope_interleaved(k_pe, cos, sin)
 
@@ -254,13 +276,13 @@ class DeepseekV2ModelJax:
         c_cache = kv.k[:, :, 0, :]  # [B, S, R]
         kpe_cache = kv.v[:, :, 0, :]  # [B, S, P]
 
-        # absorbed query: q_lat [B, T, H, R]
-        q_lat = jnp.einsum(
-            "bthd,hdr->bthr",
-            q_nope.astype(jnp.float32),
-            pl["w_uk"].astype(jnp.float32),
-        )
-        scale = s.qk_head_dim**-0.5
+        if not folded:
+            # absorbed query: q_lat [B, T, H, R]
+            q_lat = jnp.einsum(
+                "bthd,hdr->bthr",
+                q_nope.astype(jnp.float32),
+                pl["w_uk"].astype(jnp.float32),
+            )
         logits = (
             jnp.einsum("bthr,bsr->bhts", q_lat, c_cache.astype(jnp.float32))
             + jnp.einsum(
@@ -268,7 +290,9 @@ class DeepseekV2ModelJax:
                 q_pe.astype(jnp.float32),
                 kpe_cache.astype(jnp.float32),
             )
-        ) * scale
+        )
+        if not folded:
+            logits = logits * (s.qk_head_dim**-0.5)
 
         S = c_cache.shape[1]
         key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
@@ -282,10 +306,17 @@ class DeepseekV2ModelJax:
         logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(logits, axis=-1)
         out_lat = jnp.einsum("bhts,bsr->bthr", probs, c_cache.astype(jnp.float32))
-        out = jnp.einsum(
-            "bthr,hdr->bthd", out_lat, pl["w_uv"].astype(jnp.float32)
-        )  # [B, T, H, Dv]
-        out = linear(out.reshape(B, T, H * s.v_head_dim).astype(self.dtype), pl["o"])
+        if folded:
+            out = jnp.einsum(
+                "bthr,dhr->btd", out_lat, pl["o_fold"].astype(jnp.float32)
+            ).astype(self.dtype)
+        else:
+            out = jnp.einsum(
+                "bthr,hdr->bthd", out_lat, pl["w_uv"].astype(jnp.float32)
+            )  # [B, T, H, Dv]
+            out = linear(
+                out.reshape(B, T, H * s.v_head_dim).astype(self.dtype), pl["o"]
+            )
         return x + out, kv
 
     # ---- routing ---------------------------------------------------------
@@ -354,22 +385,56 @@ class DeepseekV2ModelJax:
         return layer_idx - self.spec.first_k_dense_replace
 
     def dense_layer(self, pl, x, kv, positions, kv_len, pad_offsets=None,
-                    rope_positions=None, key_valid=None):
+                    rope_positions=None, key_valid=None, rope=None):
         """Full step for a first_k_dense_replace layer."""
         s = self.spec
         x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets,
-                                rope_positions, key_valid)
+                                rope_positions, key_valid, rope)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         return x + self._dense_mlp(h, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]), kv
 
     def pre_moe(self, pl, x, kv, positions, kv_len, pad_offsets=None,
-                rope_positions=None, key_valid=None):
+                rope_positions=None, key_valid=None, rope=None):
         s = self.spec
         x, kv = self.attn_block(pl, x, kv, positions, kv_len, pad_offsets,
-                                rope_positions, key_valid)
+                                rope_positions, key_valid, rope)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         cw, ids = self.route(pl, h)
         return x, h, cw, ids, kv
+
+    # ---- MLA weight folding (decode-path op reduction) --------------------
+    def fold_mla_params(self, params):
+        """Fold the absorbed-MLA weights into the projections:
+        * w_uk folds into the q (or q_b) projection, emitting the latent
+          query directly, concatenated with the rope part — one matmul where
+          the unfolded path needs two (q proj + absorb einsum);
+        * the attention scale folds into the same weights;
+        * w_uv folds into o_proj: one einsum instead of two.
+        Exact up to f32 re-association (folding is done in f32, stored in
+        the compute dtype). Returns new params; the per-layer originals
+        (q/q_b, w_uk, w_uv, o) are dropped to save HBM."""
+        s = self.spec
+        scale = s.qk_head_dim**-0.5
+        new_layers = []
+        for pl in params["layers"]:
+            pl = dict(pl)
+            wuk = pl.pop("w_uk").astype(jnp.float32)  # [H, Dn, R]
+            wuv = pl.pop("w_uv").astype(jnp.float32)  # [H, Dv, R]
+            qkey = "q" if s.q_lora_rank is None else "q_b"
+            wq = pl.pop(qkey).astype(jnp.float32)  # [H*Dk, In] (HF layout)
+            wq = wq.reshape(s.num_heads, s.qk_head_dim, wq.shape[-1])
+            wqn = wq[:, : s.qk_nope_head_dim]  # [H, Dn, In]
+            wqp = wq[:, s.qk_nope_head_dim :]  # [H, P, In]
+            wql = jnp.einsum("hni,hnr->hri", wqn, wuk)  # [H, R, In]
+            fold = jnp.concatenate([wql, wqp], axis=1) * scale
+            pl[qkey + "_fold"] = fold.reshape(
+                s.num_heads * (s.kv_lora_rank + s.qk_rope_head_dim), -1
+            ).astype(self.dtype)
+            wo = pl.pop("o").astype(jnp.float32)  # [D, H*Dv]
+            wo = wo.reshape(-1, s.num_heads, s.v_head_dim)  # [D, H, Dv]
+            pl["o_fold"] = jnp.einsum("dhv,hvr->dhr", wo, wuv).astype(self.dtype)
+            new_layers.append(pl)
+        return {**params, "layers": new_layers}
 
     def apply_moe(self, pl, x, h, cw, ids, weights, slot_map, biases, impl):
         s = self.spec
@@ -417,6 +482,13 @@ class DeepseekV2ModelJax:
     ):
         s = self.spec
         x = self.embed(params, tokens)
+        # hoist the rope tables: identical across layers, compute once
+        rope_pos = positions
+        if rope_positions is not None:
+            rope_pos = rope_positions
+        elif pad_offsets is not None:
+            rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
+        rope = self._rope_tables(rope_pos)
         new_kvs, trace_ids, trace_w = [], [], []
         for li in range(s.num_layers):
             pl = params["layers"][li]
@@ -424,12 +496,12 @@ class DeepseekV2ModelJax:
             if mli is None:
                 x, kv = self.dense_layer(
                     pl, x, kv_caches[li], positions, kv_len, pad_offsets,
-                    rope_positions, key_valid,
+                    rope_positions, key_valid, rope,
                 )
             else:
                 x, h, cw, ids, kv = self.pre_moe(
                     pl, x, kv_caches[li], positions, kv_len, pad_offsets,
-                    rope_positions, key_valid,
+                    rope_positions, key_valid, rope,
                 )
                 w, slot_map, biases = for_layer(experts, mli)
                 x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)

@@ -118,6 +118,8 @@ def grouped_ffn(
     if impl == "pallas":
         from moe_infinity_tpu.ops.gmm import gffn_pallas
 
+        if "gateup" in weights:  # kernel takes separate gate/up views
+            weights = _split_gateup(weights)
         return gffn_pallas(
             x, expert_ids, combine_weights, expert_to_slot, weights,
             activation, biases,
@@ -128,6 +130,34 @@ def grouped_ffn(
             activation, biases,
         )
     raise ValueError(f"unknown grouped_ffn impl {impl!r}")
+
+
+def _split_gateup(weights: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """View a fused 'gateup' [S, D, 2F] dict as separate gate/up (for impls
+    without a fused path); slices are compile-time, no copies at trace."""
+    w = dict(weights)
+    gu = w.pop("gateup")
+    F = gu.shape[-1] // 2
+    w["gate"], w["up"] = gu[..., :F], gu[..., F:]
+    if "gateup_scale" in w:
+        sc = w.pop("gateup_scale")
+        w["gate_scale"], w["up_scale"] = sc[..., :F], sc[..., F:]
+    return w
+
+
+def fuse_gateup(weights: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Concatenate gate+up (and their scales) into fused arrays: the gather
+    and ragged paths then do ONE gather + ONE matmul for both projections —
+    fewer ops on the op-overhead-bound decode path, same FLOPs/bytes."""
+    if "up" not in weights or "gateup" in weights:
+        return weights
+    w = dict(weights)
+    w["gateup"] = jnp.concatenate([w.pop("gate"), w.pop("up")], axis=-1)
+    if "gate_scale" in w:
+        w["gateup_scale"] = jnp.concatenate(
+            [w.pop("gate_scale"), w.pop("up_scale")], axis=-1
+        )
+    return w
 
 
 def _gffn_gather(x, expert_ids, combine_weights, expert_to_slot, weights,
@@ -148,22 +178,33 @@ def _gffn_gather(x, expert_ids, combine_weights, expert_to_slot, weights,
         w = weights[role][rows]
         return w.astype(jnp.bfloat16) if w.dtype == jnp.int8 else w
 
-    wg = dq("gate")
-    xb = x_rep.astype(wg.dtype)
-    h = jnp.einsum("td,tdf->tf", xb, wg, preferred_element_type=jnp.float32)
-    if "gate_scale" in weights:
-        h = h * weights["gate_scale"][rows]
-    if biases is not None and "gate_bias" in biases:
-        h = h + biases["gate_bias"][rows]
-    if "up" in weights:
-        hu = jnp.einsum(
-            "td,tdf->tf", xb, dq("up"), preferred_element_type=jnp.float32
+    if "gateup" in weights:
+        wgu = dq("gateup")
+        xb = x_rep.astype(wgu.dtype)
+        hcat = jnp.einsum(
+            "td,tdf->tf", xb, wgu, preferred_element_type=jnp.float32
         )
-        if "up_scale" in weights:
-            hu = hu * weights["up_scale"][rows]
-        h = _activate(h, hu, activation)
+        if "gateup_scale" in weights:
+            hcat = hcat * weights["gateup_scale"][rows]
+        F = hcat.shape[-1] // 2
+        h = _activate(hcat[:, :F], hcat[:, F:], activation)
     else:
-        h = _activate(h, None, activation)
+        wg = dq("gate")
+        xb = x_rep.astype(wg.dtype)
+        h = jnp.einsum("td,tdf->tf", xb, wg, preferred_element_type=jnp.float32)
+        if "gate_scale" in weights:
+            h = h * weights["gate_scale"][rows]
+        if biases is not None and "gate_bias" in biases:
+            h = h + biases["gate_bias"][rows]
+        if "up" in weights:
+            hu = jnp.einsum(
+                "td,tdf->tf", xb, dq("up"), preferred_element_type=jnp.float32
+            )
+            if "up_scale" in weights:
+                hu = hu * weights["up_scale"][rows]
+            h = _activate(h, hu, activation)
+        else:
+            h = _activate(h, None, activation)
     out = jnp.einsum(
         "tf,tfd->td", h.astype(compute_dtype), dq("down"),
         preferred_element_type=jnp.float32,
@@ -180,7 +221,7 @@ def _gffn_ragged(x, expert_ids, combine_weights, expert_to_slot, weights,
                  activation, biases):
     T, D = x.shape
     K = expert_ids.shape[1]
-    S = weights["gate"].shape[0]
+    S = weights["gateup" if "gateup" in weights else "gate"].shape[0]
     compute_dtype = x.dtype
 
     slot_ids = expert_to_slot[expert_ids]  # [T, K]
@@ -191,22 +232,35 @@ def _gffn_ragged(x, expert_ids, combine_weights, expert_to_slot, weights,
     xs = x[inv_token]  # [T*K, D] sorted by slot
     group_sizes = jnp.bincount(flat_slots, length=S)
 
-    w_gate = _dequant(weights["gate"], weights.get("gate_scale"), compute_dtype)
-    h = jax.lax.ragged_dot(
-        xs, w_gate.astype(compute_dtype), group_sizes,
-        preferred_element_type=jnp.float32,
-    )
-    if biases is not None and "gate_bias" in biases:
-        h = h + biases["gate_bias"][flat_slots[order]]
-    if "up" in weights:
-        w_up = _dequant(weights["up"], weights.get("up_scale"), compute_dtype)
-        h_up = jax.lax.ragged_dot(
-            xs, w_up.astype(compute_dtype), group_sizes,
+    if "gateup" in weights:
+        w_gu = _dequant(
+            weights["gateup"], weights.get("gateup_scale"), compute_dtype
+        )
+        hcat = jax.lax.ragged_dot(
+            xs, w_gu.astype(compute_dtype), group_sizes,
             preferred_element_type=jnp.float32,
         )
-        h = _activate(h, h_up, activation)
+        F = hcat.shape[-1] // 2
+        h = _activate(hcat[:, :F], hcat[:, F:], activation)
     else:
-        h = _activate(h, None, activation)
+        w_gate = _dequant(
+            weights["gate"], weights.get("gate_scale"), compute_dtype
+        )
+        h = jax.lax.ragged_dot(
+            xs, w_gate.astype(compute_dtype), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        if biases is not None and "gate_bias" in biases:
+            h = h + biases["gate_bias"][flat_slots[order]]
+        if "up" in weights:
+            w_up = _dequant(weights["up"], weights.get("up_scale"), compute_dtype)
+            h_up = jax.lax.ragged_dot(
+                xs, w_up.astype(compute_dtype), group_sizes,
+                preferred_element_type=jnp.float32,
+            )
+            h = _activate(h, h_up, activation)
+        else:
+            h = _activate(h, None, activation)
 
     w_down = _dequant(weights["down"], weights.get("down_scale"), compute_dtype)
     out = jax.lax.ragged_dot(
@@ -291,6 +345,8 @@ def _gffn_dense(x, expert_ids, combine_weights, expert_to_slot, weights,
                 activation, biases):
     """Reference implementation: computes every slot for every token via
     one-hot masks. O(T*S*F*D) — tests and tiny models only."""
+    if "gateup" in weights:
+        weights = _split_gateup(weights)
     T, D = x.shape
     S = weights["gate"].shape[0]
     compute_dtype = x.dtype

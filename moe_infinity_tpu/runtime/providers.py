@@ -46,7 +46,11 @@ class ResidentProvider:
         dequantize: bool = False,
         dtype=jnp.bfloat16,
         device_put=jax.device_put,
+        fuse_gateup: bool = False,
     ):
+        """fuse_gateup: concatenate gate+up (and scales) per layer so the
+        gather/ragged FFN paths do one matmul for both projections (decode
+        op-count reduction; exact — see ops.moe.fuse_gateup)."""
         self.store = store
         self.meta = store.meta
         roles = role_map_for(self.meta)
@@ -88,6 +92,10 @@ class ResidentProvider:
                         [store.get_tensor(l, e, tail) for e in range(store.num_experts)]
                     )
                     w[key] = device_put(jnp.asarray(stacked).astype(jnp.float32))
+            if fuse_gateup and "up" in w and "gate_bias" not in w:
+                from moe_infinity_tpu.ops.moe import fuse_gateup as _fuse
+
+                w = jax.tree.map(device_put, _fuse(w))
             layers.append(w)
         self._layers = layers
         self._slot_map = device_put(

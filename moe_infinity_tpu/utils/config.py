@@ -78,6 +78,15 @@ class EngineConfig:
     """Prompt tokens ingested per shared step in the continuous batcher
     (chunked prefill). 1 = hole-free single-token piggyback prefill."""
 
+    fold_mla: bool = False
+    """DeepSeek/MLA models: fold w_uk + attention scale into the q
+    projection and w_uv into o_proj (fewer decode ops; exact up to f32
+    re-association)."""
+
+    fuse_gateup: bool = False
+    """Resident plans: concatenate gate+up expert weights so the grouped
+    FFN runs one matmul for both projections (exact)."""
+
     # ---- parallelism ----------------------------------------------------
     data_parallel: int = 1
     tensor_parallel: int = 1
