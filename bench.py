@@ -326,26 +326,13 @@ def bench_dsv2lite_resident(args):
     for li in range(Lm_):
         ks = jax.random.split(jax.random.PRNGKey(li), 6)
         if quant:
-            if fuse:  # one gather + one matmul for gate+up
-                lt = {
-                    "gateup": geni(ks[0], (E_, D_, 2 * F_)),
-                    "down": geni(ks[2], (E_, F_, D_)),
-                    "gateup_scale": gens(ks[3], (E_, 2 * F_)),
-                    "down_scale": gens(ks[5], (E_, D_)),
-                }
-            else:
-                lt = {
-                    "gate": geni(ks[0], (E_, D_, F_)),
-                    "up": geni(ks[1], (E_, D_, F_)),
-                    "down": geni(ks[2], (E_, F_, D_)),
-                    "gate_scale": gens(ks[3], (E_, F_)),
-                    "up_scale": gens(ks[4], (E_, F_)),
-                    "down_scale": gens(ks[5], (E_, D_)),
-                }
-        elif fuse:
             lt = {
-                "gateup": genf(ks[0], (E_, D_, 2 * F_), jnp.bfloat16),
-                "down": genf(ks[2], (E_, F_, D_), jnp.bfloat16),
+                "gate": geni(ks[0], (E_, D_, F_)),
+                "up": geni(ks[1], (E_, D_, F_)),
+                "down": geni(ks[2], (E_, F_, D_)),
+                "gate_scale": gens(ks[3], (E_, F_)),
+                "up_scale": gens(ks[4], (E_, F_)),
+                "down_scale": gens(ks[5], (E_, D_)),
             }
         else:
             lt = {
@@ -357,9 +344,17 @@ def bench_dsv2lite_resident(args):
         # materialize in waves: enough to bound deferred-generation temps,
         # few enough to amortize the relay's D2H sync cost
         if li % 3 == 2 or li == Lm_ - 1:
-            for lt_ in layer_trees[max(0, li - 2) :]:
+            for j in range(max(0, li - 2), li + 1):
+                lt_ = layer_trees[j]
                 for v in lt_.values():
                     force(v)
+                if fuse:
+                    # fuse AFTER materializing the halves: the randint bits
+                    # temp of a direct 2F-wide generation OOMs near the end
+                    from moe_infinity_tpu.ops.moe import fuse_gateup
+
+                    layer_trees[j] = fuse_gateup(lt_)
+                    force(layer_trees[j]["gateup"])
             print(f"[bench] experts materialized through layer {li}",
                   file=sys.stderr, flush=True)
     experts = {

@@ -299,6 +299,29 @@ class MoE:
         kw.setdefault("temperature", 1.0 if kw.get("do_sample") else 0.0)
         kw.pop("max_length", None)
         kw.setdefault("max_new_tokens", 32)
+        # prompt-lookup speculation: greedy batch-1 decoder-only requests
+        if (
+            self.config.speculative_tokens > 0
+            and arr.shape[0] == 1
+            and kw["temperature"] == 0.0
+            and not kw.get("logprobs")
+            and hasattr(self.generator, "stepper")
+        ):
+            from moe_infinity_tpu.runtime.speculative import SpeculativeDecoder
+
+            if not hasattr(self, "_spec"):
+                self._spec = SpeculativeDecoder(
+                    self.generator.stepper,
+                    spec_tokens=self.config.speculative_tokens,
+                    max_seq_len=self.config.max_seq_len,
+                )
+            result = self._spec.generate(
+                arr, kw["max_new_tokens"],
+                eos_token_id=kw.get("eos_token_id"),
+                pad_token_id=kw.get("pad_token_id", 0),
+            )
+            self.last_result = result
+            return result.sequences
         result = self.generator.generate(np.asarray(input_ids), **kw)
         self.last_result = result
         return result.sequences

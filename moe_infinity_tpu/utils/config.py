@@ -87,6 +87,10 @@ class EngineConfig:
     """Resident plans: concatenate gate+up expert weights so the grouped
     FFN runs one matmul for both projections (exact)."""
 
+    speculative_tokens: int = 0
+    """Greedy batch-1 decode: draft this many tokens per step via prompt-
+    lookup (n-gram) speculation and verify in one forward (exact; 0 = off)."""
+
     # ---- parallelism ----------------------------------------------------
     data_parallel: int = 1
     tensor_parallel: int = 1
