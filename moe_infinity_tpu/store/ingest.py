@@ -61,10 +61,36 @@ def _iter_checkpoint_tensors(checkpoint: str):
 
 
 def _iter_model_tensors(checkpoint: str, config):
-    """Checkpoint tensor stream with GPTQ-quantized linears reconstructed
-    as plain float `.weight` tensors (reference loads these via AutoGPTQ
-    QuantLinear conversion, model_offload.py:452-467)."""
+    """Checkpoint tensor stream with quantized linears reconstructed as
+    plain float `.weight` tensors: GPTQ packed 4/8-bit (reference loads
+    these via AutoGPTQ QuantLinear conversion, model_offload.py:452-467)
+    and DeepSeek-V3 official FP8 block-scaled checkpoints (reference casts
+    the model to float8, model_offload.py:347,425)."""
+    from moe_infinity_tpu.store.fp8_block import (
+        Fp8BlockReassembler,
+        fp8_block_config,
+    )
     from moe_infinity_tpu.store.gptq import GptqReassembler, gptq_config
+
+    f8cfg = fp8_block_config(config)
+    if f8cfg is not None:
+        import torch
+
+        logger.info("FP8 block-quantized checkpoint (block=%s): "
+                    "dequantizing at ingest", f8cfg["block"])
+        asm8 = Fp8BlockReassembler(f8cfg)
+        for name, tensor in _iter_checkpoint_tensors(checkpoint):
+            is_fp8 = str(tensor.dtype) == "torch.float8_e4m3fn"
+            if is_fp8 or name.endswith(Fp8BlockReassembler.SCALE_SUFFIX):
+                for out_name, arr in asm8.feed(
+                    name, torch_to_numpy(tensor), is_fp8
+                ):
+                    yield out_name, torch.from_numpy(np.ascontiguousarray(arr))
+            else:
+                yield name, tensor
+        for out_name, arr in asm8.flush():
+            yield out_name, torch.from_numpy(np.ascontiguousarray(arr))
+        return
 
     qcfg = gptq_config(config)
     if qcfg is None:
