@@ -231,8 +231,10 @@ class ContinuousBatcher:
                 self._queue.put(req)
                 break
             try:
+                # range-offset allocation: no pages below the start column
                 self.alloc.allocate(
-                    id(req), self._col + T + req.max_new_tokens + 1
+                    id(req), self._col + T + req.max_new_tokens + 1,
+                    start_token=self._col,
                 )
             except RuntimeError:
                 self._queue.put(req)  # pool full; wait for completions
@@ -309,7 +311,9 @@ class ContinuousBatcher:
                 # extend the page allocation over this step's columns
                 # (holes burn columns beyond the admission-time estimate)
                 try:
-                    self.alloc.allocate(id(s.req), self._col + W)
+                    self.alloc.allocate(
+                        id(s.req), self._col + W, start_token=s.start_col
+                    )
                 except RuntimeError:
                     self._finish(s)  # pool exhausted: truncate this slot
                     n_feed[b] = 0

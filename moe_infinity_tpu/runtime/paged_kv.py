@@ -74,6 +74,7 @@ class PageAllocator:
         self.num_pages = num_pages
         self.page_size = page_size
         self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        # seq_id -> {logical page index -> physical page id}
         self._owned: dict = {}
         self._lock = threading.Lock()
 
@@ -81,33 +82,42 @@ class PageAllocator:
     def free_pages(self) -> int:
         return len(self._free)
 
-    def allocate(self, seq_id, num_tokens: int) -> List[int]:
-        """Pages covering num_tokens for a sequence (extends an existing
-        allocation). Raises if the pool is exhausted."""
-        need = -(-num_tokens // self.page_size)
+    def allocate(self, seq_id, num_tokens: int, start_token: int = 0) -> dict:
+        """Pages covering token columns [start_token, num_tokens) for a
+        sequence (extends an existing allocation; the start is fixed by the
+        first call). A request admitted at column C holds no pages for
+        columns < C — the range offset is what lets late joiners share a
+        long timeline without tying up the whole pool. Raises if the pool
+        is exhausted."""
+        first = start_token // self.page_size
+        last = -(-num_tokens // self.page_size)  # exclusive
         with self._lock:
-            have = self._owned.setdefault(seq_id, [])
-            while len(have) < need:
+            have = self._owned.setdefault(seq_id, {})
+            for idx in range(first, last):
+                if idx in have:
+                    continue
                 if not self._free:
                     raise RuntimeError(
                         f"KV page pool exhausted ({self.num_pages} pages)"
                     )
-                have.append(self._free.pop())
-            return list(have)
+                have[idx] = self._free.pop()
+            return dict(have)
 
     def release(self, seq_id) -> None:
         with self._lock:
-            for p in self._owned.pop(seq_id, []):
+            for p in self._owned.pop(seq_id, {}).values():
                 self._free.append(p)
 
     def table(self, seq_ids: Sequence, max_pages: int) -> np.ndarray:
         """[B, max_pages] int32 table (unused entries point at page 0 —
-        rows past each sequence's kv_len are masked by attention)."""
+        rows outside each sequence's owned column range are masked by
+        attention and never written)."""
         out = np.zeros((len(seq_ids), max_pages), dtype=np.int32)
         with self._lock:
             for b, sid in enumerate(seq_ids):
-                pages = self._owned.get(sid, [])
-                out[b, : len(pages)] = pages
+                for idx, phys in self._owned.get(sid, {}).items():
+                    if idx < max_pages:
+                        out[b, idx] = phys
         return out
 
 

@@ -31,9 +31,21 @@ class TestAllocator:
         p1 = a.allocate("s1", 20)  # 3 pages
         assert len(p1) == 3 and a.free_pages == 7
         p1b = a.allocate("s1", 30)  # extend to 4
-        assert len(p1b) == 4 and p1b[:3] == p1
+        assert len(p1b) == 4
+        assert all(p1b[i] == p1[i] for i in p1)
         a.release("s1")
         assert a.free_pages == 10
+
+    def test_range_offset_allocation(self):
+        """A request admitted at a late column holds pages only for its own
+        column range."""
+        a = PageAllocator(num_pages=5, page_size=PAGE)
+        a.allocate("__null__", 1)  # reserve phys page 0 (batcher convention)
+        pages = a.allocate("late", 40, start_token=24)  # cols 24..39: idx 3,4
+        assert sorted(pages) == [3, 4]
+        assert a.free_pages == 2  # only 2 pages consumed, not 5
+        t = a.table(["late"], max_pages=5)
+        assert (t[0, :3] == 0).all() and t[0, 3] != 0 and t[0, 4] != 0
 
     def test_exhaustion(self):
         a = PageAllocator(num_pages=2, page_size=PAGE)
