@@ -322,17 +322,54 @@ def bench_dsv2lite_resident(args):
         static_argnums=1,
     )
     fuse = not args.no_fuse_gateup
+    # fused gateup arrays are built IN PLACE via donated slice updates:
+    # neither separate gate/up halves nor a 2F-wide randint bits temp ever
+    # exist, so the peak HBM matches the unfused layout exactly
+    chunk_f = F_ // 2
+
+    def _upd(buf, chunk, o):
+        return jax.lax.dynamic_update_slice(buf, chunk, (0, 0, o))
+
+    upd = jax.jit(_upd, donate_argnums=0, static_argnums=2)
+
+    def gen_fused(li, dtype):
+        buf = jnp.zeros((E_, D_, 2 * F_), dtype)
+        force(buf)
+        for piece in range(2 * F_ // chunk_f):
+            k = jax.random.PRNGKey(li * 101 + piece)
+            chunk = (
+                geni(k, (E_, D_, chunk_f))
+                if dtype == jnp.int8
+                else genf(k, (E_, D_, chunk_f), dtype)
+            )
+            buf = upd(buf, chunk, piece * chunk_f)
+            force(buf)
+        return buf
+
     layer_trees = []
     for li in range(Lm_):
         ks = jax.random.split(jax.random.PRNGKey(li), 6)
         if quant:
+            if fuse:
+                lt = {
+                    "gateup": gen_fused(li, jnp.int8),
+                    "down": geni(ks[2], (E_, F_, D_)),
+                    "gateup_scale": gens(ks[3], (E_, 2 * F_)),
+                    "down_scale": gens(ks[5], (E_, D_)),
+                }
+            else:
+                lt = {
+                    "gate": geni(ks[0], (E_, D_, F_)),
+                    "up": geni(ks[1], (E_, D_, F_)),
+                    "down": geni(ks[2], (E_, F_, D_)),
+                    "gate_scale": gens(ks[3], (E_, F_)),
+                    "up_scale": gens(ks[4], (E_, F_)),
+                    "down_scale": gens(ks[5], (E_, D_)),
+                }
+        elif fuse:
             lt = {
-                "gate": geni(ks[0], (E_, D_, F_)),
-                "up": geni(ks[1], (E_, D_, F_)),
-                "down": geni(ks[2], (E_, F_, D_)),
-                "gate_scale": gens(ks[3], (E_, F_)),
-                "up_scale": gens(ks[4], (E_, F_)),
-                "down_scale": gens(ks[5], (E_, D_)),
+                "gateup": gen_fused(li, jnp.bfloat16),
+                "down": genf(ks[2], (E_, F_, D_), jnp.bfloat16),
             }
         else:
             lt = {
@@ -344,17 +381,9 @@ def bench_dsv2lite_resident(args):
         # materialize in waves: enough to bound deferred-generation temps,
         # few enough to amortize the relay's D2H sync cost
         if li % 3 == 2 or li == Lm_ - 1:
-            for j in range(max(0, li - 2), li + 1):
-                lt_ = layer_trees[j]
+            for lt_ in layer_trees[max(0, li - 2) :]:
                 for v in lt_.values():
                     force(v)
-                if fuse:
-                    # fuse AFTER materializing the halves: the randint bits
-                    # temp of a direct 2F-wide generation OOMs near the end
-                    from moe_infinity_tpu.ops.moe import fuse_gateup
-
-                    layer_trees[j] = fuse_gateup(lt_)
-                    force(layer_trees[j]["gateup"])
             print(f"[bench] experts materialized through layer {li}",
                   file=sys.stderr, flush=True)
     experts = {

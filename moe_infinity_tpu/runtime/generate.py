@@ -86,33 +86,54 @@ class ResidentStepper:
     def forward(self, tokens, positions, kv, kv_len, seq_ids=None):
         return self._fwd(self.params, self.experts, tokens, positions, kv, kv_len)
 
-    def decode_scan(self, tok0, pos0, kv, num_steps: int):
-        """Greedy decode of `num_steps` tokens as ONE jitted lax.scan —
-        zero host round-trips inside the loop. Returns ([B, N] tokens, kv).
+    def decode_scan(self, tok0, pos0, kv, num_steps: int,
+                    sampling: Optional[SamplingParams] = None, seed: int = 0):
+        """Decode `num_steps` tokens as ONE jitted lax.scan — zero host
+        round-trips inside the loop. Greedy by default; pass
+        SamplingParams for device-side sampled decode (the sampler state —
+        PRNG key + penalty count tensors — rides the scan carry). Returns
+        ([B, N] tokens, kv).
 
         The TPU-native decode loop: on hardware where every host sync has
         real latency, the loop must live on device (the reference instead
         pays a Python hook round-trip per module call, SURVEY.md §3.2)."""
+        from moe_infinity_tpu.runtime import sampling as S
+
         fwd = self._raw_fwd
+        params_s = sampling
 
-        def scan_fn(params, experts, tok0, pos0, kv):
+        def scan_fn(params, experts, tok0, pos0, kv, sstate):
             def body(carry, _):
-                tok, pos, kv = carry
+                tok, pos, kv, sstate = carry
                 logits, kv, _ = fwd(params, experts, tok, pos[:, None], kv, pos[0])
-                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-                return (nxt[:, None], pos + 1, kv), nxt
+                if params_s is None or params_s.trivial:
+                    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                else:
+                    out, sstate = S.sample_step(
+                        logits[:, -1, :], sstate, params_s
+                    )
+                    nxt = out.token
+                return (nxt[:, None], pos + 1, kv, sstate), nxt
 
-            (_, _, kv), toks = jax.lax.scan(
-                body, (tok0, pos0, kv), None, length=num_steps
+            (_, _, kv, _), toks = jax.lax.scan(
+                body, (tok0, pos0, kv, sstate), None, length=num_steps
             )
             return toks.T, kv  # [B, N]
 
-        key = ("decode_scan", num_steps)
+        B = int(tok0.shape[0])
+        if params_s is None or params_s.trivial:
+            sstate = S.init_state(SamplingParams(), B, 1, seed=seed)
+        else:
+            vocab = self.model.spec.vocab_size
+            sstate = S.init_state(params_s, B, vocab, seed=seed)
+        key = ("decode_scan", num_steps, params_s, B)
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
         if key not in self._scan_cache:
             self._scan_cache[key] = jax.jit(scan_fn, donate_argnums=(4,))
-        return self._scan_cache[key](self.params, self.experts, tok0, pos0, kv)
+        return self._scan_cache[key](
+            self.params, self.experts, tok0, pos0, kv, sstate
+        )
 
 
 class Seq2SeqGenerator:

@@ -269,3 +269,72 @@ class TestGeneratorIntegration:
         a = mixtral_setup.generate(ids, max_new_tokens=6).sequences
         b = mixtral_setup.generate(ids, max_new_tokens=6, temperature=0.0).sequences
         np.testing.assert_array_equal(a, b)
+
+
+class TestSampledDecodeScan:
+    def test_scan_matches_stepwise(self, mixtral_setup=None):
+        """Device-side sampled scan reproduces host-loop sampling when the
+        draw sequence aligns (same params/seed, split-chain keys)."""
+        import jax
+        from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+        from moe_infinity_tpu.runtime.generate import ResidentStepper
+        from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+        spec = MixtralSpec(
+            vocab_size=96, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=8, num_experts=4, top_k=2,
+            rms_eps=1e-6, rope_theta=1e4, tie_embeddings=False,
+        )
+        model = MixtralModel(spec, compute_dtype=jnp.float32)
+        params_m, experts = model.init_random(jax.random.PRNGKey(2))
+        st = ResidentStepper(model, params_m, experts,
+                             ResidentProvider.for_layer, donate_kv=False)
+        sp = params_from_kwargs(
+            temperature=0.9, do_sample=True, top_k=8,
+            presence_penalty=0.3, repetition_penalty=1.1,
+        )
+        # host loop using the same primitives
+        kv = st.init_cache(1, 32)
+        tok = jnp.zeros((1, 1), jnp.int32)
+        pos = jnp.full((1,), 0, jnp.int32)
+        state = init_state(sp, 1, spec.vocab_size, seed=5)
+        want = []
+        for i in range(6):
+            logits, kv, _ = st.forward(tok, pos[:, None], kv, pos[0])
+            out, state = sample_step(logits[:, -1, :], state, sp)
+            want.append(int(out.token[0]))
+            tok = out.token[:, None]
+            pos = pos + 1
+        # device scan
+        kv2 = st.init_cache(1, 32)
+        toks, _ = st.decode_scan(
+            jnp.zeros((1, 1), jnp.int32), jnp.full((1,), 0, jnp.int32),
+            kv2, 6, sampling=sp, seed=5,
+        )
+        assert np.asarray(toks)[0].tolist() == want
+
+    def test_greedy_scan_unchanged(self):
+        import jax
+        from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+        from moe_infinity_tpu.runtime.generate import ResidentStepper
+        from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+        spec = MixtralSpec(
+            vocab_size=96, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=8, num_experts=4, top_k=2,
+            rms_eps=1e-6, rope_theta=1e4, tie_embeddings=False,
+        )
+        model = MixtralModel(spec, compute_dtype=jnp.float32)
+        params_m, experts = model.init_random(jax.random.PRNGKey(2))
+        st = ResidentStepper(model, params_m, experts,
+                             ResidentProvider.for_layer, donate_kv=False)
+        kv = st.init_cache(1, 32)
+        a, _ = st.decode_scan(
+            jnp.zeros((1, 1), jnp.int32), jnp.full((1,), 0, jnp.int32), kv, 6
+        )
+        kv2 = st.init_cache(1, 32)
+        b, _ = st.decode_scan(
+            jnp.zeros((1, 1), jnp.int32), jnp.full((1,), 0, jnp.int32), kv2, 6,
+            sampling=params_from_kwargs(temperature=0.0),
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
