@@ -95,10 +95,63 @@ class EngineHolder:
         self.tokens_generated += int(len(gen_ids))
         return text, prompt_len, int(len(gen_ids)), finish, lp
 
-    def _logprobs_payload(self, gen_ids, result) -> dict:
+    def run_n(self, prompt: str, gen_kwargs, n: int, best_of=None, stop=None):
+        """n>1 / best_of sampling: duplicate the prompt into a batch of
+        max(n, best_of) rows (rows draw independently), score candidates by
+        mean token logprob when best_of > n, return the top n as
+        (text, finish, logprobs) tuples plus (prompt_len, completion_total)."""
+        k = max(n, best_of or n)
+        ids = self.tokenizer(prompt, return_tensors="np").input_ids
+        eos = self.tokenizer.eos_token_id
+        batch = np.repeat(ids, k, axis=0)
+        kw = dict(gen_kwargs)
+        scoring = (best_of or n) > n
+        if scoring:
+            kw.setdefault("logprobs", 1)
+        with self.lock:
+            self.requests += 1
+            out = self.engine.generate(
+                batch, eos_token_id=eos, pad_token_id=eos or 0, **kw
+            )
+        result = getattr(self.engine, "last_result", None)
+        prompt_len = ids.shape[1]
+        rows = []
+        for b in range(k):
+            gen_ids = out[b, prompt_len:]
+            finish = "length"
+            if eos is not None:
+                hit = np.nonzero(gen_ids == eos)[0]
+                if hit.size:
+                    gen_ids = gen_ids[: hit[0]]
+                    finish = "stop"
+            score = 0.0
+            if (
+                result is not None
+                and result.token_logprobs is not None
+                and len(gen_ids)
+            ):
+                m = min(len(gen_ids), result.token_logprobs.shape[1])
+                score = float(result.token_logprobs[b, :m].mean())
+            text = self.tokenizer.decode(gen_ids, skip_special_tokens=True)
+            for s in stop or []:
+                i = text.find(s)
+                if i != -1:
+                    text = text[:i]
+                    finish = "stop"
+            lp = None
+            if gen_kwargs.get("logprobs") and result is not None:
+                lp = self._logprobs_payload(
+                    gen_ids, result, row=b
+                )
+            self.tokens_generated += int(len(gen_ids))
+            rows.append((score, text, finish, lp, int(len(gen_ids))))
+        rows.sort(key=lambda r: -r[0])
+        return rows[:n], prompt_len
+
+    def _logprobs_payload(self, gen_ids, result, row: int = 0) -> dict:
         """OpenAI completions `logprobs` object for choice 0."""
-        tl = result.token_logprobs[0]
-        top_lp, top_tok = result.top_logprobs[0], result.top_tokens[0]
+        tl = result.token_logprobs[row]
+        top_lp, top_tok = result.top_logprobs[row], result.top_tokens[row]
         tokens, token_logprobs, tops, offsets = [], [], [], []
         off = 0
         n = min(len(gen_ids), tl.shape[0])
@@ -204,7 +257,25 @@ class Handler(BaseHTTPRequestHandler):
         prompts = req.prompt if isinstance(req.prompt, list) else [req.prompt]
         choices = []
         pt = ct = 0
+        multi = req.n > 1 or (req.best_of or 0) > 1
         for i, p in enumerate(prompts):
+            if multi:
+                rows, p_len = self.holder.run_n(
+                    p, req.to_generate_kwargs(), req.n, req.best_of,
+                    stop=stop_list(req.stop),
+                )
+                pt += p_len
+                for _, text, finish, lp, c_len in rows:
+                    ct += c_len
+                    choices.append(
+                        {
+                            "index": len(choices),
+                            "text": (p + text) if req.echo else text,
+                            "logprobs": lp,
+                            "finish_reason": finish,
+                        }
+                    )
+                continue
             text, p_len, c_len, finish, lp = self.holder.run(
                 p, req.to_generate_kwargs(), stop=stop_list(req.stop)
             )

@@ -295,3 +295,32 @@ def test_completions_stop_string(server):
     choice = resp["choices"][0]
     assert first_word not in choice["text"]
     assert choice["finish_reason"] == "stop"
+
+
+def test_completions_n_choices(server):
+    resp = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 4, "temperature": 0.9,
+         "n": 3, "seed": 2},
+    )
+    assert len(resp["choices"]) == 3
+    assert [c["index"] for c in resp["choices"]] == [0, 1, 2]
+    assert resp["usage"]["completion_tokens"] >= 3
+
+
+def test_completions_best_of(server):
+    """best_of > n: server samples best_of candidates and returns the
+    top-n by mean logprob."""
+    resp = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 4, "temperature": 1.2,
+         "n": 1, "best_of": 4, "seed": 3},
+    )
+    assert len(resp["choices"]) == 1
+    # deterministic given the seed
+    resp2 = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 4, "temperature": 1.2,
+         "n": 1, "best_of": 4, "seed": 3},
+    )
+    assert resp["choices"][0]["text"] == resp2["choices"][0]["text"]
