@@ -309,8 +309,12 @@ def bench_dsv2lite_resident(args):
 
     E_, D_, F_ = spec.num_experts, spec.hidden_size, spec.moe_intermediate_size
     Lm_ = spec.num_layers - spec.first_k_dense_replace
+    # uniform int8 via raw bits + bitcast: the temp is output-sized, unlike
+    # randint whose uint32 draw is 4x the int8 output (OOMs near full HBM)
     geni = jax.jit(
-        lambda k, s: jax.random.randint(k, s, -127, 127, jnp.int8),
+        lambda k, s: jax.lax.bitcast_convert_type(
+            jax.random.bits(k, s[:-1] + (s[-1] // 4,), jnp.uint32), jnp.int8
+        ).reshape(s),
         static_argnums=1,
     )
     genf = jax.jit(
@@ -384,8 +388,13 @@ def bench_dsv2lite_resident(args):
             for lt_ in layer_trees[max(0, li - 2) :]:
                 for v in lt_.values():
                     force(v)
-            print(f"[bench] experts materialized through layer {li}",
-                  file=sys.stderr, flush=True)
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                used = ms.get("bytes_in_use", 0) / 2**30
+            except Exception:
+                used = -1
+            print(f"[bench] experts materialized through layer {li} "
+                  f"(hbm {used:.1f} GB)", file=sys.stderr, flush=True)
     experts = {
         "layers": layer_trees,
         "slot_map": jnp.arange(E_, dtype=jnp.int32),

@@ -282,6 +282,7 @@ class MoE:
                     temperature=float(temp),
                     top_k=int(kwargs.get("top_k", 0) or 0),
                     top_p=float(kwargs.get("top_p", 1.0)),
+                    min_p=float(kwargs.get("min_p", 0.0)),
                     repetition_penalty=float(
                         kwargs.get("repetition_penalty", 1.0)
                     ),

@@ -32,6 +32,8 @@ def _sampling_kwargs(req) -> Dict[str, Any]:
         kw["top_p"] = req.top_p
     if getattr(req, "top_k", 0):
         kw["top_k"] = req.top_k
+    if getattr(req, "min_p", 0.0):
+        kw["min_p"] = req.min_p
     if req.presence_penalty:
         kw["presence_penalty"] = req.presence_penalty
     if req.frequency_penalty:
@@ -57,6 +59,7 @@ class CompletionRequest:
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    min_p: float = 0.0
     n: int = 1
     stream: bool = False
     stop: Union[str, List[str], None] = None
@@ -89,6 +92,7 @@ class ChatCompletionRequest:
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    min_p: float = 0.0
     n: int = 1
     stream: bool = False
     stop: Union[str, List[str], None] = None

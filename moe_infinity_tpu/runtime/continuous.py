@@ -54,6 +54,7 @@ class RequestSampling:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    min_p: float = 0.0
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
@@ -369,6 +370,7 @@ class ContinuousBatcher:
                     [p.temperature for p in sp],
                     [p.top_k for p in sp],
                     [p.top_p for p in sp],
+                    [p.min_p for p in sp],
                     [p.repetition_penalty for p in sp],
                     [p.presence_penalty for p in sp],
                     [p.frequency_penalty for p in sp],

@@ -180,6 +180,7 @@ class Seq2SeqGenerator:
         do_sample: Optional[bool] = None,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         repetition_penalty: float = 1.0,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
@@ -200,7 +201,8 @@ class Seq2SeqGenerator:
         )
         sp = params_from_kwargs(
             temperature=temperature, do_sample=do_sample, top_k=top_k,
-            top_p=top_p, repetition_penalty=repetition_penalty,
+            top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty, logprobs=logprobs,
         )
@@ -299,6 +301,7 @@ class Generator:
         do_sample: Optional[bool] = None,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         repetition_penalty: float = 1.0,
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
@@ -317,7 +320,8 @@ class Generator:
             )
         params = params_from_kwargs(
             temperature=temperature, do_sample=do_sample, top_k=top_k,
-            top_p=top_p, repetition_penalty=repetition_penalty,
+            top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty, logprobs=logprobs,
         )

@@ -38,6 +38,7 @@ class SamplingParams:
     temperature: float = 1.0
     top_k: int = 0  # 0 disables
     top_p: float = 1.0
+    min_p: float = 0.0  # 0 disables
     repetition_penalty: float = 1.0
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
@@ -118,6 +119,14 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
     return jnp.where(logits < kth, _NEG_INF, logits)
 
 
+def min_p_filter(logits: jax.Array, min_p: float) -> jax.Array:
+    """HF MinPLogitsWarper (min_tokens_to_keep=1): drop tokens whose
+    probability is below min_p * max_prob. The top-1 always survives."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    cutoff = min_p * probs.max(axis=-1, keepdims=True)
+    return jnp.where(probs < cutoff, _NEG_INF, logits)
+
+
 def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
     """HF TopPLogitsWarper (min_tokens_to_keep=1): sort ascending, drop
     tokens whose ascending-cumulative probability is <= 1 - p."""
@@ -150,6 +159,8 @@ def process_logits(
         logits = top_k_filter(logits, params.top_k)
     if not params.greedy and params.top_p < 1.0:
         logits = top_p_filter(logits, params.top_p)
+    if not params.greedy and params.min_p > 0.0:
+        logits = min_p_filter(logits, params.min_p)
     return logits
 
 
@@ -259,17 +270,19 @@ class RowParams(NamedTuple):
     temperature: jax.Array  # f32; 0 = greedy
     top_k: jax.Array  # i32; 0 = off
     top_p: jax.Array  # f32; 1 = off
+    min_p: jax.Array  # f32; 0 = off
     repetition_penalty: jax.Array  # f32; 1 = off
     presence_penalty: jax.Array  # f32
     frequency_penalty: jax.Array  # f32
 
     @classmethod
-    def from_lists(cls, temperature, top_k, top_p, repetition_penalty,
+    def from_lists(cls, temperature, top_k, top_p, min_p, repetition_penalty,
                    presence_penalty, frequency_penalty) -> "RowParams":
         return cls(
             jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_k, jnp.int32),
             jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(min_p, jnp.float32),
             jnp.asarray(repetition_penalty, jnp.float32),
             jnp.asarray(presence_penalty, jnp.float32),
             jnp.asarray(frequency_penalty, jnp.float32),
@@ -318,6 +331,10 @@ def sample_rows(
     inv = jnp.argsort(sorted_idx, axis=-1)
     remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
     w = jnp.where(remove, _NEG_INF, w)
+    # per-row min-p (after top-p, matching HF's warper order)
+    probs = jax.nn.softmax(w, axis=-1)
+    cutoff = rp.min_p[:, None] * probs.max(axis=-1, keepdims=True)
+    w = jnp.where(probs < cutoff, _NEG_INF, w)
 
     def draw(seed, counter, row):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), counter)
@@ -358,6 +375,7 @@ def params_from_kwargs(
     do_sample: Optional[bool] = None,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
     repetition_penalty: float = 1.0,
     presence_penalty: float = 0.0,
     frequency_penalty: float = 0.0,
@@ -371,6 +389,7 @@ def params_from_kwargs(
         temperature=float(temperature),
         top_k=int(top_k or 0),
         top_p=float(top_p),
+        min_p=float(min_p or 0.0),
         repetition_penalty=float(repetition_penalty),
         presence_penalty=float(presence_penalty),
         frequency_penalty=float(frequency_penalty),

@@ -338,3 +338,43 @@ class TestSampledDecodeScan:
             sampling=params_from_kwargs(temperature=0.0),
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMinP:
+    def test_min_p_matches_hf(self):
+        from transformers.generation.logits_process import MinPLogitsWarper
+
+        from moe_infinity_tpu.runtime.sampling import min_p_filter
+
+        logits = _rand_logits(b=3, v=40, seed=12)
+        for p in (0.02, 0.1, 0.3, 0.7):
+            ours = np.asarray(min_p_filter(jnp.asarray(logits), p))
+            hf = MinPLogitsWarper(min_p=p)(None, torch.tensor(logits)).numpy()
+            np.testing.assert_array_equal(np.isinf(ours), np.isinf(hf))
+            np.testing.assert_allclose(
+                np.where(np.isinf(ours), 0, ours),
+                np.where(np.isinf(hf), 0, hf), rtol=1e-6,
+            )
+
+    def test_min_p_keeps_top1(self):
+        from moe_infinity_tpu.runtime.sampling import min_p_filter
+
+        logits = jnp.asarray(_rand_logits(b=2, v=16, seed=13))
+        out = np.asarray(min_p_filter(logits, 0.99))
+        assert np.isfinite(out[np.arange(2), np.argmax(out, -1)]).all()
+
+    def test_min_p_in_row_sampler(self):
+        """Huge per-row min_p forces the sampled token to the argmax."""
+        from moe_infinity_tpu.runtime.sampling import RowParams, sample_rows
+
+        logits = jnp.asarray(_rand_logits(b=2, v=24, seed=14))
+        rp = RowParams.from_lists(
+            [1.0, 1.0], [0, 0], [1.0, 1.0], [0.999, 0.0], [1.0, 1.0],
+            [0.0, 0.0], [0.0, 0.0],
+        )
+        toks = sample_rows(
+            logits, jnp.asarray([1, 2], jnp.int32),
+            jnp.asarray([0, 0], jnp.int32),
+            jnp.zeros((2, 24), jnp.int32), jnp.zeros((2, 24), jnp.int32), rp,
+        )
+        assert int(toks[0]) == int(np.argmax(np.asarray(logits)[0]))
