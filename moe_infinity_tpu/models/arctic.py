@@ -124,6 +124,55 @@ class ArcticModel:
             params["lm_head"] = get("lm_head.weight")
         return params
 
+    def init_random(self, key, *, expert_dtype=None):
+        """Random params + resident expert tree (tests/dryruns)."""
+        s = self.spec
+        expert_dtype = expert_dtype or self.dtype
+        keys = jax.random.split(key, 2 + s.num_layers)
+
+        def mat(k, shape, dt, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+        hd, kvd = s.num_heads * s.head_dim, s.num_kv_heads * s.head_dim
+        D, F = s.hidden_size, s.intermediate_size
+        layers, experts = [], []
+        for i in range(s.num_layers):
+            ks = jax.random.split(keys[2 + i], 12)
+            pl = {
+                "input_norm": jnp.ones(D, jnp.float32),
+                "post_norm": jnp.ones(D, jnp.float32),
+                "q": mat(ks[0], (hd, D), self.dtype),
+                "k": mat(ks[1], (kvd, D), self.dtype),
+                "v": mat(ks[2], (kvd, D), self.dtype),
+                "o": mat(ks[3], (D, hd), self.dtype),
+            }
+            if s.is_moe(i):
+                pl["router"] = mat(ks[4], (s.num_experts, D), jnp.float32)
+                if s.parallel_attn_mlp_res:
+                    pl["res_norm"] = jnp.ones(D, jnp.float32)
+                    pl["res_w1"] = mat(ks[5], (F, D), self.dtype)
+                    pl["res_w2"] = mat(ks[6], (D, F), self.dtype)
+                    pl["res_w3"] = mat(ks[7], (F, D), self.dtype)
+                experts.append({
+                    "gate": mat(ks[9], (s.num_experts, D, F), expert_dtype),
+                    "up": mat(ks[10], (s.num_experts, D, F), expert_dtype),
+                    "down": mat(ks[11], (s.num_experts, F, D), expert_dtype),
+                })
+            else:
+                pl["mlp_w1"] = mat(ks[5], (F, D), self.dtype)
+                pl["mlp_w2"] = mat(ks[6], (D, F), self.dtype)
+                pl["mlp_w3"] = mat(ks[7], (F, D), self.dtype)
+            layers.append(pl)
+        params = {
+            "embed": mat(keys[0], (s.vocab_size, D), self.dtype),
+            "final_norm": jnp.ones(D, jnp.float32),
+            "layers": layers,
+        }
+        return params, {
+            "layers": experts,
+            "slot_map": jnp.arange(s.num_experts, dtype=jnp.int32),
+        }
+
     def init_cache(self, batch: int, max_len: int) -> List[KVCache]:
         s = self.spec
         return [
@@ -142,34 +191,48 @@ class ArcticModel:
     def _silu_mlp(self, x, w1, w2, w3):
         return linear(jax.nn.silu(linear(x, w1)) * linear(x, w3), w2)
 
-    def _attn(self, pl, x, kv, positions, kv_len):
+    def _attn(self, pl, x, kv, positions, kv_len,
+              pad_offsets=None, rope_positions=None, key_valid=None):
         s = self.spec
         B, T, D = x.shape
         h = rms_norm(x, pl["input_norm"], s.rms_eps)
         q = linear(h, pl["q"]).reshape(B, T, s.num_heads, s.head_dim)
         k = linear(h, pl["k"]).reshape(B, T, s.num_kv_heads, s.head_dim)
         v = linear(h, pl["v"]).reshape(B, T, s.num_kv_heads, s.head_dim)
-        cos, sin = rope_cos_sin(positions, s.head_dim, s.rope_theta)
+        rope_pos = positions
+        pad_mask = None
+        if rope_positions is not None:
+            rope_pos = rope_positions
+            pad_mask = key_valid
+        elif pad_offsets is not None:
+            rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
+            cols = jnp.arange(kv.k.shape[1], dtype=jnp.int32)[None, :]
+            pad_mask = cols >= pad_offsets[:, None]
+        cos, sin = rope_cos_sin(rope_pos, s.head_dim, s.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
         kv = kv.update(k, v, kv_len)
-        a = attend(q, kv.k, kv.v, positions, kv_len + T)
+        a = attend(q, kv.k, kv.v, positions, kv_len + T, pad_mask=pad_mask)
         return x + linear(a.reshape(B, T, -1), pl["o"]), kv
 
-    def dense_layer(self, pl, x, kv, positions, kv_len):
+    def dense_layer(self, pl, x, kv, positions, kv_len,
+                    pad_offsets=None, rope_positions=None, key_valid=None):
         s = self.spec
         x0 = x
-        x, kv = self._attn(pl, x, kv, positions, kv_len)
+        x, kv = self._attn(pl, x, kv, positions, kv_len,
+                           pad_offsets, rope_positions, key_valid)
         h = rms_norm(x, pl["post_norm"], s.rms_eps)
         return x + self._silu_mlp(h, pl["mlp_w1"], pl["mlp_w2"], pl["mlp_w3"]), kv
 
-    def pre_moe(self, pl, x, kv, positions, kv_len):
+    def pre_moe(self, pl, x, kv, positions, kv_len,
+                pad_offsets=None, rope_positions=None, key_valid=None):
         """Returns (x_ready_for_moe_residual, h_moe_input, cw, ids, kv).
         With parallel_attn_mlp_res the MoE input is post_norm(x_pre_attn)
         and the residual stream already includes the dense residual MLP."""
         s = self.spec
         B, T, D = x.shape
         x_pre = x
-        x, kv = self._attn(pl, x, kv, positions, kv_len)
+        x, kv = self._attn(pl, x, kv, positions, kv_len,
+                           pad_offsets, rope_positions, key_valid)
         if s.parallel_attn_mlp_res:
             hr = rms_norm(x, pl["res_norm"], s.rms_eps)
             x = x + self._silu_mlp(hr, pl["res_w1"], pl["res_w2"], pl["res_w3"])
@@ -199,7 +262,8 @@ class ArcticModel:
 
     def forward(
         self, params, experts, tokens, positions, kv_caches, kv_len,
-        *, for_layer, impl: str = "ragged",
+        *, for_layer, impl: str = "ragged", pad_offsets=None,
+        rope_positions=None, key_valid=None,
     ):
         s = self.spec
         x = self.embed(params, tokens)
@@ -208,10 +272,14 @@ class ArcticModel:
             pl = params["layers"][li]
             mli = self.moe_layer_index(li)
             if mli is None:
-                x, kv = self.dense_layer(pl, x, kv_caches[li], positions, kv_len)
+                x, kv = self.dense_layer(
+                    pl, x, kv_caches[li], positions, kv_len,
+                    pad_offsets, rope_positions, key_valid,
+                )
             else:
                 x, h, cw, ids, kv = self.pre_moe(
-                    pl, x, kv_caches[li], positions, kv_len
+                    pl, x, kv_caches[li], positions, kv_len,
+                    pad_offsets, rope_positions, key_valid,
                 )
                 w, slot_map, biases = for_layer(experts, mli)
                 x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)

@@ -116,6 +116,45 @@ class GrokModel:
             for _ in range(s.num_layers)
         ]
 
+    def init_random(self, key, *, expert_dtype=None):
+        """Random params + resident expert tree (tests/dryruns)."""
+        s = self.spec
+        expert_dtype = expert_dtype or self.dtype
+        keys = jax.random.split(key, 2 + s.num_layers)
+
+        def mat(k, shape, dt, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+        hd, kvd = s.num_heads * s.head_dim, s.num_kv_heads * s.head_dim
+        layers, experts = [], []
+        for i in range(s.num_layers):
+            ks = jax.random.split(keys[2 + i], 8)
+            layers.append({
+                "pre_attn": jnp.ones(s.hidden_size, jnp.float32),
+                "post_attn": jnp.ones(s.hidden_size, jnp.float32),
+                "pre_moe": jnp.ones(s.hidden_size, jnp.float32),
+                "post_moe": jnp.ones(s.hidden_size, jnp.float32),
+                "q": mat(ks[0], (hd, s.hidden_size), self.dtype),
+                "k": mat(ks[1], (kvd, s.hidden_size), self.dtype),
+                "v": mat(ks[2], (kvd, s.hidden_size), self.dtype),
+                "o": mat(ks[3], (s.hidden_size, hd), self.dtype),
+                "router": mat(ks[4], (s.num_experts, s.hidden_size), jnp.float32),
+            })
+            experts.append({
+                "gate": mat(ks[5], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
+                "up": mat(ks[6], (s.num_experts, s.hidden_size, s.intermediate_size), expert_dtype),
+                "down": mat(ks[7], (s.num_experts, s.intermediate_size, s.hidden_size), expert_dtype),
+            })
+        params = {
+            "embed": mat(keys[0], (s.vocab_size, s.hidden_size), self.dtype),
+            "final_norm": jnp.ones(s.hidden_size, jnp.float32),
+            "layers": layers,
+        }
+        return params, {
+            "layers": experts,
+            "slot_map": jnp.arange(s.num_experts, dtype=jnp.int32),
+        }
+
     def embed(self, params, tokens: jax.Array) -> jax.Array:
         return (
             params["embed"][tokens].astype(self.dtype)
@@ -125,20 +164,33 @@ class GrokModel:
     def moe_layer_index(self, layer_idx: int) -> Optional[int]:
         return layer_idx
 
-    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len):
+    def pre_moe(self, pl, x, kv: KVCache, positions, kv_len,
+                pad_offsets=None, rope_positions=None, key_valid=None):
+        """rope_positions/key_valid give per-row timelines for continuous
+        batching with chunked prefill (see models/mixtral.py attn_block)."""
         s = self.spec
         B, T, D = x.shape
         h = rms_norm(x, pl["pre_attn"], s.rms_eps)
         q = linear(h, pl["q"]).reshape(B, T, s.num_heads, s.head_dim)
         k = linear(h, pl["k"]).reshape(B, T, s.num_kv_heads, s.head_dim)
         v = linear(h, pl["v"]).reshape(B, T, s.num_kv_heads, s.head_dim)
-        cos, sin = rope_cos_sin(positions, s.head_dim, 10000.0)
+        rope_pos = positions
+        pad_mask = None
+        if rope_positions is not None:
+            rope_pos = rope_positions
+            pad_mask = key_valid
+        elif pad_offsets is not None:
+            rope_pos = jnp.maximum(positions - pad_offsets[:, None], 0)
+            cols = jnp.arange(kv.k.shape[1], dtype=jnp.int32)[None, :]
+            pad_mask = cols >= pad_offsets[:, None]
+        cos, sin = rope_cos_sin(rope_pos, s.head_dim, 10000.0)
         q, k = apply_rope(q, k, cos, sin)
         kv = kv.update(k, v, kv_len)
         a = attend(
             q, kv.k, kv.v, positions, kv_len + T,
             scale=s.attn_output_multiplier,
             logit_softcap=s.max_attn_value,
+            pad_mask=pad_mask,
         )
         a = linear(a.reshape(B, T, -1), pl["o"])
         x = x + rms_norm(a, pl["post_attn"], s.rms_eps)
@@ -171,14 +223,18 @@ class GrokModel:
 
     def forward(
         self, params, experts, tokens, positions, kv_caches, kv_len,
-        *, for_layer, impl: str = "ragged",
+        *, for_layer, impl: str = "ragged", pad_offsets=None,
+        rope_positions=None, key_valid=None,
     ):
         s = self.spec
         x = self.embed(params, tokens)
         new_kvs, trace_ids, trace_w = [], [], []
         for li in range(s.num_layers):
             pl = params["layers"][li]
-            x, h, cw, ids, kv = self.pre_moe(pl, x, kv_caches[li], positions, kv_len)
+            x, h, cw, ids, kv = self.pre_moe(
+                pl, x, kv_caches[li], positions, kv_len,
+                pad_offsets, rope_positions, key_valid,
+            )
             w, slot_map, biases = for_layer(experts, li)
             x = self.apply_moe(pl, x, h, cw, ids, w, slot_map, biases, impl)
             new_kvs.append(kv)

@@ -234,3 +234,51 @@ class TestBatchedSampling:
         # penalized generation never emits the same token twice in a row
         assert all(a != b2 for a, b2 in zip(gen_pen, gen_pen[1:]))
         assert pen.shape == free.shape
+
+
+@pytest.mark.parametrize("family", ["grok", "arctic"])
+def test_continuous_grok_arctic(family):
+    """Continuous batching with chunked prefill on the Grok and Arctic
+    families (per-row timeline support)."""
+    if family == "grok":
+        from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
+
+        spec = GrokSpec(
+            vocab_size=96, hidden_size=48, intermediate_size=64,
+            num_layers=2, num_heads=6, num_kv_heads=2, head_dim=8,
+            num_experts=4, top_k=2, rms_eps=1e-6,
+            embedding_multiplier_scale=1.0, output_multiplier_scale=1.0,
+            attn_output_multiplier=0.12, max_attn_value=30.0,
+        )
+        model = GrokModel(spec, compute_dtype=jnp.float32)
+    else:
+        from moe_infinity_tpu.models.arctic import ArcticModel, ArcticSpec
+
+        spec = ArcticSpec(
+            vocab_size=96, hidden_size=48, intermediate_size=64,
+            num_layers=2, num_heads=6, num_kv_heads=2, head_dim=8,
+            num_experts=4, top_k=2, rms_eps=1e-6, rope_theta=1e4,
+            moe_layer_frequency=1, parallel_attn_mlp_res=True,
+        )
+        model = ArcticModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(6))
+    gen = Generator(
+        model, params, experts, ResidentProvider.for_layer, max_seq_len=64
+    )
+    batcher = ContinuousBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=2, page_size=8, num_pages=48, max_cols=96,
+        prefill_chunk=3,
+    )
+    try:
+        p1 = np.array([5, 31, 8, 7, 2])
+        p2 = np.array([9, 3, 44])
+        want1 = gen.generate(p1[None], max_new_tokens=6).sequences[0]
+        want2 = gen.generate(p2[None], max_new_tokens=5).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=6)
+        time.sleep(0.2)
+        f2 = batcher.submit(p2, max_new_tokens=5)
+        np.testing.assert_array_equal(f1.result(timeout=120), want1)
+        np.testing.assert_array_equal(f2.result(timeout=120), want2)
+    finally:
+        batcher.shutdown()
