@@ -93,7 +93,19 @@ class MoE:
                 "moe_tpu_store",
             )
 
-        hf_config = AutoConfig.from_pretrained(checkpoint, trust_remote_code=False)
+        try:
+            hf_config = AutoConfig.from_pretrained(
+                checkpoint, trust_remote_code=False
+            )
+        except (ValueError, KeyError):
+            # model types transformers doesn't ship (grok-1, arctic): the
+            # reference vendors their modeling code; we only need the config
+            # attributes, so parse config.json directly
+            import json as _json
+            from types import SimpleNamespace
+
+            with open(os.path.join(checkpoint, "config.json")) as f:
+                hf_config = SimpleNamespace(**_json.load(f))
         self.hf_config = hf_config
         self.arch = detect_arch(hf_config)
         self.geometry = parse_geometry(hf_config)
