@@ -183,6 +183,7 @@ class MoE:
                     self.model, self.params, arena,
                     tracer=tracer, predictor=ExpertPredictor(tracer),
                     prefetch=config.prefetch,
+                    impl=config.moe_impl, prefill_impl=config.prefill_impl,
                 )
                 self.generator = self.engine  # same generate() surface
             return
@@ -203,7 +204,7 @@ class MoE:
             stepper = ResidentStepper(
                 self.model, self.params, provider.pytree(),
                 ResidentProvider.for_layer,
-                impl="ragged",
+                impl=config.moe_impl, prefill_impl=config.prefill_impl,
             )
         else:
             from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
@@ -235,6 +236,7 @@ class MoE:
                 tracer=tracer,
                 predictor=ExpertPredictor(tracer),
                 prefetch=config.prefetch,
+                impl=config.moe_impl, prefill_impl=config.prefill_impl,
             )
             stepper = self.engine
         self.generator = Generator(

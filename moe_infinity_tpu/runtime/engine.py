@@ -61,6 +61,7 @@ class OffloadEngine:
         lookahead: int = 3,
         prefetch_budget: Optional[int] = None,
         impl: str = "ragged",
+        prefill_impl: Optional[str] = None,
     ):
         self.model = model
         self.params = params
@@ -89,10 +90,16 @@ class OffloadEngine:
             else None
         )
 
+        pimpl = prefill_impl or impl
+
         def apply(pl, x, h, cw, ids, tree, slot_row):
             weights, biases = _split_arena_tree(tree)
+            # T is static per compiled shape: decode (T=1) keeps `impl`;
+            # prefill-sized steps can use a grouped-GEMM impl whose weight
+            # traffic is one read per routed expert, not per (token, k)
+            use = impl if h.shape[1] == 1 else pimpl
             return model.apply_moe(
-                pl, x, h, cw, ids, weights, slot_row, biases, impl
+                pl, x, h, cw, ids, weights, slot_row, biases, use
             )
 
         self._apply = jax.jit(apply)

@@ -43,6 +43,7 @@ class Seq2SeqOffloadEngine:
         lookahead: int = 3,
         prefetch_budget: Optional[int] = None,
         impl: str = "ragged",
+        prefill_impl: Optional[str] = None,
     ):
         self.model = model
         self.params = params
@@ -67,9 +68,14 @@ class Seq2SeqOffloadEngine:
         self._dec_final = jax.jit(m.dec_final)
         self._dec_embed = jax.jit(m.dec_embed)
 
+        pimpl = prefill_impl or impl
+
         def apply(x, h, cw, ids, tree, slot_row):
             weights, biases = _split_arena_tree(tree)
-            return m.apply_ff(x, h, cw, ids, weights, slot_row, biases, impl)
+            # encoder passes and prefill-sized decoder steps (static T>1)
+            # can use a grouped-GEMM impl; T=1 decode keeps `impl`
+            use = impl if h.shape[1] == 1 else pimpl
+            return m.apply_ff(x, h, cw, ids, weights, slot_row, biases, use)
 
         self._apply = jax.jit(apply)
 

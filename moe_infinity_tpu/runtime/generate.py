@@ -58,16 +58,24 @@ class ResidentStepper:
         for_layer: Callable,
         *,
         impl: str = "ragged",
+        prefill_impl: Optional[str] = None,
         donate_kv: bool = True,
     ):
         self.model = model
         self.params = params
         self.experts = experts
+        pimpl = prefill_impl or impl
 
         def fwd(params, experts, tokens, positions, kv, kv_len):
+            # token count is static under jit, so each compiled shape picks
+            # its grouped-FFN impl at trace time: decode (T=1) favors the
+            # gather path; prefill (T>1) can use ragged/pallas gmm, whose
+            # weight traffic is one read per routed expert instead of per
+            # (token, k) row
+            use = impl if tokens.shape[1] == 1 else pimpl
             return model.forward(
                 params, experts, tokens, positions, kv, kv_len,
-                for_layer=for_layer, impl=impl,
+                for_layer=for_layer, impl=use,
             )
 
         # donate the KV cache so decode updates happen in place
@@ -270,6 +278,7 @@ class Generator:
         *,
         stepper=None,
         impl: str = "ragged",
+        prefill_impl: Optional[str] = None,
         max_seq_len: int = 2048,
         donate_kv: bool = True,
         step_callback: Optional[Callable] = None,
@@ -278,7 +287,8 @@ class Generator:
             if model is None or params is None:
                 raise ValueError("pass either stepper= or (model, params, experts, for_layer)")
             stepper = ResidentStepper(
-                model, params, experts, for_layer, impl=impl, donate_kv=donate_kv
+                model, params, experts, for_layer, impl=impl,
+                prefill_impl=prefill_impl, donate_kv=donate_kv
             )
         self.stepper = stepper
         self.max_seq_len = max_seq_len

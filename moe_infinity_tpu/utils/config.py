@@ -59,6 +59,17 @@ class EngineConfig:
     """Force Pallas kernels on/off. Default (None): on for TPU backends,
     off for CPU (jnp reference path)."""
 
+    moe_impl: str = "ragged"
+    """Grouped expert-FFN implementation for decode-sized steps (T=1):
+    ragged | gather | pallas | dense. `gather` is the fastest exact path at
+    small token counts (reads exactly the routed experts' bytes, no sort)."""
+
+    prefill_impl: Optional[str] = None
+    """Grouped expert-FFN implementation for prefill-sized steps (T>1);
+    None = same as moe_impl. At large T the grouped-GEMM impls (`ragged` /
+    `pallas` gmm) read each routed expert's weights once instead of once
+    per (token, k) row, so their HBM traffic is O(E) not O(T*K)."""
+
     num_threads: int = 4
     """Host worker threads for the prefetch/fetch controller (the reference
     uses this for per-GPU exec threads; here it sizes the DMA controller)."""
@@ -113,6 +124,11 @@ class EngineConfig:
             raise ValueError("host_memory_ratio must be in (0, 1]")
         if self.expert_dtype not in ("bfloat16", "float32", "float16", "int8", "float8_e4m3fn"):
             raise ValueError(f"unsupported expert_dtype {self.expert_dtype!r}")
+        impls = ("ragged", "gather", "pallas", "dense")
+        if self.moe_impl not in impls:
+            raise ValueError(f"moe_impl must be one of {impls}")
+        if self.prefill_impl is not None and self.prefill_impl not in impls:
+            raise ValueError(f"prefill_impl must be one of {impls} or None")
 
     # -- constructors mirroring the reference API -------------------------
     @classmethod
