@@ -44,3 +44,27 @@ def plan_prefetch(
         if budget is not None and len(out) >= budget:
             break
     return out
+
+
+def adaptive_prefetch_budget(
+    layer_seconds: Optional[float],
+    fetch_seconds: Optional[float],
+    workers: int,
+    lookahead: int,
+    cap: int,
+) -> int:
+    """Bandwidth-aware prefetch budget: how many expert fetches the arena
+    can actually land before the lookahead window closes.
+
+    `workers` fetchers each take `fetch_seconds` end-to-end per expert
+    (EWMA measured by the arena), and the plan's window is `lookahead`
+    layers of `layer_seconds` each. Queueing more than
+    window * workers / fetch_seconds orders just builds a backlog that the
+    next plan purges — wasted host reads and interconnect bytes on
+    constrained links (the reference caps this only statically via its
+    task-pool depth, core/prefetch/task_scheduler.cpp's NUM_PRIORITY
+    deques; we size it from measured rates). Returns a value in [1, cap]."""
+    if not layer_seconds or not fetch_seconds or fetch_seconds <= 0:
+        return cap
+    can_land = int(lookahead * layer_seconds * workers / fetch_seconds)
+    return max(1, min(cap, can_land))

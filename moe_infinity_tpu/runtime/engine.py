@@ -25,6 +25,7 @@ state.
 
 from __future__ import annotations
 
+import time as _time
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -32,7 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from moe_infinity_tpu.memory.predictor import ExpertPredictor
-from moe_infinity_tpu.memory.prefetch_plan import plan_prefetch
+from moe_infinity_tpu.memory.prefetch_plan import (
+    adaptive_prefetch_budget,
+    plan_prefetch,
+)
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
 
@@ -62,6 +66,7 @@ class OffloadEngine:
         prefetch_budget: Optional[int] = None,
         impl: str = "ragged",
         prefill_impl: Optional[str] = None,
+        adaptive_budget: bool = True,
     ):
         self.model = model
         self.params = params
@@ -78,8 +83,14 @@ class OffloadEngine:
                 f"{model.spec.num_experts}; the slot arena must fit one "
                 f"full MoE layer"
             )
-        # default budget: don't queue more than half the arena per plan
+        # default budget: don't queue more than half the arena per plan;
+        # with adaptive_budget the static value is the cap and the live
+        # budget shrinks to what the arena can land inside the lookahead
+        # window (measured layer period vs measured per-fetch seconds)
         self.prefetch_budget = prefetch_budget or max(1, arena.num_slots // 2)
+        self.adaptive_budget = adaptive_budget
+        self._layer_seconds: Optional[float] = None
+        self._last_layer_t: Optional[float] = None
 
         self._embed = jax.jit(model.embed)
         self._pre = jax.jit(model.pre_moe, donate_argnums=(2,))
@@ -131,7 +142,9 @@ class OffloadEngine:
         params = self.params
         x = self._embed(params, tokens)
         trace_ids, trace_w = [], []
+        self._last_layer_t = None  # don't count inter-step host gaps
         for li in range(model.spec.num_layers):
+            self._tick_layer_clock()
             pl = params["layers"][li]
             mli = model.moe_layer_index(li)
             if mli is None:  # leading dense layer (DeepSeek)
@@ -174,7 +187,7 @@ class OffloadEngine:
                 score,
                 mli,
                 lookahead=self.lookahead,
-                budget=self.prefetch_budget,
+                budget=self._current_budget(),
                 is_resident=self.arena.is_resident,
             )
             if orders:
@@ -182,6 +195,28 @@ class OffloadEngine:
         else:
             for b, sid in enumerate(seq_ids):
                 self.tracer.update_entry(sid, ids_np[b], mli)
+
+    def _tick_layer_clock(self) -> None:
+        t = _time.perf_counter()
+        if self._last_layer_t is not None:
+            dt = t - self._last_layer_t
+            self._layer_seconds = (
+                dt
+                if self._layer_seconds is None
+                else 0.8 * self._layer_seconds + 0.2 * dt
+            )
+        self._last_layer_t = t
+
+    def _current_budget(self) -> int:
+        if not self.adaptive_budget:
+            return self.prefetch_budget
+        return adaptive_prefetch_budget(
+            self._layer_seconds,
+            self.arena.fetch_seconds_ewma,
+            self.arena.num_workers,
+            self.lookahead,
+            self.prefetch_budget,
+        )
 
     # ---- metrics ------------------------------------------------------------
     def hit_rate(self) -> float:

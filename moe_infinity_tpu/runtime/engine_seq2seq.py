@@ -16,6 +16,7 @@ dec_block_* / *_final); models expose it by implementing those methods.
 
 from __future__ import annotations
 
+import time as _time
 from typing import Optional, Sequence
 
 import jax
@@ -23,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from moe_infinity_tpu.memory.predictor import ExpertPredictor
-from moe_infinity_tpu.memory.prefetch_plan import plan_prefetch
+from moe_infinity_tpu.memory.prefetch_plan import (
+    adaptive_prefetch_budget,
+    plan_prefetch,
+)
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
 from moe_infinity_tpu.runtime.engine import _split_arena_tree
@@ -44,6 +48,7 @@ class Seq2SeqOffloadEngine:
         prefetch_budget: Optional[int] = None,
         impl: str = "ragged",
         prefill_impl: Optional[str] = None,
+        adaptive_budget: bool = True,
     ):
         self.model = model
         self.params = params
@@ -53,6 +58,9 @@ class Seq2SeqOffloadEngine:
         self.prefetch = prefetch and predictor is not None
         self.lookahead = lookahead
         self.prefetch_budget = prefetch_budget or max(1, arena.num_slots // 2)
+        self.adaptive_budget = adaptive_budget
+        self._layer_seconds = None
+        self._last_layer_t = None
         if arena.num_slots < model.spec.num_experts:
             raise ValueError("arena must fit one full MoE layer of experts")
 
@@ -80,7 +88,30 @@ class Seq2SeqOffloadEngine:
         self._apply = jax.jit(apply)
 
     # ---- shared expert acquire/apply --------------------------------------
+    def _tick_layer_clock(self):
+        t = _time.perf_counter()
+        if self._last_layer_t is not None:
+            dt = t - self._last_layer_t
+            self._layer_seconds = (
+                dt
+                if self._layer_seconds is None
+                else 0.8 * self._layer_seconds + 0.2 * dt
+            )
+        self._last_layer_t = t
+
+    def _current_budget(self) -> int:
+        if not self.adaptive_budget:
+            return self.prefetch_budget
+        return adaptive_prefetch_budget(
+            self._layer_seconds,
+            self.arena.fetch_seconds_ewma,
+            self.arena.num_workers,
+            self.lookahead,
+            self.prefetch_budget,
+        )
+
     def _moe(self, x, h, cw, ids, mli, seq_ids):
+        self._tick_layer_clock()
         ids_np = np.asarray(ids)
         keys = [(mli, int(e)) for e in np.unique(ids_np)]
         if self.tracer is not None and seq_ids:
@@ -93,7 +124,7 @@ class Seq2SeqOffloadEngine:
                 )
                 orders = plan_prefetch(
                     score, mli,
-                    lookahead=self.lookahead, budget=self.prefetch_budget,
+                    lookahead=self.lookahead, budget=self._current_budget(),
                     is_resident=self.arena.is_resident,
                 )
                 if orders:
