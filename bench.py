@@ -298,10 +298,13 @@ def bench_dsv2lite_resident(args):
         np.asarray(a.reshape(-1)[:8])
 
     params, _ = model.init_random(jax.random.PRNGKey(99), with_experts=False)
-    fold = not args.no_fold_mla
+    fold = args.fold_mla
     if fold:
         # fold w_uk/scale into q-proj and w_uv into o-proj: two fewer
-        # matmuls + one multiply per layer on the op-bound decode path
+        # matmuls + one multiply per layer on the op-bound decode path.
+        # OPT-IN: folded q/o projections are 3-4x larger (~1.3 GB extra
+        # steady HBM over 27 layers), which does not fit next to the full
+        # int8 expert set on this chip's ~15 GB materializable HBM
         params = model.fold_mla_params(params)
     for pl_ in params["layers"]:
         force(pl_["o_fold" if fold else "o"])
@@ -325,30 +328,20 @@ def bench_dsv2lite_resident(args):
         lambda k, s: jax.random.uniform(k, s, jnp.float32, 1e-3, 2e-3),
         static_argnums=1,
     )
-    fuse = not args.no_fuse_gateup
-    # fused gateup arrays are built IN PLACE via donated slice updates:
-    # neither separate gate/up halves nor a 2F-wide randint bits temp ever
-    # exist, so the peak HBM matches the unfused layout exactly
-    chunk_f = F_ // 2
-
-    def _upd(buf, chunk, o):
-        return jax.lax.dynamic_update_slice(buf, chunk, (0, 0, o))
-
-    upd = jax.jit(_upd, donate_argnums=0, static_argnums=2)
-
+    # OPT-IN like fold: the fused generator's transient (u32 bits buffer at
+    # 2F width + threefry temps, ~370 MB larger than per-half generation)
+    # tips the ~15 GB watermark during materialization of the last layers
+    fuse = args.fuse_gateup
+    # fused gateup arrays use the same raw-bits generator as the unfused
+    # path, just at the fused [E, D, 2F] shape: bits→bitcast→reshape alias
+    # one output-sized buffer, so the transient profile matches the layout
+    # that is known to fit. (Rejected: donated slice updates — donation is
+    # not honored through the relay; whole-array device_put — staging copy.)
     def gen_fused(li, dtype):
-        buf = jnp.zeros((E_, D_, 2 * F_), dtype)
-        force(buf)
-        for piece in range(2 * F_ // chunk_f):
-            k = jax.random.PRNGKey(li * 101 + piece)
-            chunk = (
-                geni(k, (E_, D_, chunk_f))
-                if dtype == jnp.int8
-                else genf(k, (E_, D_, chunk_f), dtype)
-            )
-            buf = upd(buf, chunk, piece * chunk_f)
-            force(buf)
-        return buf
+        k = jax.random.PRNGKey(li * 101 + 7)
+        if dtype == jnp.int8:
+            return geni(k, (E_, D_, 2 * F_))
+        return genf(k, (E_, D_, 2 * F_), dtype)
 
     layer_trees = []
     for li in range(Lm_):
@@ -475,10 +468,13 @@ def main():
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))
-    p.add_argument("--no-fold-mla", action="store_true",
-                   help="disable MLA weight folding (dsv2 preset)")
-    p.add_argument("--no-fuse-gateup", action="store_true",
-                   help="disable fused gate+up expert weights (dsv2 preset)")
+    p.add_argument("--fold-mla", action="store_true",
+                   help="enable MLA weight folding (dsv2 preset; fewer "
+                        "decode ops but +1.3 GB dense HBM — needs headroom "
+                        "this chip doesn't have at full expert residency)")
+    p.add_argument("--fuse-gateup", action="store_true",
+                   help="enable fused gate+up expert weights (dsv2 preset; "
+                        "bigger weight-generation transient)")
     args = p.parse_args()
     result = PRESETS[args.preset](args)
     print(json.dumps(result))

@@ -52,6 +52,18 @@ class EngineHolder:
         }
         if hasattr(self.engine, "stats"):
             m["expert_cache"] = self.engine.stats()
+        if hasattr(self.engine, "node_stats"):
+            try:
+                ns = self.engine.node_stats()
+                hr, v = ns["hit_rate_matrix"], ns["visits"]
+                # compact per-layer summary (full [L, E] planes stay on the
+                # Python API; JSON metrics carry one row per layer)
+                m["per_layer_hit_rate"] = [
+                    round(float(r), 4) for r in
+                    (hr * v).sum(1) / v.sum(1).clip(min=1)
+                ]
+            except Exception:
+                pass
         return m
 
     def run(self, prompt: str, gen_kwargs, stop=None) -> tuple:

@@ -83,6 +83,15 @@ class ExpertCachePolicy:
         self.candidates: Set[Key] = set()  # prefetch-protected set
         self.frequency = np.zeros((num_layers, num_experts), dtype=np.float64)
         self.stats = CacheStats()
+        # per-node counters, the reference's GetHitRate per-node metric
+        # matrix (model_topology.cpp:246-268): one [L, E] plane per metric
+        self.node_stats = {
+            name: np.zeros((num_layers, num_experts), dtype=np.int64)
+            for name in (
+                "visits", "hits", "misses",
+                "prefetches", "prefetch_hits", "evictions",
+            )
+        }
         self._clock = 0
         self._was_prefetched: Set[Key] = set()
 
@@ -92,27 +101,42 @@ class ExpertCachePolicy:
         self.resident[key] = ResidentInfo(timestamp=self._clock)
         if prefetched:
             self.stats.prefetches += 1
+            self.node_stats["prefetches"][key] += 1
             self._was_prefetched.add(key)
 
     def on_evict(self, key: Key) -> None:
         self.resident.pop(key, None)
         self._was_prefetched.discard(key)
         self.stats.evictions += 1
+        self.node_stats["evictions"][key] += 1
 
     def record_visit(self, key: Key, hit: bool) -> None:
         self._clock += 1
         self.stats.visits += 1
         self.frequency[key] += 1
+        self.node_stats["visits"][key] += 1
         if hit:
             self.stats.hits += 1
+            self.node_stats["hits"][key] += 1
             if key in self._was_prefetched:
                 self.stats.prefetch_hits += 1
+                self.node_stats["prefetch_hits"][key] += 1
         else:
             self.stats.misses += 1
+            self.node_stats["misses"][key] += 1
         info = self.resident.get(key)
         if info is not None:
             info.timestamp = self._clock
             info.visits += 1
+
+    def hit_rate_matrix(self) -> np.ndarray:
+        """Per-node hit rate [L, E] (visits==0 → 0), the headline column of
+        the reference's GetHitRate export."""
+        v = self.node_stats["visits"]
+        h = self.node_stats["hits"]
+        return np.divide(
+            h, v, out=np.zeros(v.shape, dtype=np.float64), where=v > 0
+        )
 
     # ---- protection -------------------------------------------------------
     def protect(self, key: Key) -> None:

@@ -32,6 +32,9 @@ class TraceEntry:
     matrix: np.ndarray  # [L, E] float32 counts
     access: int = 0
     num_new_tokens: int = 0
+    # last routed layer + its unique expert ids, for transition counting
+    last_layer: int = -1
+    last_experts: Optional[np.ndarray] = None
 
 
 class ExpertTracer:
@@ -56,6 +59,16 @@ class ExpertTracer:
         )
         self.collection_access = np.zeros(capacity, dtype=np.int64)
         self.persistent_capacity = 0  # loaded traces are never evicted
+        # inter-layer expert transition counts, the reference's per-node
+        # children_visit_cnt ((L-1) x E x E tensor exported via GetTrace /
+        # imported via SetTrace, core/model/model_topology.h:75-103 and
+        # core/prefetch/archer_prefetch_handle.cpp:263-308):
+        # transitions[l, i, j] counts steps where expert i was routed at
+        # layer l and expert j at layer l+1
+        self.transitions = np.zeros(
+            (max(0, num_layers - 1), num_experts, num_experts),
+            dtype=np.float32,
+        )
         self._lock = threading.Lock()
 
     # ---- live entries ----------------------------------------------------
@@ -78,6 +91,16 @@ class ExpertTracer:
         entry = self.trace[seq_id]
         ids = np.asarray(expert_ids).reshape(-1)
         np.add.at(entry.matrix[layer_idx], ids, 1.0)
+        uniq = np.unique(ids)
+        if entry.last_layer == layer_idx - 1 and entry.last_experts is not None:
+            with self._lock:
+                np.add.at(
+                    self.transitions[layer_idx - 1],
+                    (entry.last_experts[:, None], uniq[None, :]),
+                    1.0,
+                )
+        entry.last_layer = layer_idx
+        entry.last_experts = uniq
         if layer_idx == self.num_layers - 1:
             entry.num_new_tokens += 1
 
@@ -134,12 +157,31 @@ class ExpertTracer:
         self.collection_access[idx] += 1
         return self.trace_collection[idx].copy()
 
+    # ---- transition trace (reference GetTrace / SetTrace) -------------------
+    def get_trace(self) -> np.ndarray:
+        """Copy of the (L-1, E, E) inter-layer transition counts (the
+        reference exports this via ArcherPrefetchHandle::GetTrace)."""
+        with self._lock:
+            return self.transitions.copy()
+
+    def set_trace(self, transitions: np.ndarray) -> None:
+        """Import transition counts (reference SetTrace); shape-checked."""
+        t = np.asarray(transitions, dtype=np.float32)
+        if t.shape != self.transitions.shape:
+            raise ValueError(
+                f"transition trace shape {t.shape} != "
+                f"{self.transitions.shape}"
+            )
+        with self._lock:
+            self.transitions = t.copy()
+
     # ---- persistence ("knowledge checkpoint") -------------------------------
     def save_trace(self, path: Union[str, os.PathLike]) -> None:
         np.savez(
             path,
             collection=self.trace_collection,
             access=self.collection_access,
+            transitions=self.transitions,
         )
 
     def load_trace(self, trace: Union[str, os.PathLike, np.ndarray]) -> None:
@@ -154,6 +196,8 @@ class ExpertTracer:
                 else:  # bare .npy-style array saved under the default key
                     coll = data[data.files[0]].astype(np.float32)
                     access = np.ones(coll.shape[0], dtype=np.int64)
+                if "transitions" in data:
+                    self.set_trace(data["transitions"])
         n = coll.shape[0]
         if n > self.capacity:
             raise ValueError(

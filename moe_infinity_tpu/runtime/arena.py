@@ -241,6 +241,13 @@ class ExpertArena:
     def hit_stats(self) -> dict:
         return self.policy.stats.as_dict()
 
+    def node_stats(self) -> dict:
+        """Per-(layer, expert) counter planes + hit-rate matrix (the
+        reference's GetHitRate per-node export, model_topology.cpp:246-268)."""
+        out = {k: v.copy() for k, v in self.policy.node_stats.items()}
+        out["hit_rate_matrix"] = self.policy.hit_rate_matrix()
+        return out
+
     def set_context(self, layer: int, decoder_matrix: Optional[np.ndarray] = None):
         """Update the eviction-scoring context (current layer + the active
         sequence's decoder activation matrix)."""

@@ -224,3 +224,6 @@ class OffloadEngine:
 
     def stats(self) -> dict:
         return self.arena.hit_stats()
+
+    def node_stats(self) -> dict:
+        return self.arena.node_stats()

@@ -265,5 +265,8 @@ class Seq2SeqOffloadEngine:
     def stats(self) -> dict:
         return self.arena.hit_stats()
 
+    def node_stats(self) -> dict:
+        return self.arena.node_stats()
+
     def hit_rate(self) -> float:
         return self.arena.policy.stats.hit_rate

@@ -207,3 +207,79 @@ class TestPrefetchPlan:
         m[1, 1] = 1
         plan = plan_prefetch(m, 0, is_resident=lambda k: k == (1, 0))
         assert plan == [(1, 1)]
+
+
+class TestNodeStats:
+    """Per-(layer, expert) counter planes + hit-rate matrix (the reference's
+    GetHitRate per-node export, core/model/model_topology.cpp:246-268)."""
+
+    def test_counters_and_hit_rate_matrix(self):
+        pol = ExpertCachePolicy(L, E, policy="lru")
+        pol.on_insert((1, 2), prefetched=True)
+        pol.record_visit((1, 2), hit=True)
+        pol.record_visit((1, 2), hit=True)
+        pol.record_visit((1, 3), hit=False)
+        ns = pol.node_stats
+        assert ns["visits"][1, 2] == 2 and ns["hits"][1, 2] == 2
+        assert ns["prefetches"][1, 2] == 1 and ns["prefetch_hits"][1, 2] == 2
+        assert ns["misses"][1, 3] == 1
+        hr = pol.hit_rate_matrix()
+        assert hr[1, 2] == 1.0 and hr[1, 3] == 0.0
+        assert hr[0, 0] == 0.0  # unvisited → 0, no div-by-zero
+
+    def test_visit_refreshes_lru_timestamp(self):
+        pol = ExpertCachePolicy(L, E, policy="lru")
+        pol.on_insert((0, 0))
+        pol.on_insert((0, 1))
+        pol.record_visit((0, 0), hit=True)  # refresh 0 → 1 becomes oldest
+        assert pol.pick_victims(1, current_layer=0) == [(0, 1)]
+
+    def test_eviction_counter(self):
+        pol = ExpertCachePolicy(L, E, policy="lru")
+        pol.on_insert((2, 5))
+        pol.on_evict((2, 5))
+        assert pol.node_stats["evictions"][2, 5] == 1
+
+
+class TestTransitionTrace:
+    """Inter-layer expert transition counts (the reference's per-node
+    children_visit_cnt, exported/imported via GetTrace/SetTrace —
+    core/prefetch/archer_prefetch_handle.cpp:263-308)."""
+
+    def test_transitions_counted(self):
+        tr = make_tracer()
+        sid = tr.create_entry()
+        tr.update_entry(sid, np.array([0, 1]), layer_idx=0)
+        tr.update_entry(sid, np.array([2]), layer_idx=1)
+        t = tr.get_trace()
+        assert t.shape == (L - 1, E, E)
+        assert t[0, 0, 2] == 1 and t[0, 1, 2] == 1
+        assert t.sum() == 2
+
+    def test_non_adjacent_layers_not_counted(self):
+        tr = make_tracer()
+        sid = tr.create_entry()
+        tr.update_entry(sid, np.array([0]), layer_idx=0)
+        tr.update_entry(sid, np.array([1]), layer_idx=2)  # skipped layer 1
+        assert tr.get_trace().sum() == 0
+
+    def test_set_trace_roundtrip_and_shape_check(self):
+        tr = make_tracer()
+        t = np.zeros((L - 1, E, E), dtype=np.float32)
+        t[1, 3, 4] = 7
+        tr.set_trace(t)
+        assert tr.get_trace()[1, 3, 4] == 7
+        with pytest.raises(ValueError):
+            tr.set_trace(np.zeros((L, E, E)))
+
+    def test_save_load_carries_transitions(self, tmp_path):
+        tr = make_tracer()
+        sid = tr.create_entry()
+        tr.update_entry(sid, np.array([0]), layer_idx=0)
+        tr.update_entry(sid, np.array([1]), layer_idx=1)
+        tr.finish_entry(sid)
+        p = tmp_path / "trace.npz"
+        tr.save_trace(p)
+        tr2 = make_tracer()
+        tr2.load_trace(p)
+        assert tr2.get_trace()[0, 0, 1] == 1
