@@ -306,9 +306,10 @@ def bench_dsv2lite_resident(args):
         # steady HBM over 27 layers), which does not fit next to the full
         # int8 expert set on this chip's ~15 GB materializable HBM
         params = model.fold_mla_params(params)
-    for pl_ in params["layers"]:
-        force(pl_["o_fold" if fold else "o"])
-    force(params["embed"])
+    # force EVERY dense leaf: deferred generation thunks otherwise pile up
+    # as transients during expert materialization and tip the HBM watermark
+    # (the model is ~15.5 GiB steady against a ~15-16 GiB relay ceiling)
+    jax.tree.map(force, params)
 
     E_, D_, F_ = spec.num_experts, spec.hidden_size, spec.moe_intermediate_size
     Lm_ = spec.num_layers - spec.first_k_dense_replace
@@ -374,20 +375,16 @@ def bench_dsv2lite_resident(args):
                 "up": genf(ks[1], (E_, D_, F_), jnp.bfloat16),
                 "down": genf(ks[2], (E_, F_, D_), jnp.bfloat16),
             }
+        # force each tensor as it is generated: waves of deferred
+        # generation stack ~1+ GiB of transients on top of the ~15.5 GiB
+        # steady footprint and OOM the ~15-16 GiB relay ceiling; per-tensor
+        # D2H syncs cost only ~25 ms each (~4 s total over the model)
+        for v in lt.values():
+            force(v)
         layer_trees.append(lt)
-        # materialize in waves: enough to bound deferred-generation temps,
-        # few enough to amortize the relay's D2H sync cost
         if li % 3 == 2 or li == Lm_ - 1:
-            for lt_ in layer_trees[max(0, li - 2) :]:
-                for v in lt_.values():
-                    force(v)
-            try:
-                ms = jax.local_devices()[0].memory_stats() or {}
-                used = ms.get("bytes_in_use", 0) / 2**30
-            except Exception:
-                used = -1
-            print(f"[bench] experts materialized through layer {li} "
-                  f"(hbm {used:.1f} GB)", file=sys.stderr, flush=True)
+            print(f"[bench] experts materialized through layer {li}",
+                  file=sys.stderr, flush=True)
     experts = {
         "layers": layer_trees,
         "slot_map": jnp.arange(E_, dtype=jnp.int32),

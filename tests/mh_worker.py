@@ -1,0 +1,99 @@
+"""Worker process for the multi-process jax.distributed test.
+
+Launched by tests/test_multihost.py as ``python mh_worker.py <pid> <nprocs>
+<port>``. Each process owns 4 virtual CPU devices; together they form one
+8-device global mesh spanning 2 processes — the same SPMD shape as a real
+2-host TPU pod slice (SURVEY.md §4: multi-process-on-CPU testing, which the
+reference entirely lacks).
+
+Checks, in order:
+  1. jax.distributed boot through parallel.multihost.init_multihost.
+  2. grouped_ffn_ep over the cross-process expert axis == local
+     single-device grouped_ffn (collectives ride the gloo CPU backend the
+     way they ride ICI on hardware).
+  3. PrefetchHints consensus: process 0 publishes the predicted expert
+     set; process 1 blocking-fetches it from the jax.distributed KV store
+     (the pod-wide prefetch hint path of SURVEY.md §7 hard-parts).
+
+Prints ``MH_OK <pid>`` on success; any exception exits nonzero.
+"""
+
+import os
+import sys
+
+pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+# In-process platform pin BEFORE any backend touch: env-var overrides are
+# ignored in this container and a TPU-attached subprocess would wedge the
+# device claim when the test harness reaps it.
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from moe_infinity_tpu.ops.moe import grouped_ffn, grouped_ffn_ep  # noqa: E402
+from moe_infinity_tpu.parallel import MeshPlan  # noqa: E402
+from moe_infinity_tpu.parallel.multihost import (  # noqa: E402
+    PrefetchHints,
+    global_mesh,
+    init_multihost,
+)
+
+init_multihost(f"localhost:{port}", num_processes=nprocs, process_id=pid)
+assert jax.process_count() == nprocs, jax.process_count()
+assert len(jax.devices()) == 4 * nprocs
+assert len(jax.local_devices()) == 4
+
+mesh = global_mesh(MeshPlan(data=1, model=1, expert=4 * nprocs))
+
+T, D, F, E, K = 16, 32, 64, 8, 2
+rng = np.random.default_rng(7)  # same seed every process: replicated data
+x = rng.standard_normal((T, D)).astype(np.float32)
+weights = {
+    "gate": (rng.standard_normal((E, D, F)) * 0.1).astype(np.float32),
+    "up": (rng.standard_normal((E, D, F)) * 0.1).astype(np.float32),
+    "down": (rng.standard_normal((E, F, D)) * 0.1).astype(np.float32),
+}
+ids = rng.integers(0, E, (T, K)).astype(np.int32)
+cw = rng.uniform(0, 1, (T, K)).astype(np.float32)
+slot = np.arange(E, dtype=np.int32)
+
+# local single-device reference (plain jit on this process's device 0)
+want = np.asarray(
+    grouped_ffn(
+        jnp.asarray(x), jnp.asarray(ids), jnp.asarray(cw), jnp.asarray(slot),
+        {k: jnp.asarray(v) for k, v in weights.items()}, "silu",
+    )
+)
+
+def make(arr, spec):
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx]
+    )
+
+w_s = {k: make(v, P("expert", None, None)) for k, v in weights.items()}
+x_s, ids_s = make(x, P()), make(ids, P())
+cw_s, slot_s = make(cw, P()), make(slot, P())
+
+got = jax.jit(
+    lambda x, i, c, s, w: grouped_ffn_ep(x, i, c, s, w, "silu", mesh=mesh)
+)(x_s, ids_s, cw_s, slot_s, w_s)
+# output is replicated: every process reads its own addressable shard
+local = np.asarray(got.addressable_shards[0].data)
+np.testing.assert_allclose(local, want, rtol=1e-5, atol=1e-5)
+
+# pod-wide prefetch-hint consensus over the jax.distributed KV store
+hints = PrefetchHints(namespace="mh_test")
+if pid == 0:
+    hints.publish(3, [(1, 5), (2, 7)])
+else:
+    got_keys = hints.fetch(3, timeout_ms=20000)
+    assert got_keys == [(1, 5), (2, 7)], got_keys
+
+print(f"MH_OK {pid}", flush=True)
