@@ -262,11 +262,34 @@ DSV2_LITE_SPEC = dict(
 
 
 def bench_dsv2lite_resident(args):
-    """DeepSeek-V2-Lite, all experts HBM-resident (bf16 28.8 GB or int8
-    14.4 GB), fused scan-over-layers forward + Pallas grouped GEMM +
-    device-side lax.scan decode. Headline metric: per-token decode latency
-    vs the reference's published 0.155 s/token for this exact model
-    (BASELINE.md, 1xA5000)."""
+    """DeepSeek-V2-Lite, all experts HBM-resident (bf16 28.8 / int8 14.4 /
+    int4 7.2 GB), unrolled-layer forward + device-side lax.scan decode.
+    Headline metric: per-token decode latency vs the reference's published
+    0.155 s/token for this exact model (BASELINE.md, 1xA5000).
+
+    The int8 model + bf16 dense side totals ~15.5 GiB — right at this
+    chip's materializable ceiling, which drifts with relay residue. If the
+    int8 arena OOMs, fall back to int4 packed experts (a config the
+    reference also reaches, via GPTQ conversion at load): same model, half
+    the routed bytes, comfortable 7+ GiB headroom."""
+    import jax
+
+    try:
+        return _dsv2_run(args, args.arena_dtype)
+    except jax.errors.JaxRuntimeError as e:
+        if args.arena_dtype != "int8" or "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        print("[bench] int8-resident OOM; falling back to int4 packed "
+              "experts", file=sys.stderr, flush=True)
+        import gc
+
+        gc.collect()
+        result = _dsv2_run(args, "int4")
+        result["fallback"] = "int4-on-oom"
+        return result
+
+
+def _dsv2_run(args, arena_dtype):
     import jax
     import jax.numpy as jnp
 
@@ -290,7 +313,8 @@ def bench_dsv2lite_resident(args):
     # always-used shared weights every step, while the dense shared MLP
     # reads them once; the fold pays off only on the gmm kernel path
     model = DeepseekV2ModelJax(spec, compute_dtype=jnp.bfloat16)
-    quant = args.arena_dtype == "int8"
+    quant = arena_dtype in ("int8", "int4")
+    q4 = arena_dtype == "int4"
 
     def force(a):
         # full materialization; block_until_ready is unreliable through
@@ -325,8 +349,11 @@ def bench_dsv2lite_resident(args):
         lambda k, s, dt: (jax.random.normal(k, s, jnp.float32) * 0.02).astype(dt),
         static_argnums=(1, 2),
     )
+    # int4 scales sit 127/7 higher so dequantized weight magnitudes match
+    # the int8 arena's (same activation statistics either way)
+    s_lo, s_hi = (1.6e-2, 3.2e-2) if q4 else (1e-3, 2e-3)
     gens = jax.jit(
-        lambda k, s: jax.random.uniform(k, s, jnp.float32, 1e-3, 2e-3),
+        lambda k, s: jax.random.uniform(k, s, jnp.float32, s_lo, s_hi),
         static_argnums=1,
     )
     # OPT-IN like fold: the fused generator's transient (u32 bits buffer at
@@ -347,7 +374,27 @@ def bench_dsv2lite_resident(args):
     layer_trees = []
     for li in range(Lm_):
         ks = jax.random.split(jax.random.PRNGKey(li), 6)
-        if quant:
+        if q4:
+            # random bytes ARE valid packed int4 pairs; shapes halve on the
+            # packed (out) axis, scales stay full-width
+            if fuse:
+                lt = {
+                    "gateup4": geni(jax.random.PRNGKey(li * 101 + 7),
+                                    (E_, D_, F_)),
+                    "down4": geni(ks[2], (E_, F_, D_ // 2)),
+                    "gateup_scale": gens(ks[3], (E_, 2 * F_)),
+                    "down_scale": gens(ks[5], (E_, D_)),
+                }
+            else:
+                lt = {
+                    "gate4": geni(ks[0], (E_, D_, F_ // 2)),
+                    "up4": geni(ks[1], (E_, D_, F_ // 2)),
+                    "down4": geni(ks[2], (E_, F_, D_ // 2)),
+                    "gate_scale": gens(ks[3], (E_, F_)),
+                    "up_scale": gens(ks[4], (E_, F_)),
+                    "down_scale": gens(ks[5], (E_, D_)),
+                }
+        elif quant:
             if fuse:
                 lt = {
                     "gateup": gen_fused(li, jnp.int8),
@@ -432,12 +479,13 @@ def bench_dsv2lite_resident(args):
         "vs_baseline": round(baseline / per_tok, 2),
         "batch": B,
         "layers": spec.num_layers,
-        "expert_dtype": args.arena_dtype,
+        "expert_dtype": arena_dtype,
         "moe_impl": args.moe_impl,
         "tokens_per_s": round(B * n / dt, 2),
         "warm_s": round(warm_s, 1),
         "hbm_experts_gb": round(
-            Lm_ * E_ * 3 * D_ * F_ * (1 if quant else 2) / 2**30, 1
+            Lm_ * E_ * 3 * D_ * F_ * (0.5 if q4 else 1 if quant else 2)
+            / 2**30, 1
         ),
     }
 
@@ -461,7 +509,8 @@ def main():
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--lookahead", type=int, default=3)
     p.add_argument("--policy", default="priority")
-    p.add_argument("--arena-dtype", default="int8", choices=("bf16", "int8"))
+    p.add_argument("--arena-dtype", default="int8",
+                   choices=("bf16", "int8", "int4"))
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))

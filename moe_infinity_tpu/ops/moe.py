@@ -88,6 +88,60 @@ def _dequant(w: jax.Array, scale: Optional[jax.Array], dtype) -> jax.Array:
     return w.astype(jnp.float32) * scale[:, None, :].astype(jnp.float32)
 
 
+# --------------------------------------------------------------------------
+# int4 packing — two signed nibbles per int8 byte along the OUT axis.
+#
+# Weight-dict convention: a packed array lives under "<role>4" (e.g.
+# "gate4" [S, D, F//2] int8) with its scale under the usual "<role>_scale"
+# [S, F]. The reference reaches 4-bit through GPTQ conversion at load
+# (/root/reference/moe_infinity/runtime/model_offload.py:452-467); here int4
+# is a first-class arena dtype: the gather decode path unpacks AFTER the
+# row gather, so routed HBM bytes halve vs int8.
+# --------------------------------------------------------------------------
+
+def pack_int4(v: jax.Array) -> jax.Array:
+    """Pack int8 values in [-8, 7] SPLIT-wise along the last axis: byte i
+    holds channel i in its low nibble and channel i+N/2 in its high nibble
+    (N = last-dim size, must be even). Split packing makes unpack a plain
+    concat — no interleave relayout on the lane dimension, which matters
+    on the op-dispatch-bound decode path."""
+    n = v.shape[-1] // 2
+    lo = jnp.bitwise_and(v[..., :n].astype(jnp.int8), jnp.int8(0x0F))
+    hi = jnp.left_shift(v[..., n:].astype(jnp.int8), 4)
+    return jnp.bitwise_or(hi, lo)
+
+
+def unpack_int4(w8: jax.Array) -> jax.Array:
+    """Inverse of pack_int4: int8 [..., P] -> int8 [..., 2P]; low nibbles
+    become the first P channels, high nibbles the last P (sign-extended
+    via arithmetic shifts)."""
+    lo = jnp.right_shift(jnp.left_shift(w8, 4), 4)
+    hi = jnp.right_shift(w8, 4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _unpack4_weights(weights: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Normalize any '<role>4' packed entries to full int8 '<role>' arrays
+    (for impls without a native packed path; the unpack is one fused XLA
+    expression, materialized per layer at trace time)."""
+    if not any(k.endswith("4") for k in weights):
+        return weights
+    w = {}
+    for k, v in weights.items():
+        if k.endswith("4"):
+            w[k[:-1]] = unpack_int4(v)
+        else:
+            w[k] = v
+    return w
+
+
+def _num_slots(weights: Dict[str, jax.Array]) -> int:
+    for k in ("gateup", "gateup4", "gate", "gate4"):
+        if k in weights:
+            return weights[k].shape[0]
+    raise KeyError("weight dict has no gate/gateup entry")
+
+
 def grouped_ffn(
     x: jax.Array,  # [T, D]
     expert_ids: jax.Array,  # [T, K] int32 router choices
@@ -107,17 +161,18 @@ def grouped_ffn(
     """
     if impl == "ragged":
         return _gffn_ragged(
-            x, expert_ids, combine_weights, expert_to_slot, weights,
-            activation, biases,
+            x, expert_ids, combine_weights, expert_to_slot,
+            _unpack4_weights(weights), activation, biases,
         )
     if impl == "dense":
         return _gffn_dense(
-            x, expert_ids, combine_weights, expert_to_slot, weights,
-            activation, biases,
+            x, expert_ids, combine_weights, expert_to_slot,
+            _unpack4_weights(weights), activation, biases,
         )
     if impl == "pallas":
         from moe_infinity_tpu.ops.gmm import gffn_pallas
 
+        weights = _unpack4_weights(weights)
         if "gateup" in weights:  # kernel takes separate gate/up views
             weights = _split_gateup(weights)
         return gffn_pallas(
@@ -149,6 +204,21 @@ def fuse_gateup(weights: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     """Concatenate gate+up (and their scales) into fused arrays: the gather
     and ragged paths then do ONE gather + ONE matmul for both projections —
     fewer ops on the op-overhead-bound decode path, same FLOPs/bytes."""
+    if "gate4" in weights and "gateup4" not in weights:
+        # split packing is positional, so fuse by unpack -> concat ->
+        # repack (one-time, at load/trace; not on the decode path)
+        w = dict(weights)
+        w["gateup4"] = pack_int4(
+            jnp.concatenate(
+                [unpack_int4(w.pop("gate4")), unpack_int4(w.pop("up4"))],
+                axis=-1,
+            )
+        )
+        if "gate_scale" in w:
+            w["gateup_scale"] = jnp.concatenate(
+                [w.pop("gate_scale"), w.pop("up_scale")], axis=-1
+            )
+        return w
     if "up" not in weights or "gateup" in weights:
         return weights
     w = dict(weights)
@@ -175,10 +245,12 @@ def _gffn_gather(x, expert_ids, combine_weights, expert_to_slot, weights,
     x_rep = x[jnp.arange(T * K, dtype=jnp.int32) // K]  # [TK, D]
 
     def dq(role):
+        if role + "4" in weights:  # packed int4: gather bytes, then unpack
+            return unpack_int4(weights[role + "4"][rows]).astype(jnp.bfloat16)
         w = weights[role][rows]
         return w.astype(jnp.bfloat16) if w.dtype == jnp.int8 else w
 
-    if "gateup" in weights:
+    if "gateup" in weights or "gateup4" in weights:
         wgu = dq("gateup")
         xb = x_rep.astype(wgu.dtype)
         hcat = jnp.einsum(
@@ -196,7 +268,7 @@ def _gffn_gather(x, expert_ids, combine_weights, expert_to_slot, weights,
             h = h * weights["gate_scale"][rows]
         if biases is not None and "gate_bias" in biases:
             h = h + biases["gate_bias"][rows]
-        if "up" in weights:
+        if "up" in weights or "up4" in weights:
             hu = jnp.einsum(
                 "td,tdf->tf", xb, dq("up"), preferred_element_type=jnp.float32
             )
@@ -313,7 +385,7 @@ def grouped_ffn_ep(
 
     def local_ffn(x, ids, cw, slot_map, w, b):
         shard = jax.lax.axis_index(expert_axis)
-        s_local = w["gate"].shape[0]
+        s_local = _num_slots(w)
         slots = slot_map[ids]  # [T, K] global slots
         local = slots - shard * s_local
         valid = (local >= 0) & (local < s_local)
