@@ -7,8 +7,11 @@ baseline_latency / our_latency, so > 1.0 means we beat the reference.
 
 Presets (``--preset``):
   dsv2lite-resident     DeepSeek-V2-Lite, experts fully HBM-resident
-                        (int8 by default), device-side scan decode —
-                        the HEADLINE (baseline 0.155 s/tok, BASELINE.md)
+                        (int4 packed by default: 29.9 ms/tok = 5.2x the
+                        reference, 6.7 GB experts — int8 is 45 ms but
+                        ~15.5 GiB total, at the chip's ceiling), device-
+                        side scan decode — the HEADLINE (baseline
+                        0.155 s/tok, BASELINE.md)
   mixtral-offload       Mixtral-8x7B geometry, int8 experts offloaded to
                         a synthetic host store through the slot arena
                         (baseline 0.735 s/tok)
@@ -509,7 +512,7 @@ def main():
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--lookahead", type=int, default=3)
     p.add_argument("--policy", default="priority")
-    p.add_argument("--arena-dtype", default="int8",
+    p.add_argument("--arena-dtype", default="int4",
                    choices=("bf16", "int8", "int4"))
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)

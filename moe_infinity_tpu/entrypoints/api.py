@@ -224,6 +224,7 @@ class MoE:
                 store, num_slots,
                 compute_dtype=compute_dtype,
                 num_threads=config.num_threads,
+                dequant_on_write=config.dequant_on_write,
             )
             tracer = ExpertTracer(
                 config.trace_capacity, store.num_layers, store.num_experts,

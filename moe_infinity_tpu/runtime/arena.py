@@ -64,7 +64,13 @@ def _write_rows(buf: jax.Array, v: jax.Array, slot, row_off):
 @functools.partial(jax.jit, donate_argnums=0)
 def _write_rows_dq(buf: jax.Array, v: jax.Array, scale: jax.Array, slot, row_off):
     """Chunked write with fused dequant: quantized bytes ride the
-    interconnect, the arena slot holds compute dtype."""
+    interconnect, the arena slot holds compute dtype. int4-packed chunks
+    (half the buf's out axis) unpack on device — packed bytes on the wire,
+    detected at trace time from the static shapes."""
+    if v.ndim == 2 and v.shape[-1] * 2 == buf.shape[-1]:
+        from moe_infinity_tpu.ops.moe import unpack_int4
+
+        v = unpack_int4(v)
     v = (v.astype(jnp.float32) * scale[None, :]).astype(buf.dtype)
     return jax.lax.dynamic_update_slice(buf, v[None], (slot, row_off, 0))
 
@@ -81,6 +87,10 @@ def _write_slot(arena: Dict[str, jax.Array], new: Dict[str, jax.Array], slot):
         v = new[k]
         scale = new.get(k + "_scale")
         if scale is not None and (k + "_scale") not in arena:
+            if v.ndim == 2 and v.shape[-1] * 2 == a.shape[-1]:
+                from moe_infinity_tpu.ops.moe import unpack_int4
+
+                v = unpack_int4(v)  # int4-packed upload, compute-dtype slot
             v = (v.astype(jnp.float32) * scale[None, :]).astype(a.dtype)
         else:
             v = v.astype(a.dtype)
@@ -142,7 +152,9 @@ class ExpertArena:
                 continue
             key = _ROLE_KEYS[role]
             f = store._field_by_name[tail]
-            if f.dtype == "int8":
+            is4 = f.dtype == "int4"
+            shape = f.shape
+            if f.dtype in ("int8", "int4"):
                 adt = jnp.int8
             elif f.dtype == "float8_e4m3fn":
                 adt = jnp.float8_e4m3fn
@@ -150,15 +162,22 @@ class ExpertArena:
                 adt = compute_dtype
             if dequant_on_write:
                 adt = compute_dtype
+                if is4:  # slot holds unpacked compute dtype; upload packed
+                    shape = (shape[0], shape[1] * 2)
+            elif is4:
+                # slot stays packed ('<role>4' key, ops.moe unpacks after
+                # the row gather); scale keeps the base-role key
+                key = key + "4"
             self._role_to_tail[key] = tail
             self._arena_np_dtype[key] = np_dtype(f.dtype)
-            arena[key] = jnp.zeros((num_slots,) + f.shape, dtype=adt)
+            arena[key] = jnp.zeros((num_slots,) + shape, dtype=adt)
+            base = key[:-1] if key.endswith("4") else key
             if tail + ".scale" in field_names:
                 fs = store._field_by_name[tail + ".scale"]
-                self._role_to_tail[key + "_scale"] = tail + ".scale"
-                self._arena_np_dtype[key + "_scale"] = np_dtype(fs.dtype)
+                self._role_to_tail[base + "_scale"] = tail + ".scale"
+                self._arena_np_dtype[base + "_scale"] = np_dtype(fs.dtype)
                 if not dequant_on_write:
-                    arena[key + "_scale"] = jnp.zeros(
+                    arena[base + "_scale"] = jnp.zeros(
                         (num_slots,) + fs.shape, dtype=jnp.float32
                     )
         for tail, key in _BIAS_TAILS.items():
@@ -386,7 +405,8 @@ class ExpertArena:
             new = {}
             for akey, tail in self._role_to_tail.items():
                 a = record[tail]
-                quantized = (akey + "_scale") in self._role_to_tail
+                base = akey[:-1] if akey.endswith("4") else akey
+                quantized = (base + "_scale") in self._role_to_tail
                 if quantized and not akey.endswith("_scale"):
                     pass  # upload quantized bytes exactly as stored
                 elif akey in self._arena:

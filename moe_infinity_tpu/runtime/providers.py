@@ -62,6 +62,7 @@ class ResidentProvider:
                 if tail is None:
                     continue
                 key = _ROLE_KEYS[role]
+                is4 = store._field_by_name[tail].dtype == "int4"
                 stacked = np.stack(
                     [store.get_tensor(l, e, tail) for e in range(store.num_experts)]
                 )
@@ -73,13 +74,21 @@ class ResidentProvider:
                         ]
                     )
                     if dequantize:
+                        if is4:
+                            from moe_infinity_tpu.store.quant import unpack_int4_np
+
+                            stacked = unpack_int4_np(stacked)
                         w[key] = device_put(
                             jnp.asarray(
                                 stacked.astype(np.float32) * scale[:, None, :]
                             ).astype(dtype)
                         )
                     else:
-                        w[key] = device_put(jnp.asarray(stacked))
+                        # int4 stays packed under '<role>4'; scale keeps the
+                        # base-role key (ops.moe convention)
+                        w[key + "4" if is4 else key] = device_put(
+                            jnp.asarray(stacked)
+                        )
                         w[key + "_scale"] = device_put(jnp.asarray(scale))
                 else:
                     arr = jnp.asarray(stacked)
@@ -92,7 +101,7 @@ class ResidentProvider:
                         [store.get_tensor(l, e, tail) for e in range(store.num_experts)]
                     )
                     w[key] = device_put(jnp.asarray(stacked).astype(jnp.float32))
-            if fuse_gateup and "up" in w and "gate_bias" not in w:
+            if fuse_gateup and ("up" in w or "up4" in w) and "gate_bias" not in w:
                 from moe_infinity_tpu.ops.moe import fuse_gateup as _fuse
 
                 w = jax.tree.map(device_put, _fuse(w))

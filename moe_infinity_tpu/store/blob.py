@@ -96,7 +96,9 @@ class ExpertStoreWriter:
             raise ValueError(
                 f"{name} shape {a.shape} != spec {f.shape} (L{layer} E{expert})"
             )
-        if dtype_name(a.dtype) != f.dtype:
+        # int4 fields hold packed nibbles in an int8 container
+        want = "int8" if f.dtype == "int4" else f.dtype
+        if dtype_name(a.dtype) != want:
             raise ValueError(f"{name} dtype {a.dtype} != spec {f.dtype}")
         base = (layer * self.num_experts + expert) * self.stride
         self._f.seek(base + f.offset)

@@ -36,7 +36,7 @@ from moe_infinity_tpu.utils.logger import get_logger
 
 logger = get_logger("ingest")
 
-QUANT_DTYPES = ("int8", "float8_e4m3fn")
+QUANT_DTYPES = ("int8", "int4", "float8_e4m3fn")
 
 
 def _iter_checkpoint_tensors(checkpoint: str):
@@ -118,7 +118,10 @@ def _expert_fields(layout, expert_dtype: str):
     fields = []
     for spec in layout.tensors:
         if expert_dtype in QUANT_DTYPES and len(spec.shape) == 2:
-            fields.append((spec.name, spec.shape, expert_dtype))
+            shape = spec.shape
+            if expert_dtype == "int4":  # packed: out axis halves
+                shape = (shape[0], shape[1] // 2)
+            fields.append((spec.name, shape, expert_dtype))
             # per-output-channel scale; out dim is shape[1] in compute layout
             fields.append((spec.name + ".scale", (spec.shape[1],), "float32"))
         else:

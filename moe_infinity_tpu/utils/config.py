@@ -53,7 +53,12 @@ class EngineConfig:
 
     # ---- compute --------------------------------------------------------
     expert_dtype: str = "bfloat16"
-    """Storage dtype of offloaded experts: bfloat16 | int8 | float8_e4m3fn."""
+    """Storage dtype of offloaded experts: bfloat16 | int8 | int4 | float8_e4m3fn."""
+
+    dequant_on_write: bool = False
+    """Offload plan only: dequantize expert uploads into compute-dtype
+    arena slots (quantized bytes still ride the interconnect). Default
+    keeps slots quantized and fuses dequant into the expert matmul."""
 
     use_pallas: Optional[bool] = None
     """Force Pallas kernels on/off. Default (None): on for TPU backends,
@@ -122,7 +127,7 @@ class EngineConfig:
             raise ValueError("device_memory_ratio must be in (0, 1]")
         if not 0.0 < self.host_memory_ratio <= 1.0:
             raise ValueError("host_memory_ratio must be in (0, 1]")
-        if self.expert_dtype not in ("bfloat16", "float32", "float16", "int8", "float8_e4m3fn"):
+        if self.expert_dtype not in ("bfloat16", "float32", "float16", "int8", "int4", "float8_e4m3fn"):
             raise ValueError(f"unsupported expert_dtype {self.expert_dtype!r}")
         impls = ("ragged", "gather", "pallas", "dense")
         if self.moe_impl not in impls:

@@ -18,6 +18,9 @@ _NAME_TO_NP = {
     "float32": np.dtype(np.float32),
     "float16": np.dtype(np.float16),
     "int8": np.dtype(np.int8),
+    # int4 is stored packed two-per-byte in an int8 container; field shapes
+    # carry the PACKED (halved out-axis) dims (store/quant.py pack_int4_np)
+    "int4": np.dtype(np.int8),
     "float8_e4m3fn": FP8_E4M3,
 }
 

@@ -29,4 +29,4 @@ def test_validation():
     with pytest.raises(ValueError):
         EngineConfig(device_memory_ratio=0.0)
     with pytest.raises(ValueError):
-        EngineConfig(expert_dtype="int4")
+        EngineConfig(expert_dtype="int2")

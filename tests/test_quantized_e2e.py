@@ -38,7 +38,7 @@ def tiny_ckpt(tmp_path_factory):
     return str(path), hf
 
 
-@pytest.mark.parametrize("dtype", ["int8", "float8_e4m3fn"])
+@pytest.mark.parametrize("dtype", ["int8", "int4", "float8_e4m3fn"])
 def test_quantized_generation_close_to_f32(tiny_ckpt, tmp_path, dtype):
     path, hf = tiny_ckpt
     engine = MoE(
@@ -57,3 +57,35 @@ def test_quantized_generation_close_to_f32(tiny_ckpt, tmp_path, dtype):
     # weight-only quant at tiny scale: most greedy tokens should agree
     agree = (got[0, :8] == want[0, :8]).mean()
     assert agree >= 0.75, (dtype, got, want)
+
+
+def test_int4_offload_matches_int4_resident(tiny_ckpt, tmp_path):
+    """int4 through the slot arena (packed slots AND dequant-on-write
+    slots) must generate exactly what the int4-resident plan generates —
+    the offload machinery may not change numerics, only residency."""
+    path, hf = tiny_ckpt
+    prompt = np.array([[5, 9, 33, 17]])
+    want = MoE(
+        path,
+        {
+            "expert_dtype": "int4",
+            "max_seq_len": 64,
+            "offload_path": str(tmp_path / "resident"),
+        },
+    ).generate(prompt, max_new_tokens=8)
+    for dq_write in (False, True):
+        engine = MoE(
+            path,
+            {
+                "expert_dtype": "int4",
+                "max_seq_len": 64,
+                "device_memory_bytes": 1,  # force the offload plan
+                "num_slots": 5,
+                "dequant_on_write": dq_write,
+                "offload_path": str(tmp_path / f"offload_{dq_write}"),
+            },
+        )
+        got = engine.generate(prompt, max_new_tokens=8)
+        np.testing.assert_array_equal(got, want), dq_write
+        stats = engine.hit_rate()
+        assert stats is not None
