@@ -329,9 +329,10 @@ def _dsv2_run(args, arena_dtype):
     if fold:
         # fold w_uk/scale into q-proj and w_uv into o-proj: two fewer
         # matmuls + one multiply per layer on the op-bound decode path.
-        # OPT-IN: folded q/o projections are 3-4x larger (~1.3 GB extra
-        # steady HBM over 27 layers), which does not fit next to the full
-        # int8 expert set on this chip's ~15 GB materializable HBM
+        # OPT-IN: the folded q/o projections are 3-4x larger, which (a)
+        # does not fit next to the full int8 expert set and (b) measured
+        # SLOWER at int4 (35.9 vs 29.9 ms/tok, 27L): the extra bf16 HBM
+        # reads per layer outweigh the saved dispatches
         params = model.fold_mla_params(params)
     # force EVERY dense leaf: deferred generation thunks otherwise pile up
     # as transients during expert materialization and tip the HBM watermark
@@ -359,9 +360,9 @@ def _dsv2_run(args, arena_dtype):
         lambda k, s: jax.random.uniform(k, s, jnp.float32, s_lo, s_hi),
         static_argnums=1,
     )
-    # OPT-IN like fold: the fused generator's transient (u32 bits buffer at
-    # 2F width + threefry temps, ~370 MB larger than per-half generation)
-    # tips the ~15 GB watermark during materialization of the last layers
+    # OPT-IN like fold: at int8 the fused generator's transient tips the
+    # ~15 GB watermark; at int4 it fits but measured within noise of
+    # unfused (29.67 vs 29.94 ms/tok, 27L)
     fuse = args.fuse_gateup
     # fused gateup arrays use the same raw-bits generator as the unfused
     # path, just at the fused [E, D, 2F] shape: bits→bitcast→reshape alias

@@ -121,7 +121,7 @@ class MoE:
             checkpoint, config.offload_path, hf_config,
             expert_dtype=config.expert_dtype,
         )
-        store = ExpertStore(config.offload_path)
+        store = ExpertStore(config.offload_path, load_mode=config.load_mode)
         dense = DenseArchive(config.offload_path)
 
         spec_cls, model_cls = _REGISTRY[self.arch]

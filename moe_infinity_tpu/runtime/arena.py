@@ -293,6 +293,12 @@ class ExpertArena:
                 # (re-)enqueue at top priority; a duplicate entry is fine,
                 # the worker skips already-resident keys
                 self._escalated.add(key)
+                if key in self._fetching:
+                    # a worker already started a (prefetch-priority) read:
+                    # boost the in-flight native read to on-demand
+                    esc = getattr(self.store, "escalate", None)
+                    if esc is not None:
+                        esc(*key)
                 heapq.heappush(
                     self._queue,
                     (PRIO_ONDEMAND, self._gen, next(self._seq), key),
@@ -398,10 +404,12 @@ class ExpertArena:
                     continue
                 self._pending_fetches += 1
                 self._fetching.add(key)
-            # host read + cast outside the lock (page-cache fault / RAM copy)
+            # host read + cast outside the lock (page-cache fault / RAM
+            # copy; sched mode orders reads by priority with block-granular
+            # preemption in the native scheduler)
             t_fetch = _time.perf_counter()
             layer, expert = key
-            record = self.store.get_expert(layer, expert)
+            record = self.store.get_expert(layer, expert, prio=prio, gen=gen)
             new = {}
             for akey, tail in self._role_to_tail.items():
                 a = record[tail]

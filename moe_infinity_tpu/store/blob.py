@@ -159,6 +159,7 @@ class ExpertStore:
                 f"blob size {self.blob_nbytes} != expected {expected}"
             )
         self._native = None
+        self._sched = None
         if load_mode == "ram":
             self._buf = np.fromfile(blob_path, dtype=np.uint8)
         elif load_mode == "mmap":
@@ -169,6 +170,14 @@ class ExpertStore:
             from moe_infinity_tpu.store.native import NativeBlobReader
 
             self._native = NativeBlobReader(blob_path)
+            self._buf = None
+        elif load_mode == "sched":
+            # native priority scheduler: reads are ordered by (prio, fifo)
+            # across caller threads with block-granular preemption of
+            # prefetch reads (csrc/sched.cc)
+            from moe_infinity_tpu.store.native import NativeFetchScheduler
+
+            self._sched = NativeFetchScheduler(blob_path)
             self._buf = None
         else:
             raise ValueError(f"unknown load_mode {load_mode!r}")
@@ -183,10 +192,18 @@ class ExpertStore:
             raise IndexError(f"expert (L{layer}, E{expert}) out of range")
         return (layer * self.num_experts + expert) * self.stride
 
-    def get_record(self, layer: int, expert: int) -> np.ndarray:
+    def get_record(
+        self, layer: int, expert: int, *, prio: int = 0, gen: int = 0
+    ) -> np.ndarray:
         """uint8 view/buffer of the whole record (stride bytes).
-        mmap/ram: zero-copy view; direct: one aligned O_DIRECT read."""
+        mmap/ram: zero-copy view; direct: one aligned O_DIRECT read;
+        sched: priority-ordered read (prio 0 preempts prefetch reads at
+        block granularity)."""
         base = self._record_base(layer, expert)
+        if self._sched is not None:
+            self._sched.submit(layer, expert, base, self.stride,
+                               prio=prio, gen=gen)
+            return self._sched.wait(layer, expert)
         if self._native is not None:
             return self._native.read(base, self.stride)
         return self._buf[base : base + self.stride]
@@ -209,10 +226,20 @@ class ExpertStore:
         raw = self._buf[base + f.offset : base + f.offset + f.nbytes]
         return raw.view(np_dtype(f.dtype)).reshape(f.shape)
 
-    def get_expert(self, layer: int, expert: int) -> Dict[str, np.ndarray]:
-        if self._native is not None:
-            return self._fields_from(self.get_record(layer, expert))
+    def get_expert(
+        self, layer: int, expert: int, *, prio: int = 0, gen: int = 0
+    ) -> Dict[str, np.ndarray]:
+        if self._native is not None or self._sched is not None:
+            return self._fields_from(
+                self.get_record(layer, expert, prio=prio, gen=gen)
+            )
         return {f.name: self.get_tensor(layer, expert, f.name) for f in self.fields}
+
+    def escalate(self, layer: int, expert: int) -> None:
+        """Boost an in-flight scheduled read to on-demand priority
+        (no-op for non-sched modes)."""
+        if self._sched is not None:
+            self._sched.escalate(layer, expert)
 
     def warm(self, layer: int, expert: int) -> None:
         """Touch a record to promote it into page cache (mmap mode)."""
@@ -318,7 +345,9 @@ class SyntheticStore:
     def get_tensor(self, layer: int, expert: int, name: str) -> np.ndarray:
         return self._tensors[name]
 
-    def get_expert(self, layer: int, expert: int) -> Dict[str, np.ndarray]:
+    def get_expert(
+        self, layer: int, expert: int, *, prio: int = 0, gen: int = 0
+    ) -> Dict[str, np.ndarray]:
         return dict(self._tensors)
 
 

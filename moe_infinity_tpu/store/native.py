@@ -66,6 +66,26 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.mtstore_is_direct.restype = ctypes.c_int
         lib.mtstore_is_direct.argtypes = [ctypes.c_void_p]
         lib.mtstore_set_threads.argtypes = [ctypes.c_int]
+        lib.mtsched_create.restype = ctypes.c_void_p
+        lib.mtsched_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mtsched_submit.restype = ctypes.c_int
+        lib.mtsched_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+        ]
+        lib.mtsched_set_gen.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mtsched_escalate.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mtsched_wait.restype = ctypes.c_int
+        lib.mtsched_wait.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.mtsched_poll.restype = ctypes.c_int
+        lib.mtsched_poll.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mtsched_pending.restype = ctypes.c_int
+        lib.mtsched_pending.argtypes = [ctypes.c_void_p]
+        lib.mtsched_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -125,6 +145,93 @@ class NativeBlobReader:
         if self._h:
             self._lib.mtstore_close(self._h)
             self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeFetchScheduler:
+    """Block-granular priority-preemptive reads over one blob (csrc/sched.cc).
+
+    The C++ side owns the service order: priority-0 (on-demand) requests
+    drain whole while priority>=1 prefetches read one `block_bytes` chunk
+    per pass and yield when higher-priority work arrives — the reference's
+    ArcherPrioAio discipline (archer_prio_aio_handle.cpp:123-169) without
+    its CUDA staging. Waiters block in C with the GIL released.
+
+    Keys are (layer, expert); one outstanding request per key (the arena's
+    `_fetching` dedup guarantees this upstream).
+    """
+
+    def __init__(
+        self,
+        blob_path: str,
+        *,
+        block_bytes: int = 1 << 20,
+        threads: int = 2,
+        direct: bool = True,
+    ):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native store library unavailable")
+        self._lib = lib
+        self._h = lib.mtsched_create(
+            blob_path.encode(), block_bytes, threads, 1 if direct else 0
+        )
+        if not self._h:
+            raise OSError(f"mtsched_create failed for {blob_path}")
+        self._bufs = {}  # key -> buffer kept alive while in flight
+
+    @staticmethod
+    def _key(layer: int, expert: int) -> int:
+        return layer * 1_000_000 + expert
+
+    def submit(
+        self, layer: int, expert: int, offset: int, size: int,
+        *, prio: int = 0, gen: int = 0,
+    ) -> np.ndarray:
+        """Enqueue a record read; returns the destination buffer (filled
+        once `wait` returns success)."""
+        buf = aligned_empty(size)
+        k = self._key(layer, expert)
+        rc = self._lib.mtsched_submit(
+            self._h, k, offset, size,
+            buf.ctypes.data_as(ctypes.c_void_p), prio, gen,
+        )
+        if rc != 0:
+            raise RuntimeError(f"duplicate in-flight fetch (L{layer},E{expert})")
+        self._bufs[k] = buf
+        return buf
+
+    def wait(self, layer: int, expert: int, timeout_ms: int = -1) -> np.ndarray:
+        k = self._key(layer, expert)
+        st = self._lib.mtsched_wait(self._h, k, timeout_ms)
+        buf = self._bufs.pop(k, None)
+        if st == 1:
+            return buf
+        if st == -3:
+            self._bufs[k] = buf  # still in flight; caller may wait again
+            raise TimeoutError(f"fetch (L{layer},E{expert}) timed out")
+        raise OSError(f"fetch (L{layer},E{expert}) failed (status {st})")
+
+    def escalate(self, layer: int, expert: int) -> None:
+        self._lib.mtsched_escalate(self._h, self._key(layer, expert))
+
+    def set_gen(self, gen: int) -> None:
+        """Cancel queued prefetches from generations before `gen`."""
+        self._lib.mtsched_set_gen(self._h, gen)
+
+    def pending(self) -> int:
+        return self._lib.mtsched_pending(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.mtsched_destroy(self._h)
+            self._h = None
+        self._bufs.clear()
 
     def __del__(self):  # pragma: no cover
         try:

@@ -24,6 +24,12 @@ class EngineConfig:
     """Directory holding the converted expert store (blob + index + name map).
     Must be unique per model, like the reference's `offload_path`."""
 
+    load_mode: str = "mmap"
+    """Host tier for the expert blob: mmap (page cache) | ram (pinned full
+    copy) | direct (native O_DIRECT reads) | sched (native priority
+    scheduler: on-demand reads preempt prefetch reads at block
+    granularity, csrc/sched.cc)."""
+
     # ---- tracing / prediction ------------------------------------------
     trace_capacity: int = 1000
     """Max number of finished per-sequence expert-activation matrices kept
