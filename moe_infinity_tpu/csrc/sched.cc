@@ -126,26 +126,32 @@ class Sched {
   }
 
   // Block until the request finishes; removes it. Returns its final
-  // status (1 done, -1 io error, -2 cancelled), -3 on timeout, -4 if the
-  // key is unknown. Cancelled-but-waited requests are revived at prio 0:
-  // a waiter means someone needs the bytes NOW, stale plan or not.
+  // status (1 done, -1 io error), -3 on timeout, -4 if the key is
+  // unknown. Cancelled requests are ALWAYS revived at prio 0 (a waiter
+  // means someone needs the bytes NOW, stale plan or not), so -2 never
+  // escapes Wait — only Poll reports it.
   int Wait(int64_t key, int64_t timeout_ms) {
     std::unique_lock<std::mutex> lk(mu_);
     auto it = reqs_.find(key);
     if (it == reqs_.end()) return -4;
     auto r = it->second;
-    if (r->status == -2) {  // revive: cancelled before any waiter showed up
-      r->status = 0;
-      r->prio = 0;
-      cv_work_.notify_all();
-    }
     auto deadline = std::chrono::steady_clock::now() +
                     std::chrono::milliseconds(timeout_ms);
-    while (r->status == 0 && !stop_) {
+    while (!stop_) {
+      if (r->status == -2) {  // revive; the in-service worker (if any)
+        r->status = 0;        // sees status back at 0 and keeps reading
+        r->prio = 0;
+        cv_work_.notify_all();
+      }
+      // Never release dst ownership while a worker may still be writing:
+      // SetGen can cancel mid-pread, leaving status set while in_service
+      // stays true until the worker re-locks.
+      if (r->status != 0 && !r->in_service) break;
       if (timeout_ms < 0) {
         cv_done_.wait(lk);
       } else if (cv_done_.wait_until(lk, deadline) ==
-                 std::cv_status::timeout && r->status == 0) {
+                 std::cv_status::timeout) {
+        if (r->status != 0 && !r->in_service) break;
         return -3;  // request stays live; caller may wait again
       }
     }
@@ -154,15 +160,14 @@ class Sched {
     return st;
   }
 
-  // Non-blocking status probe (same codes as Wait; request NOT removed
-  // unless finished).
+  // Non-blocking status probe (0 in flight, else Wait's codes plus -2
+  // cancelled). Pure probe: only Wait consumes/removes a request, so a
+  // poll-then-wait sequence always sees the completion exactly once.
   int Poll(int64_t key) {
     std::lock_guard<std::mutex> lk(mu_);
     auto it = reqs_.find(key);
     if (it == reqs_.end()) return -4;
-    int st = it->second->status;
-    if (st != 0 && !it->second->in_service) reqs_.erase(it);
-    return st == 0 ? 0 : st;
+    return it->second->status;
   }
 
   int Pending() {

@@ -218,7 +218,7 @@ class ExpertStore:
 
     def get_tensor(self, layer: int, expert: int, name: str) -> np.ndarray:
         f = self._field_by_name[name]
-        if self._native is not None:
+        if self._buf is None:  # direct/sched: one whole-record read
             rec = self.get_record(layer, expert)
             raw = rec[f.offset : f.offset + f.nbytes]
             return raw.view(np_dtype(f.dtype)).reshape(f.shape)
