@@ -176,6 +176,88 @@ class SwitchModel:
             params["lm_head"] = get("lm_head.weight")
         return params
 
+    def init_random(self, key, *, expert_dtype=None, with_experts=True):
+        """Random params + resident expert tree (tests, dryruns, synthetic
+        benchmarks — weight values don't change the compute graph).
+        with_experts=False skips the expert tree (the full switch-large-128
+        expert tier is ~18 GB bf16; benches generate it quantized)."""
+        s = self.spec
+        expert_dtype = expert_dtype or self.dtype
+        keys = jax.random.split(key, 2 + s.num_encoder_layers + s.num_decoder_layers)
+
+        def mat(k, shape, dt, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+        hd = s.num_heads * s.d_kv
+        experts: List[Dict[str, jax.Array]] = []
+
+        def block(k, i, decoder):
+            ks = jax.random.split(k, 12)
+            b: Dict[str, Any] = {
+                "ln0": jnp.ones(s.d_model, jnp.float32),
+                "ln_ff": jnp.ones(s.d_model, jnp.float32),
+                "q": mat(ks[0], (hd, s.d_model), self.dtype),
+                "k": mat(ks[1], (hd, s.d_model), self.dtype),
+                "v": mat(ks[2], (hd, s.d_model), self.dtype),
+                "o": mat(ks[3], (s.d_model, hd), self.dtype),
+            }
+            if i == 0:
+                b["rel_bias"] = mat(
+                    ks[4], (s.rel_buckets, s.num_heads), jnp.float32
+                )
+            if decoder:
+                b["ln_cross"] = jnp.ones(s.d_model, jnp.float32)
+                b["cq"] = mat(ks[5], (hd, s.d_model), self.dtype)
+                b["ck"] = mat(ks[6], (hd, s.d_model), self.dtype)
+                b["cv"] = mat(ks[7], (hd, s.d_model), self.dtype)
+                b["co"] = mat(ks[8], (s.d_model, hd), self.dtype)
+            if s.is_sparse(i, decoder):
+                b["router"] = mat(
+                    ks[9], (s.num_experts, s.d_model), jnp.float32, scale=0.5
+                )
+                if with_experts:
+                    experts.append(
+                        {
+                            "gate": mat(
+                                ks[10],
+                                (s.num_experts, s.d_model, s.d_ff),
+                                expert_dtype,
+                            ),
+                            "down": mat(
+                                ks[11],
+                                (s.num_experts, s.d_ff, s.d_model),
+                                expert_dtype,
+                            ),
+                        }
+                    )
+            else:
+                b["wi"] = mat(ks[10], (s.d_ff, s.d_model), self.dtype)
+                b["wo"] = mat(ks[11], (s.d_model, s.d_ff), self.dtype)
+            return b
+
+        params = {
+            "embed": mat(keys[0], (s.vocab_size, s.d_model), self.dtype),
+            "enc_blocks": [
+                block(keys[2 + i], i, False)
+                for i in range(s.num_encoder_layers)
+            ],
+            "enc_final_ln": jnp.ones(s.d_model, jnp.float32),
+            "dec_blocks": [
+                block(keys[2 + s.num_encoder_layers + i], i, True)
+                for i in range(s.num_decoder_layers)
+            ],
+            "dec_final_ln": jnp.ones(s.d_model, jnp.float32),
+        }
+        if not s.tie_embeddings:
+            params["lm_head"] = mat(keys[1], (s.vocab_size, s.d_model), self.dtype)
+        if not with_experts:
+            return params, None
+        expert_tree = {
+            "layers": experts,
+            "slot_map": jnp.arange(s.num_experts, dtype=jnp.int32),
+        }
+        return params, expert_tree
+
     # ---- attention ------------------------------------------------------
     def _attn(self, b, x, kv_k, kv_v, q_pos, kv_len, bias, prefix=""):
         s = self.spec

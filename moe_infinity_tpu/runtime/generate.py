@@ -163,6 +163,8 @@ class Seq2SeqGenerator:
         self.experts = experts
         self.max_seq_len = max_seq_len
         self._samplers = {}
+        self._for_layer = for_layer
+        self._impl = impl
 
         self._encode = jax.jit(
             lambda p, e, t, m: model.encode(p, e, t, m, for_layer, impl)
@@ -263,6 +265,77 @@ class Seq2SeqGenerator:
             token_logprobs=np.stack(lp_tok, 1) if lp_tok else None,
             top_logprobs=np.stack(lp_top, 1) if lp_top else None,
             top_tokens=np.stack(lp_ids, 1) if lp_ids else None,
+        )
+
+    def decode_scan(
+        self,
+        input_ids: np.ndarray,
+        num_steps: int,
+        *,
+        attention_mask: Optional[np.ndarray] = None,
+        decoder_start_token_id: Optional[int] = None,
+        sampling: Optional[SamplingParams] = None,
+        seed: int = 0,
+    ):
+        """Encode once, then decode `num_steps` tokens as ONE jitted
+        lax.scan — zero host round-trips inside the loop (the seq2seq
+        counterpart of ResidentStepper.decode_scan; `generate` above pays
+        one D2H per token for EOS/stopping bookkeeping, which a throughput
+        bench must not). Greedy by default; SamplingParams for device-side
+        sampled decode. Returns ([B, num_steps] tokens, kvs)."""
+        from moe_infinity_tpu.runtime import sampling as S
+
+        input_ids = np.atleast_2d(np.asarray(input_ids))
+        B, T = input_ids.shape
+        start = (
+            decoder_start_token_id
+            if decoder_start_token_id is not None
+            else self.model.spec.decoder_start_token_id
+        )
+        mask = (
+            jnp.asarray(attention_mask, jnp.float32)
+            if attention_mask is not None
+            else jnp.ones((B, T), jnp.float32)
+        )
+        enc_out = self._encode(
+            self.params, self.experts, jnp.asarray(input_ids, jnp.int32), mask
+        )
+        cross = self._cross(self.params, enc_out)
+        kvs = self.model.init_cache(B, _bucket_len(num_steps + 1))
+        model, sp = self.model, sampling
+
+        def scan_fn(params, experts, kvs, enc_mask, cross, sstate):
+            def body(carry, _):
+                tok, step, kvs, sstate = carry
+                logits, kvs, _ = model.decode_step(
+                    params, experts, tok, step[:, None], kvs, step[0],
+                    enc_mask, cross, self._for_layer, self._impl,
+                )
+                if sp is None or sp.trivial:
+                    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                else:
+                    out, sstate = S.sample_step(logits[:, -1, :], sstate, sp)
+                    nxt = out.token
+                return (nxt[:, None], step + 1, kvs, sstate), nxt
+
+            tok0 = jnp.full((B, 1), start, jnp.int32)
+            step0 = jnp.zeros((B,), jnp.int32)
+            (_, _, kvs, _), toks = jax.lax.scan(
+                body, (tok0, step0, kvs, sstate), None, length=num_steps
+            )
+            return toks.T, kvs  # [B, N]
+
+        if sp is None or sp.trivial:
+            sstate = S.init_state(SamplingParams(), B, 1, seed=seed)
+        else:
+            sstate = S.init_state(sp, B, self.model.spec.vocab_size, seed=seed)
+        key = ("decode_scan", num_steps, sp, B)
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if key not in self._scan_cache:
+            self._scan_cache[key] = jax.jit(scan_fn, donate_argnums=(2,))
+        return self._scan_cache[key](
+            self.params, self.experts, kvs, mask, cross, sstate
         )
 
 

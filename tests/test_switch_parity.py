@@ -129,3 +129,40 @@ def test_batch_generation_matches(switch_setup):
     got = gen.generate(prompt, max_new_tokens=6).sequences
     n = min(got.shape[1], want.shape[1])
     np.testing.assert_array_equal(got[:, :n], want[:, :n])
+
+
+def test_decode_scan_matches_generate(switch_setup):
+    """Device-side scan decode == host-loop greedy decode, token for token
+    (the throughput bench path: zero host syncs inside the loop)."""
+    cfg, hf, model, gen = switch_setup
+    prompt = np.array([[5, 31, 8, 77], [9, 2, 44, 3]])
+    want = gen.generate(prompt, max_new_tokens=6, eos_token_id=None).sequences
+    toks, _ = gen.decode_scan(prompt, 6)
+    got = np.asarray(toks)
+    np.testing.assert_array_equal(got, want[:, 1:])
+
+
+def test_init_random_decode_scan_smoke():
+    """Synthetic-weight Switch (bench path): init_random tree drives the
+    enc-dec stack and scan decode without a checkpoint."""
+    import jax
+
+    spec = SwitchSpec(
+        vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=2,
+        encoder_sparse_step=2, decoder_sparse_step=2,
+        num_experts=4, expert_capacity=8, rel_buckets=8,
+        rel_max_distance=16, rms_eps=1e-6, tie_embeddings=True,
+        is_gated=False, dense_act_gelu=False, decoder_start_token_id=0,
+    )
+    model = SwitchModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(0))
+    assert len(experts["layers"]) == spec.num_moe_layers
+    gen = Seq2SeqGenerator(
+        model, params, experts, ResidentProvider.for_layer, impl="gather"
+    )
+    prompt = np.array([[3, 9, 1]])
+    toks, _ = gen.decode_scan(prompt, 5)
+    assert np.asarray(toks).shape == (1, 5)
+    want = gen.generate(prompt, max_new_tokens=5, eos_token_id=None).sequences
+    np.testing.assert_array_equal(np.asarray(toks), want[:, 1:])
