@@ -6,25 +6,25 @@ number for the same model/metric on its 1xA5000 setup (BASELINE.md):
 baseline_latency / our_latency, so > 1.0 means we beat the reference.
 
 Presets (``--preset``):
+  switch-throughput     Switch-large-128, int4 experts resident per stack,
+                        batch-32 device-side scan decode — the HEADLINE:
+                        986 tok/s = 14.3x the reference's 69.105 tok/s
+                        bs=32 throughput table (BASELINE.md)
+  switch-latency        same at batch 1 vs the 0.130 s/tok latency table
   dsv2lite-resident     DeepSeek-V2-Lite, experts fully HBM-resident
                         (int4 packed by default: 29.9 ms/tok = 5.2x the
                         reference, 6.7 GB experts — int8 is 45 ms but
                         ~15.5 GiB total, at the chip's ceiling), device-
-                        side scan decode — the HEADLINE (baseline
-                        0.155 s/tok, BASELINE.md)
+                        side scan decode (baseline 0.155 s/tok,
+                        BASELINE.md)
   mixtral-offload       Mixtral-8x7B geometry, int8 experts offloaded to
                         a synthetic host store through the slot arena
                         (baseline 0.735 s/tok)
   mixtral-resident      Mixtral geometry resident via the Pallas gmm path
-  switch-throughput     Switch-large-128, int4 experts resident per stack
-                        (encoder tier freed before the decoder tier is
-                        materialized: each is ~6.5 GB, so peak HBM stays
-                        ~8 GB), batch-32 device-side scan decode. The
-                        throughput headline: aggregate decode tokens/s vs
-                        the reference's 69.105 tok/s bs=32 table
-                        (BASELINE.md, commented README block)
   tiny                  resident tiny Mixtral, decode tok/s (CI sanity)
-Default: dsv2lite-resident.
+Default: switch-throughput (the encoder expert tier is freed before the
+decoder tier is materialized — each is ~6 GB int4, so peak HBM stays
+~8 GB regardless of relay residue drift).
 """
 
 from __future__ import annotations
@@ -597,7 +597,8 @@ def bench_switch_throughput(args):
                   file=sys.stderr, flush=True)
         return {"layers": layers, "slot_map": jnp.arange(E, dtype=jnp.int32)}
 
-    B = args.batch if args.batch > 1 else 32
+    latency = getattr(args, "_switch_latency", False)
+    B = args.batch if args.batch > 1 else (1 if latency else 32)
     T = args.prompt
     n = args.tokens
     tokens = jnp.asarray(
@@ -656,12 +657,25 @@ def bench_switch_throughput(args):
     np.asarray(toks)
     dt = time.perf_counter() - t0
     tput = B * n / dt
-    baseline = 69.105  # tok/s, MoE-Infinity Switch-large-128 bs=32 (BASELINE.md)
+    if latency:
+        # reference's per-token latency table: 0.130 s/tok (BASELINE.md)
+        head = {
+            "metric": "switch_large_128_decode_latency",
+            "value": round(dt / n, 5),
+            "unit": "s/token",
+            "vs_baseline": round(0.130 / (dt / n), 2),
+            "tokens_per_s": round(tput, 2),
+        }
+    else:
+        # reference's bs=32 throughput table: 69.105 tok/s (BASELINE.md)
+        head = {
+            "metric": "switch_large_128_decode_throughput",
+            "value": round(tput, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(tput / 69.105, 2),
+        }
     return {
-        "metric": "switch_large_128_decode_throughput",
-        "value": round(tput, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(tput / baseline, 2),
+        **head,
         "batch": B,
         "decode_steps": n,
         "step_ms": round(1000 * dt / n, 2),
@@ -676,9 +690,18 @@ def bench_switch_throughput(args):
     }
 
 
+def bench_switch_latency(args):
+    """Switch-large-128 batch-1 per-token decode latency (the reference's
+    headline latency table: 0.130 s/tok on 1xA5000, BASELINE.md). Same
+    setup as bench_switch_throughput with B=1."""
+    args._switch_latency = True
+    return bench_switch_throughput(args)
+
+
 PRESETS = {
     "tiny": bench_tiny,
     "switch-throughput": bench_switch_throughput,
+    "switch-latency": bench_switch_latency,
     "mixtral-offload": bench_mixtral_offload,
     "mixtral-resident": bench_mixtral_resident,
     "dsv2lite-resident": bench_dsv2lite_resident,
@@ -687,7 +710,7 @@ PRESETS = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", default="dsv2lite-resident", choices=PRESETS)
+    p.add_argument("--preset", default="switch-throughput", choices=PRESETS)
     p.add_argument("--tokens", type=int, default=64)
     p.add_argument("--prompt", type=int, default=16)
     p.add_argument("--layers", type=int, default=0, help="override num_layers")
