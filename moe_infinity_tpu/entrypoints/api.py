@@ -277,6 +277,13 @@ class MoE:
         if hasattr(input_ids, "numpy"):  # torch tensor
             input_ids = input_ids.numpy()
         arr = np.atleast_2d(np.asarray(input_ids))
+        # HF semantics: eos_token_id defaults from the model config
+        # (big_modeling.py delegates to HF generate, which reads
+        # generation_config/eos_token_id; we mirror that here)
+        cfg_eos = getattr(self.hf_config, "eos_token_id", None)
+        if isinstance(cfg_eos, (list, tuple)):
+            cfg_eos = cfg_eos[0] if cfg_eos else None
+        kwargs.setdefault("eos_token_id", cfg_eos)
         if (
             self.batcher is not None
             and arr.shape[0] == 1

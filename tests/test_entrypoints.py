@@ -64,6 +64,32 @@ def test_moe_resident_generate_matches_hf(tiny_ckpt):
     assert engine.hit_rate() == 1.0  # resident plan
 
 
+def test_moe_generate_stops_at_config_eos(tiny_ckpt, tmp_path):
+    """HF semantics: generate() defaults eos_token_id from the model
+    config (reference delegates to HF generate which reads it from the
+    generation config), so sequences stop early at EOS without the caller
+    passing eos_token_id. Bias the LM head so EOS is always the greedy
+    pick: generation must stop after exactly one new token."""
+    path, hf = tiny_ckpt
+    import copy
+
+    biased = copy.deepcopy(hf)
+    eos = biased.config.eos_token_id
+    with torch.no_grad():
+        biased.lm_head.weight[eos] += 100.0
+    ckpt = tmp_path / "eos_ckpt"
+    biased.save_pretrained(ckpt, safe_serialization=True)
+    engine = MoE(str(ckpt), {"expert_dtype": "float32", "max_seq_len": 64})
+    prompt = np.array([[5, 9, 33]])
+    got = engine.generate(prompt, max_new_tokens=8)
+    want = biased.generate(
+        torch.tensor(prompt), max_new_tokens=8, do_sample=False,
+        pad_token_id=0,
+    ).numpy()
+    assert want.shape[1] == prompt.shape[1] + 1  # HF stopped at EOS
+    np.testing.assert_array_equal(got, want)
+
+
 def test_moe_offload_plan_matches(tiny_ckpt):
     path, hf = tiny_ckpt
     engine = MoE(
