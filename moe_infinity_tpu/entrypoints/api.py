@@ -33,6 +33,12 @@ logger = get_logger("api")
 _REGISTRY = {}
 
 
+def _norm_bias(logit_bias):
+    from moe_infinity_tpu.runtime.sampling import normalize_logit_bias
+
+    return normalize_logit_bias(logit_bias)
+
+
 def _register_models():
     import jax.numpy as jnp
 
@@ -302,6 +308,7 @@ class MoE:
                 eos_token_id=kwargs.get("eos_token_id"),
                 sampling=RequestSampling(
                     temperature=float(temp),
+                    logit_bias=_norm_bias(kwargs.get("logit_bias")),
                     top_k=int(kwargs.get("top_k", 0) or 0),
                     top_p=float(kwargs.get("top_p", 1.0)),
                     min_p=float(kwargs.get("min_p", 0.0)),
@@ -328,6 +335,7 @@ class MoE:
             and arr.shape[0] == 1
             and kw["temperature"] == 0.0
             and not kw.get("logprobs")
+            and not kw.get("logit_bias")
             and hasattr(self.generator, "stepper")
         ):
             from moe_infinity_tpu.runtime.speculative import SpeculativeDecoder

@@ -42,6 +42,11 @@ def _sampling_kwargs(req) -> Dict[str, Any]:
         kw["repetition_penalty"] = req.repetition_penalty
     if req.seed is not None:
         kw["seed"] = req.seed
+    if getattr(req, "logit_bias", None):
+        # OpenAI sends {token_id_string: bias}; map to int token ids
+        kw["logit_bias"] = {
+            int(t): float(v) for t, v in req.logit_bias.items()
+        }
     return kw
 
 
@@ -70,6 +75,10 @@ class CompletionRequest:
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
     best_of: Optional[int] = None
+    logit_bias: Optional[Dict[str, float]] = None
+    # accepted for OpenAI-client compatibility; unused (as in the reference)
+    suffix: Optional[str] = None
+    user: Optional[str] = None
 
     @classmethod
     def from_json(cls, data: Dict[str, Any]) -> "CompletionRequest":
@@ -100,6 +109,8 @@ class ChatCompletionRequest:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    logit_bias: Optional[Dict[str, float]] = None
+    user: Optional[str] = None
 
     @classmethod
     def from_json(cls, data: Dict[str, Any]) -> "ChatCompletionRequest":

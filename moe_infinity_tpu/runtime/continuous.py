@@ -59,6 +59,9 @@ class RequestSampling:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     seed: int = 0
+    # ((token_id, bias), ...) added to the row's raw logits every step
+    # (OpenAI logit_bias; normalized from a dict by submit())
+    logit_bias: Optional[tuple] = None
 
     @property
     def greedy_plain(self) -> bool:
@@ -67,6 +70,7 @@ class RequestSampling:
             and self.repetition_penalty == 1.0
             and self.presence_penalty == 0.0
             and self.frequency_penalty == 0.0
+            and not self.logit_bias
         )
 
     @property
@@ -167,10 +171,16 @@ class ContinuousBatcher:
         self._counts_gen = jnp.zeros((self.B, V), jnp.int32)
         self._update_counts = jax.jit(update_counts)
         self._reset_rows = jax.jit(reset_rows)
+        # per-row logit_bias rows; host mirror is authoritative, the device
+        # copy refreshes only on seat/finish (zero rows when no bias active)
+        self._bias_host = np.zeros((self.B, V), np.float32)
+        self._bias_dev = jnp.asarray(self._bias_host)
 
-        def sample_step(logits, idx, seeds, counters, cf, cg, rp):
+        def sample_step(logits, idx, seeds, counters, cf, cg, rp, bias):
             row = jnp.take_along_axis(logits, idx[:, None, None], axis=1)
-            return sample_rows(row[:, 0, :], seeds, counters, cf, cg, rp)
+            return sample_rows(
+                row[:, 0, :], seeds, counters, cf, cg, rp, bias
+            )
 
         self._sample = jax.jit(sample_step)
         self._slots = [_Slot() for _ in range(self.B)]
@@ -196,6 +206,16 @@ class ContinuousBatcher:
         top_k, top_p, repetition_penalty, presence/frequency_penalty, seed)."""
         if sampling is None:
             sampling_kwargs.pop("do_sample", None)
+            if sampling_kwargs.get("logit_bias"):
+                from moe_infinity_tpu.runtime.sampling import (
+                    normalize_logit_bias,
+                )
+
+                sampling_kwargs["logit_bias"] = normalize_logit_bias(
+                    sampling_kwargs["logit_bias"]
+                )
+            else:
+                sampling_kwargs.pop("logit_bias", None)
             sampling = (
                 RequestSampling(**sampling_kwargs)
                 if sampling_kwargs
@@ -253,6 +273,12 @@ class ContinuousBatcher:
                 self._counts_full, self._counts_gen = self._reset_rows(
                     self._counts_full, self._counts_gen, jnp.asarray(keep)
                 )
+            if req.sampling.logit_bias or self._bias_host[b].any():
+                self._bias_host[b] = 0.0
+                for t, v in req.sampling.logit_bias or ():
+                    if 0 <= t < self._bias_host.shape[1]:
+                        self._bias_host[b, t] = v
+                self._bias_dev = jnp.asarray(self._bias_host)
         return any(s.active for s in self._slots)
 
     def _finish(self, slot: _Slot):
@@ -384,6 +410,7 @@ class ContinuousBatcher:
                     self._sample(
                         logits, jnp.asarray(idx), seeds, counters,
                         self._counts_full, self._counts_gen, rp,
+                        self._bias_dev,
                     )
                 )  # [B]
                 nxt = np.broadcast_to(row_tok[:, None], (self.B, W))

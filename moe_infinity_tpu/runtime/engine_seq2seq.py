@@ -157,6 +157,7 @@ class Seq2SeqOffloadEngine:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         logprobs: int = 0,
+        logit_bias=None,
         seed: int = 0,
     ) -> GenerationResult:
         from moe_infinity_tpu.runtime.sampling import Sampler, params_from_kwargs
@@ -166,6 +167,7 @@ class Seq2SeqOffloadEngine:
             top_p=top_p, repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty, logprobs=logprobs,
+            logit_bias=logit_bias,
         )
         if not hasattr(self, "_samplers"):
             self._samplers = {}

@@ -195,6 +195,7 @@ class Seq2SeqGenerator:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         logprobs: int = 0,
+        logit_bias=None,
         seed: int = 0,
     ) -> GenerationResult:
         input_ids = np.atleast_2d(np.asarray(input_ids))
@@ -215,6 +216,7 @@ class Seq2SeqGenerator:
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty, logprobs=logprobs,
+            logit_bias=logit_bias,
         )
         if sp not in self._samplers:
             self._samplers[sp] = Sampler(sp)
@@ -389,6 +391,7 @@ class Generator:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         logprobs: int = 0,
+        logit_bias=None,
         seed: int = 0,
         collect_trace: bool = False,
     ) -> GenerationResult:
@@ -407,6 +410,7 @@ class Generator:
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
             frequency_penalty=frequency_penalty, logprobs=logprobs,
+            logit_bias=logit_bias,
         )
         sampler = self._sampler(params)
         kv = self.stepper.init_cache(B, cap)

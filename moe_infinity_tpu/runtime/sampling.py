@@ -44,6 +44,10 @@ class SamplingParams:
     frequency_penalty: float = 0.0
     do_sample: bool = True
     logprobs: int = 0  # collect top-N logprobs per step (0 = off)
+    # OpenAI logit_bias: ((token_id, bias), ...) added to raw logits before
+    # penalties/warpers; -100/+100 effectively ban/force a token. Stored as
+    # a sorted tuple so the params stay hashable (one jit per setting).
+    logit_bias: Optional[Tuple[Tuple[int, float], ...]] = None
 
     @property
     def greedy(self) -> bool:
@@ -67,6 +71,7 @@ class SamplingParams:
             and not self.needs_full_counts
             and not self.needs_gen_counts
             and self.logprobs == 0
+            and not self.logit_bias
         )
 
 
@@ -144,6 +149,12 @@ def process_logits(
     logits: jax.Array, state: SamplerState, params: SamplingParams
 ) -> jax.Array:
     """Full HF processor/warper chain on raw [B, V] logits."""
+    if params.logit_bias:
+        # applied to raw logits first (OpenAI: "added to the logits prior
+        # to sampling"); affects greedy argmax too
+        idx = jnp.asarray([t for t, _ in params.logit_bias], jnp.int32)
+        val = jnp.asarray([v for _, v in params.logit_bias], logits.dtype)
+        logits = logits.at[..., idx].add(val)
     if params.needs_full_counts:
         logits = apply_repetition_penalty(
             logits, state.counts_full, params.repetition_penalty
@@ -296,12 +307,15 @@ def sample_rows(
     counts_full: jax.Array,  # [B, V] int32 prompt+generated counts
     counts_gen: jax.Array,  # [B, V] int32 generated counts
     rp: RowParams,
+    bias: Optional[jax.Array] = None,  # [B, V] f32 per-row logit_bias
 ) -> jax.Array:
     """One vectorized sampling step with per-row parameters. Returns
     tokens [B]. Keys derive from (seed, counter) so a request's draws
     depend only on its own progress, not on batch co-tenants — the same
     request alone or batched samples identically. Fully jittable."""
     B, V = logits.shape
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
     # processors (apply in greedy mode too, like HF)
     rep = rp.repetition_penalty[:, None]
     scaled = jnp.where(logits < 0, logits * rep, logits / rep)
@@ -369,6 +383,19 @@ def reset_rows(
     return jnp.where(m, counts_full, 0), jnp.where(m, counts_gen, 0)
 
 
+def normalize_logit_bias(
+    logit_bias,
+) -> Optional[Tuple[Tuple[int, float], ...]]:
+    """{token_id: bias} dict (or pre-normalized tuple) -> sorted hashable
+    tuple; None/empty -> None."""
+    if not logit_bias:
+        return None
+    items = (
+        logit_bias.items() if hasattr(logit_bias, "items") else logit_bias
+    )
+    return tuple(sorted((int(t), float(v)) for t, v in items))
+
+
 def params_from_kwargs(
     *,
     temperature: float = 0.0,
@@ -380,12 +407,14 @@ def params_from_kwargs(
     presence_penalty: float = 0.0,
     frequency_penalty: float = 0.0,
     logprobs: int = 0,
+    logit_bias=None,
 ) -> SamplingParams:
     """Map HF-style generate kwargs onto SamplingParams. `do_sample=None`
     infers from temperature (0.0 -> greedy), matching our historical API."""
     if do_sample is None:
         do_sample = temperature != 0.0
     return SamplingParams(
+        logit_bias=normalize_logit_bias(logit_bias),
         temperature=float(temperature),
         top_k=int(top_k or 0),
         top_p=float(top_p),

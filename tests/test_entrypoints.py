@@ -350,3 +350,49 @@ def test_completions_best_of(server):
          "n": 1, "best_of": 4, "seed": 3},
     )
     assert resp["choices"][0]["text"] == resp2["choices"][0]["text"]
+
+
+def test_completions_logit_bias(server):
+    """OpenAI logit_bias: +100 forces a token on every step (serial
+    engine path)."""
+    resp = _post(
+        server + "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 3, "temperature": 0.0,
+         "logit_bias": {"126": 100.0}},
+    )
+    text = resp["choices"][0]["text"]
+    # token 126 decodes to "hello"; forced every step
+    assert text.split() == ["hello"] * 3
+
+
+def test_logit_bias_through_batcher(tiny_ckpt):
+    """Per-row logit_bias inside the continuous batcher: a biased and an
+    unbiased request share the batch; only the biased row is affected."""
+    path, hf = tiny_ckpt
+    import concurrent.futures as cf
+
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64, "max_batch_size": 2,
+         "kv_page_size": 8},
+    )
+    assert engine.batcher is not None
+    try:
+        plain_want = hf.generate(
+            torch.tensor([[5, 9, 33]]), max_new_tokens=4, do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+        with cf.ThreadPoolExecutor(2) as ex:
+            f_bias = ex.submit(
+                engine.generate, np.array([[7, 21, 4]]), max_new_tokens=4,
+                logit_bias={100: 100.0},
+            )
+            f_plain = ex.submit(
+                engine.generate, np.array([[5, 9, 33]]), max_new_tokens=4,
+            )
+            biased, plain = f_bias.result(), f_plain.result()
+        assert (biased[0, 3:] == 100).all()  # forced token every step
+        n = plain.shape[1]
+        np.testing.assert_array_equal(plain, plain_want[:, :n])
+    finally:
+        engine.shutdown()

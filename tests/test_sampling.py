@@ -378,3 +378,68 @@ class TestMinP:
             jnp.zeros((2, 24), jnp.int32), jnp.zeros((2, 24), jnp.int32), rp,
         )
         assert int(toks[0]) == int(np.argmax(np.asarray(logits)[0]))
+
+
+class TestLogitBias:
+    """OpenAI logit_bias: added to raw logits before penalties/warpers.
+    Oracle: HF SequenceBiasLogitsProcessor with single-token sequences
+    (identical semantics — a flat additive bias per token id)."""
+
+    def test_bias_matches_hf_sequence_bias(self):
+        from transformers.generation.logits_process import (
+            SequenceBiasLogitsProcessor,
+        )
+
+        logits = _rand_logits(b=2, v=30, seed=21)
+        bias = {3: 4.5, 17: -2.0, 29: 0.75}
+        sp = params_from_kwargs(temperature=1.0, logit_bias=bias)
+        ours = np.asarray(
+            process_logits(
+                jnp.asarray(logits), init_state(sp, 2, 30), sp
+            )
+        )
+        hf = SequenceBiasLogitsProcessor(
+            sequence_bias={(t,): v for t, v in bias.items()}
+        )(torch.zeros((2, 1), dtype=torch.long), torch.tensor(logits)).numpy()
+        np.testing.assert_allclose(ours, hf, rtol=1e-6)
+
+    def test_bias_forces_and_bans_greedy(self):
+        logits = _rand_logits(b=1, v=20, seed=22)
+        base_arg = int(np.argmax(logits[0]))
+        forced = (base_arg + 7) % 20
+        sp = params_from_kwargs(
+            temperature=0.0, logit_bias={forced: 100.0, base_arg: -100.0}
+        )
+        assert not sp.trivial  # bias must not take the argmax fast path
+        out, _ = sample_step(
+            jnp.asarray(logits), init_state(sp, 1, 20), sp
+        )
+        assert int(out.token[0]) == forced
+
+    def test_bias_in_row_sampler(self):
+        """Per-row bias matrix: row 0 forced to token 5, row 1 unbiased."""
+        from moe_infinity_tpu.runtime.sampling import RowParams, sample_rows
+
+        logits = jnp.asarray(_rand_logits(b=2, v=24, seed=23))
+        bias = np.zeros((2, 24), np.float32)
+        bias[0, 5] = 100.0
+        rp = RowParams.from_lists(
+            [0.0, 0.0], [0, 0], [1.0, 1.0], [0.0, 0.0], [1.0, 1.0],
+            [0.0, 0.0], [0.0, 0.0],
+        )
+        toks = np.asarray(
+            sample_rows(
+                logits, jnp.asarray([0, 0], jnp.int32),
+                jnp.asarray([0, 0], jnp.int32),
+                jnp.zeros((2, 24), jnp.int32), jnp.zeros((2, 24), jnp.int32),
+                rp, jnp.asarray(bias),
+            )
+        )
+        assert int(toks[0]) == 5
+        assert int(toks[1]) == int(np.argmax(np.asarray(logits)[1]))
+
+    def test_params_normalization_is_hashable(self):
+        a = params_from_kwargs(logit_bias={7: 1.0, 2: -1.0})
+        b = params_from_kwargs(logit_bias={2: -1.0, 7: 1.0})
+        assert a == b and hash(a) == hash(b)
+        assert params_from_kwargs(logit_bias={}).logit_bias is None
