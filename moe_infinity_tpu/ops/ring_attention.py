@@ -1,0 +1,127 @@
+"""Ring attention: sequence-parallel causal attention over a mesh axis.
+
+Long-context prefill support — beyond the reference, which has no
+sequence/context parallelism anywhere (SURVEY.md §2.4/§5: longest input is
+bounded by one GPU's activation memory; its example truncates prompts at
+512 tokens, /root/reference/examples/interface_example.py:122-132).
+
+TPU-native design: each device on the `seq` mesh axis holds one contiguous
+block of the sequence (queries, keys, values [B, T/s, H, Dh]). The kernel
+runs s block-steps; at each step every device attends its local queries
+against the K/V block currently resident, accumulates with the online
+(flash-style) softmax — running max, rescaled numerator/denominator, all
+in f32 — then rotates K/V one hop around the ring with `lax.ppermute`.
+The ppermute rides neighbor ICI links (the `seq` axis is innermost in the
+mesh), and XLA overlaps the collective with the block compute.
+
+Memory: attention scores never materialize beyond one [B, H, T/s, T/s]
+block per device, so activation memory scales 1/s with the ring size —
+the point of sequence parallelism.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+_NEG = jnp.finfo(jnp.float32).min
+
+
+def ring_attention(
+    q: jax.Array,  # [B, Tl, H, Dh] local query block (rope applied)
+    k: jax.Array,  # [B, Tl, Hkv, Dh] local key block (rope applied)
+    v: jax.Array,  # [B, Tl, Hkv, Dh] local value block
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = True,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Blockwise ring attention. MUST run inside shard_map with the inputs
+    sharded over `axis_name` on their time axis. GQA handled by repeating
+    kv heads. Returns [B, Tl, H, Dh] in q's dtype."""
+    B, Tl, H, Dh = q.shape
+    Hkv = k.shape[2]
+    if scale is None:
+        scale = Dh ** -0.5
+    rep = H // Hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qf = q.astype(jnp.float32) * scale
+
+    idx = jax.lax.axis_index(axis_name)
+    q_pos = idx * Tl + jnp.arange(Tl, dtype=jnp.int32)  # [Tl] global
+    local = jnp.arange(Tl, dtype=jnp.int32)
+
+    # online-softmax accumulators
+    num = jnp.zeros((B, H, Tl, Dh), jnp.float32)
+    den = jnp.zeros((B, H, Tl), jnp.float32)
+    m = jnp.full((B, H, Tl), -jnp.inf, jnp.float32)
+
+    cur_k, cur_v = k, v
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    for t in range(axis_size):
+        # after t forward hops, this device holds the block that
+        # originated on device (idx - t) mod axis_size
+        src = jax.lax.rem(idx - t + axis_size, axis_size)
+        logits = jnp.einsum(
+            "bthd,bshd->bhts", qf, cur_k.astype(jnp.float32)
+        )
+        if causal:
+            k_pos = src * Tl + local
+            valid = k_pos[None, None, None, :] <= q_pos[None, None, :, None]
+            logits = jnp.where(valid, logits, _NEG)
+        bmax = logits.max(axis=-1)  # [B, H, Tl]
+        m_new = jnp.maximum(m, bmax)
+        safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        corr = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+        p = jnp.exp(logits - safe_m[..., None])
+        p = jnp.where(jnp.isfinite(logits), p, 0.0)  # masked block rows
+        num = num * corr[..., None] + jnp.einsum(
+            "bhts,bshd->bhtd", p, cur_v.astype(jnp.float32)
+        )
+        den = den * corr + p.sum(axis=-1)
+        m = m_new
+        if t < axis_size - 1:
+            cur_k = jax.lax.ppermute(cur_k, axis_name, perm)
+            cur_v = jax.lax.ppermute(cur_v, axis_name, perm)
+
+    out = num / jnp.maximum(den, 1e-30)[..., None]  # [B, H, Tl, Dh]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def ring_attend(
+    q: jax.Array,  # [B, T, H, Dh] global (sharded or shardable on T)
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    *,
+    seq_axis: str = "seq",
+    causal: bool = True,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Standalone entry: shard q/k/v over `seq_axis` on the time dimension
+    and run the ring. For use outside a larger shard_map (tests, ad-hoc
+    long-context attention); sp_prefill embeds `ring_attention` directly."""
+    s = mesh.shape[seq_axis]
+    if q.shape[1] % s:
+        raise ValueError(f"T={q.shape[1]} not divisible by seq={s}")
+    spec = P(None, seq_axis, None, None)
+    fn = jax.shard_map(
+        partial(
+            ring_attention,
+            axis_name=seq_axis,
+            axis_size=s,
+            causal=causal,
+            scale=scale,
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)

@@ -5,6 +5,7 @@ from moe_infinity_tpu.parallel.mesh import (
     expert_shardings,
     shard_params,
 )
+from moe_infinity_tpu.parallel.sequence import caches_from_sp, sp_prefill
 
 __all__ = [
     "MeshPlan",
@@ -12,4 +13,6 @@ __all__ = [
     "mixtral_param_shardings",
     "expert_shardings",
     "shard_params",
+    "sp_prefill",
+    "caches_from_sp",
 ]

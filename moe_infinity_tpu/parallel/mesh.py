@@ -12,6 +12,8 @@ Axes:
   data   — batch rows (DP replicas of everything else)
   model  — tensor parallelism for attention/dense weights (heads / ffn dim)
   expert — expert parallelism: dim 0 of every stacked expert array
+  seq    — sequence/context parallelism: prefill tokens sharded over the
+           time axis, attention via the ring primitive (ops/ring_attention)
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA, MODEL, EXPERT = "data", "model", "expert"
+DATA, MODEL, EXPERT, SEQ = "data", "model", "expert", "seq"
 
 
 @dataclass(frozen=True)
@@ -31,10 +33,11 @@ class MeshPlan:
     data: int = 1
     model: int = 1
     expert: int = 1
+    seq: int = 1
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model * self.expert
+        return self.data * self.model * self.expert * self.seq
 
 
 def make_mesh(
@@ -44,8 +47,11 @@ def make_mesh(
     n = plan.num_devices
     if len(devices) < n:
         raise ValueError(f"need {n} devices for {plan}, have {len(devices)}")
-    arr = np.array(devices[:n]).reshape(plan.data, plan.model, plan.expert)
-    return Mesh(arr, (DATA, MODEL, EXPERT))
+    # `seq` innermost: ring ppermute hops ride neighbor ICI links
+    arr = np.array(devices[:n]).reshape(
+        plan.data, plan.model, plan.expert, plan.seq
+    )
+    return Mesh(arr, (DATA, MODEL, EXPERT, SEQ))
 
 
 def _ns(mesh: Mesh, *spec) -> NamedSharding:

@@ -1,0 +1,139 @@
+"""Sequence/context parallelism on the 8-device virtual mesh: ring
+attention == dense causal attention; sequence-parallel full-model prefill
+== single-device prefill; decode continues from SP caches exactly.
+
+Beyond-reference capability (SURVEY.md §5: the reference has no sequence
+parallelism; prompts bounded by one device's activation memory)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moe_infinity_tpu.models.layers import attend
+from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+from moe_infinity_tpu.ops.ring_attention import ring_attend
+from moe_infinity_tpu.parallel import MeshPlan, make_mesh
+from moe_infinity_tpu.parallel.sequence import caches_from_sp, sp_prefill
+from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+SPEC = MixtralSpec(
+    vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+    num_heads=8, num_kv_heads=4, head_dim=8, num_experts=8, top_k=2,
+    rms_eps=1e-6, rope_theta=1e6, tie_embeddings=False,
+)
+
+
+@pytest.mark.parametrize("ring,hkv", [(8, 8), (8, 4), (4, 2)])
+def test_ring_attention_matches_dense(rng, ring, hkv):
+    mesh = make_mesh(MeshPlan(seq=ring))
+    B, T, H, Dh = 2, 32, 8, 16
+    q = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, hkv, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, hkv, Dh)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    want = np.asarray(attend(q, k, v, positions, jnp.int32(T)))
+    got = np.asarray(ring_attend(q, k, v, mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_ragged_softmax_stability(rng):
+    """Large logit spread: the online-softmax accumulation must stay
+    finite and match the dense reference."""
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, H, Dh = 1, 16, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, T, H, Dh)) * 8, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, Dh)) * 8, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    want = np.asarray(attend(q, k, v, positions, jnp.int32(T)))
+    got = np.asarray(ring_attend(q, k, v, mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = MixtralModel(SPEC, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(0))
+    return model, params, experts
+
+
+def _reference_prefill(model, params, experts, tokens, cap):
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    kv = model.init_cache(B, cap)
+    return model.forward(
+        params, experts, tokens, positions, kv, jnp.int32(0),
+        for_layer=ResidentProvider.for_layer, impl="gather",
+    )
+
+
+def test_sp_prefill_matches_single_device(rng, tiny_model):
+    model, params, experts = tiny_model
+    mesh = make_mesh(MeshPlan(seq=8))
+    B, T = 2, 16
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    want, _, _ = _reference_prefill(model, params, experts, tokens, T)
+    got, kvs = sp_prefill(
+        model, params, experts, tokens, mesh,
+        for_layer=ResidentProvider.for_layer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+    assert len(kvs) == SPEC.num_layers
+    assert kvs[0].k.shape == (B, T, SPEC.num_kv_heads, SPEC.head_dim)
+
+
+def test_decode_continues_from_sp_caches(rng, tiny_model):
+    """Greedy decode after SP prefill == greedy decode after normal
+    prefill: the time-sharded K/V scatter into standard caches exactly."""
+    model, params, experts = tiny_model
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, CAP, STEPS = 1, 8, 32, 4
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+
+    # reference: normal prefill + greedy decode
+    ref_logits, ref_kv, _ = _reference_prefill(
+        model, params, experts, tokens, CAP
+    )
+    # pad reference caches out to CAP columns happens inside init_cache
+    def decode(logits, kvs, start):
+        toks = []
+        cur = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+        kv_len = start
+        for i in range(STEPS):
+            toks.append(int(cur[0, 0]))
+            pos = jnp.full((B, 1), kv_len, jnp.int32)
+            logits, kvs, _ = model.forward(
+                params, experts, cur, pos, kvs, jnp.int32(kv_len),
+                for_layer=ResidentProvider.for_layer, impl="gather",
+            )
+            cur = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+            kv_len += 1
+        return toks
+
+    want = decode(ref_logits, ref_kv, T)
+
+    sp_logits, sp_kvs = sp_prefill(
+        model, params, experts, tokens, mesh,
+        for_layer=ResidentProvider.for_layer,
+    )
+    got = decode(sp_logits, caches_from_sp(sp_kvs, CAP), T)
+    assert got == want
+
+
+def test_sp_prefill_rejects_ragged_length(tiny_model):
+    model, params, experts = tiny_model
+    mesh = make_mesh(MeshPlan(seq=8))
+    with pytest.raises(ValueError, match="not divisible"):
+        sp_prefill(
+            model, params, experts, jnp.zeros((1, 12), jnp.int32), mesh,
+            for_layer=ResidentProvider.for_layer,
+        )
