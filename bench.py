@@ -10,7 +10,9 @@ Presets (``--preset``):
                         batch-32 device-side scan decode — the HEADLINE:
                         986 tok/s = 14.3x the reference's 69.105 tok/s
                         bs=32 throughput table (BASELINE.md)
-  switch-latency        same at batch 1 vs the 0.130 s/tok latency table
+  switch-latency        same at batch 1 vs the 0.130 s/tok latency table:
+                        1.56 ms/tok = 83x (B=1 gather traffic is tiny and
+                        the scan decode never leaves the device)
   dsv2lite-resident     DeepSeek-V2-Lite, experts fully HBM-resident
                         (int4 packed by default: 29.9 ms/tok = 5.2x the
                         reference, 6.7 GB experts — int8 is 45 ms but
