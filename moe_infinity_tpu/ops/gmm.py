@@ -52,6 +52,7 @@ def _gmm_kernel(
     tf: int,
     quantized: bool,
     tiled: bool,
+    packed: bool,
 ):
     if quantized:
         x_ref, w_ref, scale_ref, out_ref, wbuf, sem, acc = refs
@@ -78,7 +79,12 @@ def _gmm_kernel(
         D = x_ref.shape[1]
         F = out_ref.shape[1]
         nk = D // tk
-        nf = F // tf
+        # packed int4: w carries F//2 packed columns; each [tk, tf] slab
+        # yields TWO output tiles (split-nibble packing: low nibbles are
+        # out channels [0, F/2), high nibbles [F/2, F)) — half the HBM
+        # bytes per output column of the int8 path, same MXU work
+        half = F // 2 if packed else 0
+        nf = (half if packed else F) // tf
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
         mask = (row_ids >= lo) & (row_ids < hi)
@@ -110,22 +116,51 @@ def _gmm_kernel(
             def _reset():
                 acc[:] = jnp.zeros_like(acc)
 
-            wt = wbuf[slot].astype(jnp.bfloat16)
             xk = jnp.where(mask, x_ref[:, pl.ds(ki * tk, tk)], 0)
-            acc[:] += jax.lax.dot(
-                xk.astype(jnp.bfloat16),
-                wt,
-                preferred_element_type=jnp.float32,
-            )
+            xk = xk.astype(jnp.bfloat16)
+            if packed:
+                # sign-extend both nibbles (ops.moe.unpack_int4 semantics).
+                # Mosaic has no int8 vector shifts (arith.shli fails to
+                # legalize), so extract via float math — exact for nibble
+                # ints: byte = hi*16 + lo_u, lo_u in [0,16), hi in [-8,7]
+                wf = wbuf[slot].astype(jnp.float32)
+                whi = jnp.floor(wf * 0.0625)
+                lo_u = wf - 16.0 * whi
+                wlo = lo_u - jnp.where(lo_u >= 8.0, 16.0, 0.0)
+                acc[:, :tf] += jax.lax.dot(
+                    xk, wlo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                acc[:, tf:] += jax.lax.dot(
+                    xk, whi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                wt = wbuf[slot].astype(jnp.bfloat16)
+                acc[:] += jax.lax.dot(
+                    xk, wt, preferred_element_type=jnp.float32
+                )
 
             @pl.when(ki == nk - 1)
             def _emit():
-                part = acc[:]
-                if quantized:
+                if packed:
+                    p_lo, p_hi = acc[:, :tf], acc[:, tf:]
                     off = pl.multiple_of(fi * tf, 128)
-                    part = part * scale_ref[0, 0, pl.ds(off, tf)][None, :]
-                # groups own disjoint row ranges, so += never overlaps
-                out_ref[:, pl.ds(fi * tf, tf)] += part.astype(out_ref.dtype)
+                    off_hi = pl.multiple_of(half + fi * tf, 128)
+                    if quantized:
+                        p_lo = p_lo * scale_ref[0, 0, pl.ds(off, tf)][None, :]
+                        p_hi = (
+                            p_hi * scale_ref[0, 0, pl.ds(off_hi, tf)][None, :]
+                        )
+                    # groups own disjoint row ranges, so += never overlaps
+                    out_ref[:, pl.ds(off, tf)] += p_lo.astype(out_ref.dtype)
+                    out_ref[:, pl.ds(off_hi, tf)] += p_hi.astype(out_ref.dtype)
+                else:
+                    part = acc[:]
+                    if quantized:
+                        off = pl.multiple_of(fi * tf, 128)
+                        part = part * scale_ref[0, 0, pl.ds(off, tf)][None, :]
+                    out_ref[:, pl.ds(fi * tf, tf)] += part.astype(out_ref.dtype)
 
             return 0
 
@@ -134,7 +169,9 @@ def _gmm_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_groups", "tm", "tk", "tf", "out_dtype", "interpret"),
+    static_argnames=(
+        "num_groups", "tm", "tk", "tf", "out_dtype", "interpret", "packed"
+    ),
 )
 def gmm(
     x: jax.Array,  # [T, D] sorted by group
@@ -149,22 +186,27 @@ def gmm(
     tf: int = 0,
     out_dtype=jnp.float32,
     interpret: bool = False,
+    packed: bool = False,  # w is split-nibble int4: [S_total, D, F//2]
 ) -> jax.Array:
     T, D = x.shape
     tiled = w.ndim == 4
     if tiled:
+        if packed:
+            raise ValueError("packed int4 gmm takes 3D [S, D, F//2] weights")
         S_total, nf_w, _, tf_w = w.shape
         F = nf_w * tf_w
         tf = tf_w
     else:
-        S_total, _, F = w.shape
+        S_total, _, Fw = w.shape
+        F = 2 * Fw if packed else Fw
     S = num_groups or S_total
     if tm == 0:
         tm = min(_next_multiple(T, 16), 64)
     if tk == 0:
         tk = _largest_divisor_leq(D, 2048)
     if tf == 0:
-        tf = _largest_divisor_leq(F, 512)
+        # packed: tf tiles the PACKED column space (F//2)
+        tf = _largest_divisor_leq(F // 2 if packed else F, 512)
     m_tiles = pl.cdiv(T, tm)
 
     group_start = jnp.concatenate(
@@ -177,7 +219,8 @@ def gmm(
 
     quantized = scale is not None
     kernel = functools.partial(
-        _gmm_kernel, tm=tm, tk=tk, tf=tf, quantized=quantized, tiled=tiled
+        _gmm_kernel, tm=tm, tk=tk, tf=tf, quantized=quantized, tiled=tiled,
+        packed=packed,
     )
     in_specs = [
         pl.BlockSpec((tm, D), lambda m, g, *_: (m, 0)),
@@ -202,16 +245,17 @@ def gmm(
         scratch_shapes=[
             pltpu.VMEM((2, tk, tf), w.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((tm, tf), jnp.float32),
+            pltpu.VMEM((tm, 2 * tf if packed else tf), jnp.float32),
         ],
     )
     flops = 2 * T * D * F  # upper bound; per-group masking reduces it
+    wbytes = S * D * (F // 2 if packed else F)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, F), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=T * D * 2 + S * D * F, transcendentals=0
+            flops=flops, bytes_accessed=T * D * 2 + wbytes, transcendentals=0
         ),
         interpret=interpret,
     )(*inputs)
@@ -237,12 +281,22 @@ def pack_tiled(w: jax.Array, tf: int = 0) -> jax.Array:
 def gffn_pallas(x, expert_ids, combine_weights, expert_to_slot, weights,
                 activation, biases=None, interpret=False):
     """Pallas grouped FFN: sort → gate/up gmm → activation → down gmm →
-    weighted scatter-combine. Signature matches ops.moe._gffn_ragged."""
+    weighted scatter-combine. Signature matches ops.moe._gffn_ragged.
+
+    '<role>4' split-nibble int4 weights run NATIVELY: the kernel DMAs the
+    packed slabs (half the HBM bytes of int8) and sign-extends the nibbles
+    in VMEM — no whole-slot-array unpack materializes. A packed 'gateup4'
+    falls out for free: its low nibbles ARE the gate columns and its high
+    nibbles the up columns, so one packed gmm emits [gate | up]."""
     from moe_infinity_tpu.ops.moe import _activate
 
     T, D = x.shape
     K = expert_ids.shape[1]
-    S = weights["gate"].shape[0]
+    S = next(
+        weights[k].shape[0]
+        for k in ("gateup4", "gateup", "gate4", "gate")
+        if k in weights
+    )
     compute_dtype = x.dtype
 
     slot_ids = expert_to_slot[expert_ids]  # [T, K]
@@ -252,25 +306,33 @@ def gffn_pallas(x, expert_ids, combine_weights, expert_to_slot, weights,
     xs = x[inv_token]
     group_sizes = jnp.bincount(flat_slots, length=S).astype(jnp.int32)
 
-    h = gmm(
-        xs, weights["gate"], group_sizes, weights.get("gate_scale"),
-        out_dtype=jnp.float32, interpret=interpret,
-    )
-    if biases is not None and "gate_bias" in biases:
-        h = h + biases["gate_bias"][flat_slots[order]]
-    if "up" in weights:
-        h_up = gmm(
-            xs, weights["up"], group_sizes, weights.get("up_scale"),
-            out_dtype=jnp.float32, interpret=interpret,
+    def run(role, xin):
+        p = role + "4" in weights
+        return gmm(
+            xin, weights[role + "4"] if p else weights[role], group_sizes,
+            weights.get(role + "_scale"),
+            out_dtype=jnp.float32, interpret=interpret, packed=p,
         )
+
+    if "gateup4" in weights or "gateup" in weights:
+        hcat = run("gateup", xs)
+        F = hcat.shape[-1] // 2
+        h = hcat[:, :F]
+        h_up = hcat[:, F:]
+        if biases is not None and "gate_bias" in biases:
+            h = h + biases["gate_bias"][flat_slots[order]]
         h = _activate(h, h_up, activation)
     else:
-        h = _activate(h, None, activation)
+        h = run("gate", xs)
+        if biases is not None and "gate_bias" in biases:
+            h = h + biases["gate_bias"][flat_slots[order]]
+        if "up" in weights or "up4" in weights:
+            h_up = run("up", xs)
+            h = _activate(h, h_up, activation)
+        else:
+            h = _activate(h, None, activation)
 
-    out = gmm(
-        h.astype(compute_dtype), weights["down"], group_sizes,
-        weights.get("down_scale"), out_dtype=jnp.float32, interpret=interpret,
-    )
+    out = run("down", h.astype(compute_dtype))
     if biases is not None and "down_bias" in biases:
         out = out + biases["down_bias"][flat_slots[order]]
 

@@ -172,9 +172,8 @@ def grouped_ffn(
     if impl == "pallas":
         from moe_infinity_tpu.ops.gmm import gffn_pallas
 
-        weights = _unpack4_weights(weights)
-        if "gateup" in weights:  # kernel takes separate gate/up views
-            weights = _split_gateup(weights)
+        # the kernel handles '<role>4' packed int4 and fused 'gateup'
+        # natively — no whole-array unpack materializes
         return gffn_pallas(
             x, expert_ids, combine_weights, expert_to_slot, weights,
             activation, biases,

@@ -127,3 +127,127 @@ def test_gffn_pallas_matches_ragged(rng):
         gffn_pallas(x, ids, cw, slot, weights, "silu", interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_gmm_packed_int4_matches_unpacked(rng):
+    """Native packed path == unpack-then-int8 path (exact: same ints)."""
+    from moe_infinity_tpu.ops.moe import pack_int4, unpack_int4
+
+    T, D, F, S = 16, 128, 256, 4
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    wp = pack_int4(v)  # [S, D, F//2]
+    assert wp.shape == (S, D, F // 2)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(wp)), np.asarray(v))
+    scale = jnp.asarray(rng.uniform(0.01, 0.05, (S, F)), jnp.float32)
+    sizes = jnp.asarray([4, 4, 4, 4], jnp.int32)
+    want = np.asarray(gmm(x, v, sizes, scale, interpret=True))
+    got = np.asarray(gmm(x, wp, sizes, scale, interpret=True, packed=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gmm_packed_int4_empty_groups_no_scale(rng):
+    from moe_infinity_tpu.ops.moe import pack_int4
+
+    T, D, F, S = 16, 128, 256, 5
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    sizes = jnp.asarray([0, 9, 0, 7, 0], jnp.int32)
+    want = np.asarray(gmm(x, v, sizes, interpret=True))
+    got = np.asarray(gmm(x, pack_int4(v), sizes, interpret=True, packed=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gffn_pallas_packed_int4_matches_gather(rng):
+    """gate4/up4/down4 weights through the native packed kernel == the XLA
+    gather reference on the same ints."""
+    from moe_infinity_tpu.ops.moe import pack_int4
+
+    T, D, F, S, K = 16, 128, 256, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, S, (T, K)), jnp.int32)
+    cw = jnp.asarray(rng.uniform(0, 1, (T, K)), jnp.float32)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    vg = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    vu = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    vd = jnp.asarray(rng.integers(-8, 8, (S, F, D)), jnp.int8)
+    packed = {
+        "gate4": pack_int4(vg),
+        "up4": pack_int4(vu),
+        "down4": pack_int4(vd),
+        "gate_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, F)), jnp.float32),
+        "up_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, F)), jnp.float32),
+        "down_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, D)), jnp.float32),
+    }
+    want = np.asarray(
+        grouped_ffn(x, ids, cw, slot, packed, "silu", impl="gather")
+    )
+    got = np.asarray(
+        gffn_pallas(x, ids, cw, slot, packed, "silu", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_gffn_pallas_packed_gateup4_matches(rng):
+    """A packed fused gateup4's low nibbles ARE gate and high nibbles up:
+    one packed gmm emits [gate | up]."""
+    from moe_infinity_tpu.ops.moe import fuse_gateup, pack_int4
+
+    T, D, F, S, K = 16, 128, 256, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, S, (T, K)), jnp.int32)
+    cw = jnp.asarray(rng.uniform(0, 1, (T, K)), jnp.float32)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    vg = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    vu = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    vd = jnp.asarray(rng.integers(-8, 8, (S, F, D)), jnp.int8)
+    split = {
+        "gate4": pack_int4(vg),
+        "up4": pack_int4(vu),
+        "down4": pack_int4(vd),
+        "gate_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, F)), jnp.float32),
+        "up_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, F)), jnp.float32),
+        "down_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, D)), jnp.float32),
+    }
+    fused = fuse_gateup(split)
+    assert "gateup4" in fused
+    want = np.asarray(
+        grouped_ffn(x, ids, cw, slot, split, "silu", impl="gather")
+    )
+    got = np.asarray(
+        gffn_pallas(x, ids, cw, slot, fused, "silu", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_gffn_pallas_nllb_biases_nongated(rng):
+    """NLLB-shaped case: non-gated relu FFN with fc biases through the
+    packed kernel == the ragged reference."""
+    from moe_infinity_tpu.ops.moe import pack_int4
+
+    T, D, F, S, K = 12, 128, 256, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, S, (T, K)), jnp.int32)
+    cw = jnp.asarray(rng.uniform(0, 1, (T, K)), jnp.float32)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    vg = jnp.asarray(rng.integers(-8, 8, (S, D, F)), jnp.int8)
+    vd = jnp.asarray(rng.integers(-8, 8, (S, F, D)), jnp.int8)
+    weights = {
+        "gate4": pack_int4(vg),
+        "down4": pack_int4(vd),
+        "gate_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, F)), jnp.float32),
+        "down_scale": jnp.asarray(rng.uniform(0.01, 0.05, (S, D)), jnp.float32),
+    }
+    biases = {
+        "gate_bias": jnp.asarray(rng.standard_normal((S, F)) * 0.1, jnp.float32),
+        "down_bias": jnp.asarray(rng.standard_normal((S, D)) * 0.1, jnp.float32),
+    }
+    want = np.asarray(
+        grouped_ffn(x, ids, cw, slot, weights, "relu", biases=biases,
+                    impl="gather")
+    )
+    got = np.asarray(
+        gffn_pallas(x, ids, cw, slot, weights, "relu", biases=biases,
+                    interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
