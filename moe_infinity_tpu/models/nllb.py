@@ -155,6 +155,89 @@ class NllbModel:
             "dec_final_ln_b": get("model.decoder.layer_norm.bias"),
         }
 
+    def init_random(self, key, *, expert_dtype=None, with_experts=True):
+        """Random params (+ optional resident expert tree) at spec geometry
+        for tests and synthetic benchmarks — weight values don't change the
+        compute graph. with_experts=False skips the expert tree (NLLB-54B's
+        expert tiers are ~100 GB bf16; benches stream them quantized)."""
+        s = self.spec
+        expert_dtype = expert_dtype or self.dtype
+        D, F, E = s.d_model, s.encoder_ffn_dim, s.num_experts
+        keys = jax.random.split(
+            key, 2 + s.encoder_layers + s.decoder_layers
+        )
+
+        def mat(k, shape, dt, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+        def attn(k):
+            ks = jax.random.split(k, 4)
+            return {
+                "q": mat(ks[0], (D, D), self.dtype),
+                "qb": jnp.zeros(D, jnp.float32),
+                "k": mat(ks[1], (D, D), self.dtype),
+                "kb": jnp.zeros(D, jnp.float32),
+                "v": mat(ks[2], (D, D), self.dtype),
+                "vb": jnp.zeros(D, jnp.float32),
+                "o": mat(ks[3], (D, D), self.dtype),
+                "ob": jnp.zeros(D, jnp.float32),
+            }
+
+        experts: List[Dict[str, Any]] = []
+
+        def block(k, i, decoder):
+            ks = jax.random.split(k, 8)
+            b: Dict[str, Any] = {
+                "self_attn": attn(ks[0]),
+                "ln0_w": jnp.ones(D, jnp.float32),
+                "ln0_b": jnp.zeros(D, jnp.float32),
+                "lnf_w": jnp.ones(D, jnp.float32),
+                "lnf_b": jnp.zeros(D, jnp.float32),
+            }
+            if decoder:
+                b["cross_attn"] = attn(ks[1])
+                b["lnc_w"] = jnp.ones(D, jnp.float32)
+                b["lnc_b"] = jnp.zeros(D, jnp.float32)
+            if s.is_sparse(i, decoder):
+                b["router"] = mat(ks[2], (E, D), jnp.float32, scale=0.5)
+                if with_experts:
+                    experts.append(
+                        {
+                            "gate": mat(ks[3], (E, D, F), expert_dtype),
+                            "down": mat(ks[4], (E, F, D), expert_dtype),
+                            "gate_bias": jnp.zeros((E, F), jnp.float32),
+                            "down_bias": jnp.zeros((E, D), jnp.float32),
+                        }
+                    )
+            else:
+                b["fc1"] = mat(ks[5], (F, D), self.dtype)
+                b["fc1b"] = jnp.zeros(F, jnp.float32)
+                b["fc2"] = mat(ks[6], (D, F), self.dtype)
+                b["fc2b"] = jnp.zeros(D, jnp.float32)
+            return b
+
+        params = {
+            "embed": mat(keys[0], (s.vocab_size, D), self.dtype),
+            "enc_blocks": [
+                block(keys[2 + i], i, False) for i in range(s.encoder_layers)
+            ],
+            "enc_final_ln_w": jnp.ones(D, jnp.float32),
+            "enc_final_ln_b": jnp.zeros(D, jnp.float32),
+            "dec_blocks": [
+                block(keys[2 + s.encoder_layers + i], i, True)
+                for i in range(s.decoder_layers)
+            ],
+            "dec_final_ln_w": jnp.ones(D, jnp.float32),
+            "dec_final_ln_b": jnp.zeros(D, jnp.float32),
+        }
+        if not with_experts:
+            return params, None
+        tree = {
+            "layers": experts,
+            "slot_map": jnp.arange(E, dtype=jnp.int32),
+        }
+        return params, tree
+
     # ---- building blocks -------------------------------------------------
     def _attn(self, a, x_q, k, v, q_pos, kv_len, *, causal, pad_bias=None):
         s = self.spec

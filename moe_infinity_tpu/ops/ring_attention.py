@@ -43,9 +43,11 @@ def ring_attention(
 ) -> jax.Array:
     """Blockwise ring attention. MUST run inside shard_map with the inputs
     sharded over `axis_name` on their time axis. GQA handled by repeating
-    kv heads. Returns [B, Tl, H, Dh] in q's dtype."""
+    kv heads; the value dim may differ from the key dim (MLA latents).
+    Returns [B, Tl, H, Dv] in q's dtype."""
     B, Tl, H, Dh = q.shape
     Hkv = k.shape[2]
+    Dv = v.shape[-1]  # may differ from Dh (MLA: keys [c|k_pe], values c)
     if scale is None:
         scale = Dh ** -0.5
     rep = H // Hkv
@@ -59,7 +61,7 @@ def ring_attention(
     local = jnp.arange(Tl, dtype=jnp.int32)
 
     # online-softmax accumulators
-    num = jnp.zeros((B, H, Tl, Dh), jnp.float32)
+    num = jnp.zeros((B, H, Tl, Dv), jnp.float32)
     den = jnp.zeros((B, H, Tl), jnp.float32)
     m = jnp.full((B, H, Tl), -jnp.inf, jnp.float32)
 

@@ -16,8 +16,11 @@ whole prompt (time-sharded), which `caches_from_sp` scatters into regular
 decode KV caches.
 
 Scope: models with the llama-style attention layout (q/k/v/o + rope +
-rms_norm) — the Mixtral family. MLA models (DeepSeek) compress the KV
-down to latents; a latent-ring variant is future work.
+rms_norm) — the Mixtral family — and MLA models (DeepSeek V2/V3), whose
+absorbed-latent attention reduces to the SAME ring primitive: logits
+q·k = [q_lat | q_pe]·[c | k_pe] and values = c, so the latent cache
+itself rides the ring (10.7× fewer ring bytes than rotating
+materialized K/V heads).
 """
 
 from __future__ import annotations
@@ -61,6 +64,97 @@ def sp_prefill(
         raise ValueError(f"prompt length {T} not divisible by seq={s}")
     spec = model.spec
 
+    is_mla = hasattr(spec, "kv_lora_rank")
+
+    def _moe_ffn(pl, hn, mli, experts):
+        cw, ids = model.route(pl, hn)
+        w, slot_map, biases = for_layer(experts, mli)
+        Bq, Tl, D = hn.shape
+        K = ids.shape[-1]
+        y = grouped_ffn(
+            hn.reshape(Bq * Tl, D),
+            ids.reshape(Bq * Tl, K),
+            cw.reshape(Bq * Tl, K).astype(jnp.float32),
+            slot_map,
+            w,
+            "silu",
+            biases=biases,
+            impl=impl,
+        ).reshape(Bq, Tl, D)
+        if getattr(spec, "n_shared_experts", 0):
+            y = y + model._dense_mlp(
+                hn, pl["shared_gate"], pl["shared_up"], pl["shared_down"]
+            )
+        return y
+
+    def _llama_layer(pl, x, positions):
+        h = rms_norm(x, pl["input_norm"], spec.rms_eps)
+        q = linear(h, pl["q"]).reshape(B, -1, spec.num_heads, spec.head_dim)
+        k = linear(h, pl["k"]).reshape(B, -1, spec.num_kv_heads, spec.head_dim)
+        v = linear(h, pl["v"]).reshape(B, -1, spec.num_kv_heads, spec.head_dim)
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = ring_attention(
+            q, k, v, axis_name=seq_axis, axis_size=s, causal=True
+        )
+        Tl = x.shape[1]
+        x = x + linear(attn.reshape(B, Tl, -1), pl["o"])
+        return x, k.astype(model.dtype), v.astype(model.dtype)
+
+    def _mla_layer(pl, x, positions):
+        """Absorbed-MLA attention over the latent ring (mirrors
+        models/deepseek_v2.py attn_block, unfolded path): the ring carries
+        [c | k_pe] as keys and c as values."""
+        from moe_infinity_tpu.models.deepseek_v2 import rope_interleaved
+
+        Tl = x.shape[1]
+        H = spec.num_heads
+        h = rms_norm(x, pl["input_norm"], spec.rms_eps)
+        if spec.q_lora_rank is None:
+            q = linear(h, pl["q"])
+        else:
+            q = linear(
+                rms_norm(linear(h, pl["q_a"]), pl["q_a_norm"], spec.rms_eps),
+                pl["q_b"],
+            )
+        q = q.reshape(B, Tl, H, spec.qk_head_dim)
+        q_nope = q[..., : spec.qk_nope_head_dim]
+        q_pe = q[..., spec.qk_nope_head_dim :]
+        ckv = linear(h, pl["kv_a"])
+        c = rms_norm(ckv[..., : spec.kv_lora_rank], pl["kv_a_norm"], spec.rms_eps)
+        k_pe = ckv[..., spec.kv_lora_rank :][:, :, None, :]
+        cos, sin = model._rope_tables(positions)
+        q_pe = rope_interleaved(q_pe, cos, sin)
+        k_pe = rope_interleaved(k_pe, cos, sin)
+        q_lat = jnp.einsum(
+            "bthd,hdr->bthr", q_nope.astype(jnp.float32),
+            pl["w_uk"].astype(jnp.float32),
+        )
+        scale = spec.qk_head_dim ** -0.5
+        q_ring = jnp.concatenate(
+            [q_lat, q_pe.astype(jnp.float32)], axis=-1
+        )
+        k_ring = jnp.concatenate(
+            [c.astype(jnp.float32), k_pe[:, :, 0, :].astype(jnp.float32)],
+            axis=-1,
+        )[:, :, None, :]
+        v_ring = c.astype(jnp.float32)[:, :, None, :]
+        out_lat = ring_attention(
+            q_ring, k_ring, v_ring,
+            axis_name=seq_axis, axis_size=s, causal=True, scale=scale,
+        )  # [B, Tl, H, R]
+        out = jnp.einsum(
+            "bthr,hdr->bthd", out_lat, pl["w_uv"].astype(jnp.float32)
+        )
+        out = linear(
+            out.reshape(B, Tl, H * spec.v_head_dim).astype(model.dtype),
+            pl["o"],
+        )
+        # decode caches hold (c, k_pe) — the latent IS the cache
+        return x + out, c[:, :, None, :].astype(model.dtype), k_pe.astype(
+            model.dtype
+        )
+
     def local_fn(params, experts, tokens_loc):
         idx = jax.lax.axis_index(seq_axis)
         Tl = tokens_loc.shape[1]
@@ -71,37 +165,18 @@ def sp_prefill(
         ks, vs = [], []
         for li in range(spec.num_layers):
             pl = params["layers"][li]
-            h = rms_norm(x, pl["input_norm"], spec.rms_eps)
-            q = linear(h, pl["q"]).reshape(B, Tl, spec.num_heads, spec.head_dim)
-            k = linear(h, pl["k"]).reshape(
-                B, Tl, spec.num_kv_heads, spec.head_dim
-            )
-            v = linear(h, pl["v"]).reshape(
-                B, Tl, spec.num_kv_heads, spec.head_dim
-            )
-            cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
-            q, k = apply_rope(q, k, cos, sin)
-            attn = ring_attention(
-                q, k, v, axis_name=seq_axis, axis_size=s, causal=True
-            )
-            x = x + linear(attn.reshape(B, Tl, -1), pl["o"])
+            layer = _mla_layer if is_mla else _llama_layer
+            x, k, v = layer(pl, x, positions)
             hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
-            cw, ids = model.route(pl, hn)
-            w, slot_map, biases = for_layer(experts, model.moe_layer_index(li))
-            K = ids.shape[-1]
-            y = grouped_ffn(
-                hn.reshape(B * Tl, -1),
-                ids.reshape(B * Tl, K),
-                cw.reshape(B * Tl, K).astype(jnp.float32),
-                slot_map,
-                w,
-                "silu",
-                biases=biases,
-                impl=impl,
-            )
-            x = x + y.reshape(B, Tl, -1)
-            ks.append(k.astype(model.dtype))
-            vs.append(v.astype(model.dtype))
+            mli = model.moe_layer_index(li)
+            if mli is None:  # DeepSeek first_k_dense_replace layers
+                x = x + model._dense_mlp(
+                    hn, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]
+                )
+            else:
+                x = x + _moe_ffn(pl, hn, mli, experts)
+            ks.append(k)
+            vs.append(v)
         logits = model.head(params, x)
         return logits, jnp.stack(ks), jnp.stack(vs)
 

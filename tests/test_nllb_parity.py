@@ -80,3 +80,32 @@ def test_batch_generation_matches(nllb_setup):
     got = gen.generate(prompt, max_new_tokens=6, eos_token_id=2).sequences
     n = min(got.shape[1], want.shape[1])
     np.testing.assert_array_equal(got[:, :n], want[:, :n])
+
+
+def test_init_random_matches_load_params_structure(nllb_setup):
+    """init_random's tree (used by synthetic benches) must mirror
+    load_params exactly — same keys, shapes, dtypes — and run end-to-end
+    through the resident generator."""
+    import jax
+
+    _, _, model, gen = nllb_setup
+    params = gen.params
+    rp, experts = model.init_random(jax.random.PRNGKey(0))
+    want = jax.tree.structure(params)
+    got = jax.tree.structure(rp)
+    assert got == want
+    mismatches = [
+        (path, a.shape, b.shape)
+        for (path, a), (_, b) in zip(
+            jax.tree.leaves_with_path(rp), jax.tree.leaves_with_path(params)
+        )
+        if a.shape != b.shape or a.dtype != b.dtype
+    ]
+    assert not mismatches, mismatches[:5]
+    gen = Seq2SeqGenerator(
+        model, rp, experts, ResidentProvider.for_layer
+    )
+    out = gen.generate(
+        np.array([[5, 9, 3, 2]]), max_new_tokens=4, eos_token_id=None
+    ).sequences
+    assert out.shape[1] >= 4

@@ -137,3 +137,99 @@ def test_sp_prefill_rejects_ragged_length(tiny_model):
             model, params, experts, jnp.zeros((1, 12), jnp.int32), mesh,
             for_layer=ResidentProvider.for_layer,
         )
+
+
+# ---- DeepSeek / MLA family -------------------------------------------------
+
+DS_BASE = dict(
+    vocab_size=128, hidden_size=64, intermediate_size=96,
+    moe_intermediate_size=48, num_layers=3, num_heads=4,
+    kv_lora_rank=32, qk_nope_head_dim=32, qk_rope_head_dim=16,
+    v_head_dim=32, num_experts=8, top_k=2, n_shared_experts=1,
+    first_k_dense_replace=1, topk_method="greedy", n_group=None,
+    topk_group=None, routed_scaling_factor=1.0, rms_eps=1e-6,
+    rope_theta=10000.0, tie_embeddings=False, q_lora_rank=None,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_mla():
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+
+    model = DeepseekV2ModelJax(
+        DeepseekV2Spec(**DS_BASE), compute_dtype=jnp.float32
+    )
+    params, experts = model.init_random(jax.random.PRNGKey(2))
+    return model, params, experts
+
+
+@pytest.mark.parametrize("q_lora", [None, 24])
+def test_mla_sp_prefill_matches_single_device(rng, tiny_mla, q_lora):
+    """The latent ring: [q_lat | q_pe]·[c | k_pe] logits with c as values
+    reduces MLA to the standard ring primitive. Exact vs the dense path,
+    including first_k_dense layers and shared experts."""
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+
+    if q_lora is None:
+        model, params, experts = tiny_mla
+    else:
+        model = DeepseekV2ModelJax(
+            DeepseekV2Spec(**{**DS_BASE, "q_lora_rank": q_lora}),
+            compute_dtype=jnp.float32,
+        )
+        params, experts = model.init_random(jax.random.PRNGKey(3))
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T = 2, 8
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    want, _, _ = _reference_prefill(model, params, experts, tokens, T)
+    got, kvs = sp_prefill(
+        model, params, experts, tokens, mesh,
+        for_layer=ResidentProvider.for_layer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+    # MLA caches hold (latent, rope-key) per layer
+    s = model.spec
+    assert kvs[0].k.shape == (B, T, 1, s.kv_lora_rank)
+    assert kvs[0].v.shape == (B, T, 1, s.qk_rope_head_dim)
+
+
+def test_mla_decode_continues_from_sp_caches(rng, tiny_mla):
+    model, params, experts = tiny_mla
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, CAP, STEPS = 1, 8, 32, 4
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+
+    ref_logits, ref_kv, _ = _reference_prefill(
+        model, params, experts, tokens, CAP
+    )
+
+    def decode(logits, kvs, start):
+        toks = []
+        cur = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+        kv_len = start
+        for _ in range(STEPS):
+            toks.append(int(cur[0, 0]))
+            pos = jnp.full((B, 1), kv_len, jnp.int32)
+            logits, kvs, _ = model.forward(
+                params, experts, cur, pos, kvs, jnp.int32(kv_len),
+                for_layer=ResidentProvider.for_layer, impl="gather",
+            )
+            cur = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+            kv_len += 1
+        return toks
+
+    want = decode(ref_logits, ref_kv, T)
+    sp_logits, sp_kvs = sp_prefill(
+        model, params, experts, tokens, mesh,
+        for_layer=ResidentProvider.for_layer,
+    )
+    got = decode(sp_logits, caches_from_sp(sp_kvs, CAP), T)
+    assert got == want
