@@ -233,3 +233,20 @@ def test_mla_decode_continues_from_sp_caches(rng, tiny_mla):
     )
     got = decode(sp_logits, caches_from_sp(sp_kvs, CAP), T)
     assert got == want
+
+
+def test_ring_attention_bidirectional(rng):
+    """causal=False: encoder-side (bidirectional) ring == dense attention
+    with no causal mask — the building block for encoder SP on the
+    seq2seq families."""
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, H, Dh = 2, 16, 4, 8
+    q = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    want = np.asarray(
+        attend(q, k, v, positions, jnp.int32(T), causal=False)
+    )
+    got = np.asarray(ring_attend(q, k, v, mesh, causal=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
