@@ -796,11 +796,17 @@ def bench_nllb_offload(args):
         num_threads=args.threads,
     )
     tracer = ExpertTracer(256, n_moe, E, num_encoder_layers=n_enc_moe)
+    # speculative whole-step decode: each decode step is ONE compiled
+    # program over the arena's current slots, verified + replayed on miss
+    # — per-block jit dispatch through the measurement relay costs
+    # ~0.5 s/call with Pallas operands, which the per-layer path pays 12x
+    # per step; the speculative path pays it once
     engine = Seq2SeqOffloadEngine(
         model, params, arena,
         tracer=tracer, predictor=ExpertPredictor(tracer),
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
         prefetch_budget=8, impl=args.moe_impl,
+        speculative=True,
     )
 
     B = args.batch if args.batch > 1 else 32
@@ -809,9 +815,13 @@ def bench_nllb_offload(args):
     prompt = (np.arange(T, dtype=np.int64)[None].repeat(B, 0) * 131 + 7) % (
         spec.vocab_size - 10
     )
+    print(f"[bench] nllb dense ready; arena {num_slots} slots, warming",
+          file=sys.stderr, flush=True)
     t_w = time.perf_counter()
     engine.generate(prompt, max_new_tokens=2, eos_token_id=None)  # warm
     warm_s = time.perf_counter() - t_w
+    print(f"[bench] warm done in {warm_s:.0f}s; timing", file=sys.stderr,
+          flush=True)
 
     # decode throughput via differencing: every generate() call pays the
     # same encoder prefill (the full encoder expert tier streams through
@@ -842,6 +852,9 @@ def bench_nllb_offload(args):
         "warm_s": round(warm_s, 1),
         "enc_layers": spec.encoder_layers,
         "dec_layers": spec.decoder_layers,
+        "mean_step_executions": round(
+            float(np.mean(engine.replay_counts)), 3
+        ) if engine.replay_counts else None,
     }
 
 

@@ -277,13 +277,15 @@ class NllbModel:
         cw = jnp.stack([w1 / denom, w2 / denom], axis=-1)
         return cw, ids
 
-    def _ff(self, b, h, mli, experts, for_layer, impl):
+    def _ff(self, b, h, mli, experts, for_layer, impl, trace=None):
         s = self.spec
         B, T, D = h.shape
         if mli is None:
             a = jax.nn.relu(linear(h, b["fc1"], b["fc1b"]))
             return linear(a, b["fc2"], b["fc2b"])
         cw, ids = self._route_top2(b, h)
+        if trace is not None:
+            trace.append(ids.reshape(B, T, -1))
         weights, slot_map, biases = for_layer(experts, mli)
         y = grouped_ffn(
             h.reshape(B * T, D), ids, cw, slot_map, weights, "relu",
@@ -456,7 +458,7 @@ class NllbModel:
             )
             h = layer_norm(x, b["lnf_w"], b["lnf_b"], 1e-5)
             mli = s.moe_layer_id(i, True) if s.is_sparse(i, True) else None
-            x = x + self._ff(b, h, mli, experts, for_layer, impl)
+            x = x + self._ff(b, h, mli, experts, for_layer, impl, trace)
             new_kvs.append(kv)
         x = layer_norm(
             x, params["dec_final_ln_w"], params["dec_final_ln_b"], 1e-5
@@ -464,4 +466,6 @@ class NllbModel:
         logits = linear(
             x.astype(jnp.float32), params["embed"].astype(jnp.float32)
         )
-        return logits, new_kvs, trace
+        # trace: [L_dec_moe, B, T, K] routed expert ids, decoder sparse
+        # layers in order (consumed by the speculative whole-step decoder)
+        return logits, new_kvs, jnp.stack(trace) if trace else []

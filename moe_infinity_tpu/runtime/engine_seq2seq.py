@@ -49,6 +49,8 @@ class Seq2SeqOffloadEngine:
         impl: str = "ragged",
         prefill_impl: Optional[str] = None,
         adaptive_budget: bool = True,
+        speculative: bool = False,
+        max_replays: Optional[int] = None,
     ):
         self.model = model
         self.params = params
@@ -59,6 +61,9 @@ class Seq2SeqOffloadEngine:
         self.lookahead = lookahead
         self.prefetch_budget = prefetch_budget or max(1, arena.num_slots // 2)
         self.adaptive_budget = adaptive_budget
+        self.speculative = speculative
+        self.max_replays = max_replays
+        self.replay_counts: list = []
         self._layer_seconds = None
         self._last_layer_t = None
         if arena.num_slots < model.spec.num_experts:
@@ -86,6 +91,24 @@ class Seq2SeqOffloadEngine:
             return m.apply_ff(x, h, cw, ids, weights, slot_row, biases, use)
 
         self._apply = jax.jit(apply)
+
+        if speculative:
+            # whole-decoder step against the arena's CURRENT slot state:
+            # routing resolves inside one compiled program; the host
+            # verifies the routed ids afterward and replays on miss
+            def spec_step(params, tree, slot_rows, tok, positions, step,
+                          kvs, enc_mask, cross):
+                weights, biases = _split_arena_tree(tree)
+
+                def for_layer(_experts, mli):
+                    return weights, slot_rows[mli], biases
+
+                return m.decode_step(
+                    params, None, tok, positions, kvs, step, enc_mask,
+                    cross, for_layer, impl,
+                )
+
+            self._spec_step = jax.jit(spec_step)
 
     # ---- shared expert acquire/apply --------------------------------------
     def _tick_layer_clock(self):
@@ -138,6 +161,73 @@ class Seq2SeqOffloadEngine:
             x = self._apply(x, h, cw, ids, tree, slot_row)
         self.arena.release(keys)
         return x
+
+    # ---- speculative whole-step decode -------------------------------------
+    def _speculative_step(
+        self, params, cur_tok, positions, step, kvs, mask, cross,
+        dec_mlis, seq_ids,
+    ):
+        """One decode step as ONE compiled program over the arena's current
+        slot state — no per-layer host synchronization. The routed ids come
+        back with the logits; the host verifies them against residency and,
+        on a miss, loads the missed experts and re-executes the step from
+        the same inputs. The accepted execution had every routed expert
+        resident, so the result is exact.
+
+        Convergence is bounded: layer 0's routing depends only on the
+        (correct) inputs, so after one replay its experts are resident and
+        its output exact; inductively layer l stabilizes by replay l+1 —
+        at most len(dec_mlis)+1 executions. In steady state the decode hot
+        set is resident and steps accept on the first run. TPU-native
+        answer to the reference's per-miss cv.wait on the hot path
+        (archer_prefetch_handle.cpp:83-121): optimistic execution instead
+        of per-layer blocking."""
+        arena = self.arena
+        limit = self.max_replays or (len(dec_mlis) + 2)
+        held: set = set()
+        for replay in range(limit):
+            with arena.locked_tree() as tree:
+                slot_rows = jnp.asarray(
+                    np.stack(
+                        [
+                            arena.slot_map(m)
+                            for m in range(arena.num_layers)
+                        ]
+                    )
+                )
+                logits, new_kvs, trace = self._spec_step(
+                    params, tree, slot_rows, cur_tok, positions,
+                    jnp.int32(step), kvs, mask, cross,
+                )
+            ids_np = np.asarray(trace)  # [L_dec_moe, B, T, K]
+            keys = {
+                (dec_mlis[j], int(e))
+                for j in range(ids_np.shape[0])
+                for e in np.unique(ids_np[j])
+            }
+            missing = [k for k in keys if not arena.is_resident(k)]
+            # re-protect exactly this run's working set (acquire protects
+            # all keys before any eviction, so releasing first is safe —
+            # no concurrent fetches outside acquire in speculative mode);
+            # the arena must hold one step's UNION of routed experts
+            # across the decoder MoE layers
+            if held:
+                arena.release(sorted(held))
+            arena.acquire(sorted(keys), dec_mlis[-1] if dec_mlis else 0)
+            held = keys
+            if not missing:
+                break
+        else:
+            raise RuntimeError(
+                f"speculative decode did not converge in {limit} replays"
+            )
+        arena.release(sorted(held))
+        self.replay_counts.append(replay + 1)
+        if self.tracer is not None and seq_ids:
+            for j, mli in enumerate(dec_mlis):
+                for b, sid in enumerate(seq_ids):
+                    self.tracer.update_entry(sid, ids_np[j, b].ravel(), mli)
+        return logits, new_kvs
 
     # ---- generation -------------------------------------------------------
     def generate(
@@ -216,8 +306,40 @@ class Seq2SeqOffloadEngine:
         cur_tok = jnp.full((B, 1), start, jnp.int32)
         sstate = None
         lp_tok, lp_top, lp_ids = [], [], []
+        dec_mlis = [
+            s.moe_layer_id(i, True)
+            for i in range(
+                getattr(s, "decoder_layers", 0)
+                or getattr(s, "num_decoder_layers", 0)
+            )
+            if s.is_sparse(i, True)
+        ]
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
+            if self.speculative:
+                logits, kvs = self._speculative_step(
+                    params, cur_tok, positions, step, kvs, mask, cross,
+                    dec_mlis, seq_ids,
+                )
+                if sstate is None:
+                    sstate = sampler.init(
+                        B, logits.shape[-1],
+                        prompt_ids=np.full((B, 1), start), seed=seed,
+                    )
+                sout, sstate = sampler(logits[:, -1, :], sstate)
+                if sp.logprobs > 0:
+                    lp_tok.append(np.asarray(sout.logprob))
+                    lp_top.append(np.asarray(sout.top_logprobs))
+                    lp_ids.append(np.asarray(sout.top_tokens))
+                nxt = np.asarray(sout.token).astype(np.int64)
+                out[~finished, step + 1] = nxt[~finished]
+                num_gen[~finished] += 1
+                if eos_token_id is not None:
+                    finished |= nxt == eos_token_id
+                    if finished.all():
+                        break
+                cur_tok = jnp.asarray(nxt[:, None], jnp.int32)
+                continue
             bias, cross_bias = self._dec_prelude(params, positions, cap, mask)
             x = self._dec_embed(params, cur_tok, jnp.int32(step))
             for i, b in enumerate(params["dec_blocks"]):

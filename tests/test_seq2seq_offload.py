@@ -120,3 +120,65 @@ def test_nllb_offload_matches_resident(tmp_path):
         assert engine.stats()["visits"] > 0
     finally:
         arena.shutdown()
+
+
+def test_nllb_speculative_decode_matches_resident(tmp_path):
+    """Speculative whole-step decode: each step runs as ONE jitted program
+    against the arena's current slots, verified + replayed on miss. Exact
+    vs the resident path under heavy eviction pressure (arena holds 4 of
+    16 (layer, expert) pairs), with replays actually happening."""
+    from transformers import NllbMoeConfig, NllbMoeForConditionalGeneration
+
+    from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
+
+    cfg = NllbMoeConfig(
+        vocab_size=96, d_model=32, encoder_layers=4, decoder_layers=4,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, encoder_sparse_step=2,
+        decoder_sparse_step=2, num_experts=4, max_position_embeddings=64,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        moe_token_dropout=0.0, router_jitter_noise=0.0, pad_token_id=1,
+        bos_token_id=0, eos_token_id=2, decoder_start_token_id=2,
+        torch_dtype=torch.float32,
+        architectures=["NllbMoeForConditionalGeneration"],
+    )
+    torch.manual_seed(31)
+    hf = NllbMoeForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    store_dir = str(tmp_path / "store")
+    ingest_checkpoint(
+        str(ckpt), store_dir, cfg, expert_dtype="float32",
+        dense_dtype="float32",
+    )
+    model = NllbModel(NllbSpec.from_hf(cfg), compute_dtype=jnp.float32)
+    params = model.load_params(DenseArchive(store_dir))
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Seq2SeqGenerator(
+        model, params, provider.pytree(), ResidentProvider.for_layer
+    )
+    # 8 slots: enough for one step's union across the 2 decoder MoE
+    # layers (2 x 4), small enough that the encoder pass evicts the
+    # decoder hot set between requests
+    arena = ExpertArena(
+        ExpertStore(store_dir), 8, compute_dtype=jnp.float32, num_threads=2
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False, speculative=True,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2], [9, 4, 61, 12, 3]])
+        want = gen_res.generate(
+            prompt, max_new_tokens=6, eos_token_id=None
+        ).sequences
+        got = engine.generate(
+            prompt, max_new_tokens=6, eos_token_id=None
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.replay_counts, "speculative path not exercised"
+        # cold decoder slots after the encoder pass: at least one step
+        # needed >1 execution
+        assert max(engine.replay_counts) > 1
+        assert engine.stats()["visits"] > 0
+    finally:
+        arena.shutdown()
