@@ -49,6 +49,53 @@ def _split_arena_tree(tree: Dict[str, jax.Array]):
     return weights, (biases or None)
 
 
+def run_speculative(arena: ExpertArena, mlis, run, limit: int):
+    """Optimistic whole-step execution against the arena's current slots.
+
+    `run(tree, slot_rows)` executes ONE compiled program that resolves MoE
+    routing internally and returns (*outputs, trace_ids [L_moe, ...]);
+    stale slot rows are in-range by construction, so a non-resident expert
+    gathers a wrong-but-valid slot. The host verifies the routed ids and
+    re-executes after loading misses — the accepted execution had every
+    routed expert resident, so it is exact. Convergence is bounded:
+    layer 0's routing depends only on the (correct) inputs, so layer l
+    stabilizes by replay l+1. Requires the arena to hold one step's UNION
+    of routed experts across MoE layers.
+
+    Returns (outputs, ids_np, executions). The TPU-native inversion of the
+    reference's per-miss cv.wait on the hot path
+    (archer_prefetch_handle.cpp:83-121): no per-layer host sync at all."""
+    held: set = set()
+    for replay in range(limit):
+        with arena.locked_tree() as tree:
+            slot_rows = jnp.asarray(
+                np.stack(
+                    [arena.slot_map(m) for m in range(arena.num_layers)]
+                )
+            )
+            *outs, trace = run(tree, slot_rows)
+        ids_np = np.asarray(trace)
+        keys = {
+            (mlis[j], int(e))
+            for j in range(ids_np.shape[0])
+            for e in np.unique(ids_np[j])
+        }
+        missing = [k for k in keys if not arena.is_resident(k)]
+        # re-protect exactly this run's working set (acquire protects all
+        # keys before any eviction, so releasing first is safe — no
+        # concurrent fetches outside acquire on this path)
+        if held:
+            arena.release(sorted(held))
+        arena.acquire(sorted(keys), mlis[-1] if mlis else 0)
+        held = keys
+        if not missing:
+            arena.release(sorted(held))
+            return outs, ids_np, replay + 1
+    raise RuntimeError(
+        f"speculative execution did not converge in {limit} replays"
+    )
+
+
 class OffloadEngine:
     """Drives a layer-step-protocol model (pre_moe/apply_moe) against an
     ExpertArena. Implements the Stepper protocol used by runtime.generate."""
@@ -67,10 +114,15 @@ class OffloadEngine:
         impl: str = "ragged",
         prefill_impl: Optional[str] = None,
         adaptive_budget: bool = True,
+        speculative: bool = False,
+        max_replays: Optional[int] = None,
     ):
         self.model = model
         self.params = params
         self.arena = arena
+        self.speculative = speculative
+        self.max_replays = max_replays
+        self.replay_counts: list = []
         self.tracer = tracer
         self.predictor = predictor
         self.prefetch = prefetch and predictor is not None
@@ -115,6 +167,28 @@ class OffloadEngine:
 
         self._apply = jax.jit(apply)
 
+        if speculative:
+            # decode steps run as ONE compiled program over the arena's
+            # current slots; verified + replayed on miss (run_speculative)
+            def spec_fwd(params, tree, slot_rows, tokens, positions, kvs,
+                         kv_len):
+                weights, biases = _split_arena_tree(tree)
+
+                def for_layer(_experts, mli):
+                    return weights, slot_rows[mli], biases
+
+                return model.forward(
+                    params, None, tokens, positions, kvs, kv_len,
+                    for_layer=for_layer, impl=impl,
+                )
+
+            self._spec_fwd = jax.jit(spec_fwd)
+            self._moe_lis = [
+                model.moe_layer_index(li)
+                for li in range(model.spec.num_layers)
+                if model.moe_layer_index(li) is not None
+            ]
+
     # ---- Stepper protocol --------------------------------------------------
     def init_cache(self, batch: int, max_len: int):
         return self.model.init_cache(batch, max_len)
@@ -140,6 +214,27 @@ class OffloadEngine:
     ):
         model, arena = self.model, self.arena
         params = self.params
+        if self.speculative and tokens.shape[1] == 1:
+            # decode: speculative whole-step execution (prefill keeps the
+            # per-layer path — a long prompt's per-layer expert union can
+            # exceed the arena, which the replay protocol requires)
+            def run(tree, slot_rows):
+                logits, new_kvs, (t_ids, t_w) = self._spec_fwd(
+                    params, tree, slot_rows, tokens, positions, kv_caches,
+                    kv_len,
+                )
+                return logits, new_kvs, t_w, t_ids
+
+            limit = self.max_replays or (len(self._moe_lis) + 2)
+            (logits, new_kvs, t_w), ids_np, execs = run_speculative(
+                arena, self._moe_lis, run, limit
+            )
+            self.replay_counts.append(execs)
+            if self.tracer is not None and seq_ids:
+                for j, mli in enumerate(self._moe_lis):
+                    for b, sid in enumerate(seq_ids):
+                        self.tracer.update_entry(sid, ids_np[j, b], mli)
+            return logits, new_kvs, (jnp.asarray(ids_np), t_w)
         x = self._embed(params, tokens)
         trace_ids, trace_w = [], []
         self._last_layer_t = None  # don't count inter-step host gaps

@@ -182,47 +182,19 @@ class Seq2SeqOffloadEngine:
         answer to the reference's per-miss cv.wait on the hot path
         (archer_prefetch_handle.cpp:83-121): optimistic execution instead
         of per-layer blocking."""
-        arena = self.arena
-        limit = self.max_replays or (len(dec_mlis) + 2)
-        held: set = set()
-        for replay in range(limit):
-            with arena.locked_tree() as tree:
-                slot_rows = jnp.asarray(
-                    np.stack(
-                        [
-                            arena.slot_map(m)
-                            for m in range(arena.num_layers)
-                        ]
-                    )
-                )
-                logits, new_kvs, trace = self._spec_step(
-                    params, tree, slot_rows, cur_tok, positions,
-                    jnp.int32(step), kvs, mask, cross,
-                )
-            ids_np = np.asarray(trace)  # [L_dec_moe, B, T, K]
-            keys = {
-                (dec_mlis[j], int(e))
-                for j in range(ids_np.shape[0])
-                for e in np.unique(ids_np[j])
-            }
-            missing = [k for k in keys if not arena.is_resident(k)]
-            # re-protect exactly this run's working set (acquire protects
-            # all keys before any eviction, so releasing first is safe —
-            # no concurrent fetches outside acquire in speculative mode);
-            # the arena must hold one step's UNION of routed experts
-            # across the decoder MoE layers
-            if held:
-                arena.release(sorted(held))
-            arena.acquire(sorted(keys), dec_mlis[-1] if dec_mlis else 0)
-            held = keys
-            if not missing:
-                break
-        else:
-            raise RuntimeError(
-                f"speculative decode did not converge in {limit} replays"
+        from moe_infinity_tpu.runtime.engine import run_speculative
+
+        def run(tree, slot_rows):
+            return self._spec_step(
+                params, tree, slot_rows, cur_tok, positions,
+                jnp.int32(step), kvs, mask, cross,
             )
-        arena.release(sorted(held))
-        self.replay_counts.append(replay + 1)
+
+        limit = self.max_replays or (len(dec_mlis) + 2)
+        (logits, new_kvs), ids_np, execs = run_speculative(
+            self.arena, dec_mlis, run, limit
+        )
+        self.replay_counts.append(execs)
         if self.tracer is not None and seq_ids:
             for j, mli in enumerate(dec_mlis):
                 for b, sid in enumerate(seq_ids):

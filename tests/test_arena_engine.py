@@ -227,3 +227,34 @@ class TestOffloadEngine:
             assert engine.hit_rate() > 0.2
         finally:
             arena.shutdown()
+
+
+def test_speculative_decode_matches_resident(tiny_mixtral):
+    """Decoder-only speculative whole-step decode: each step is ONE
+    compiled forward over the arena's current slots, verified + replayed
+    on miss — exact vs the resident path, with replays happening (the
+    12-slot arena holds one step's union (3 layers x <=4 routed at B=2)
+    but not the cross-step hot set, so replays happen)."""
+    cfg, model, params, store_dir = tiny_mixtral
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Generator(
+        model, params, provider.pytree(), ResidentProvider.for_layer,
+        max_seq_len=64,
+    )
+    arena = make_arena(store_dir, 12)
+    tracer = ExpertTracer(16, L, E)
+    engine = OffloadEngine(
+        model, params, arena, tracer=tracer,
+        predictor=ExpertPredictor(tracer), prefetch=False, speculative=True,
+    )
+    try:
+        gen_off = Generator(stepper=engine, max_seq_len=64)
+        prompt = np.array([[5, 17, 31, 7], [9, 4, 2, 61]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = gen_off.generate(prompt, max_new_tokens=8).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.replay_counts, "speculative decode not exercised"
+        assert max(engine.replay_counts) > 1  # cold slots force replays
+        assert engine.stats()["visits"] > 0
+    finally:
+        arena.shutdown()
