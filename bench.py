@@ -788,7 +788,17 @@ def bench_nllb_offload(args):
     dense_bytes = sum(
         a.size * a.dtype.itemsize for a in jax.tree.leaves(params)
     )
-    num_slots = args.slots or max(E, int((budget - dense_bytes) // store.stride))
+    B = args.batch if args.batch > 1 else 32
+    # speculative decode holds TWO decoder KV sets transiently (replays
+    # re-run from the same inputs, so the step is not donated) and needs
+    # the arena to hold one step's union of routed experts across the
+    # decoder MoE layers
+    n_dec_moe = n_moe - n_enc_moe
+    union = n_dec_moe * min(E, B * 2)
+    kv_reserve = int(2.2 * 2**30)
+    num_slots = args.slots or max(
+        E, union, int((budget - dense_bytes - kv_reserve) // store.stride)
+    )
     arena = ExpertArena(
         store, num_slots,
         policy=args.policy,
@@ -809,7 +819,6 @@ def bench_nllb_offload(args):
         speculative=True,
     )
 
-    B = args.batch if args.batch > 1 else 32
     T = args.prompt
     n = args.tokens
     prompt = (np.arange(T, dtype=np.int64)[None].repeat(B, 0) * 131 + 7) % (
