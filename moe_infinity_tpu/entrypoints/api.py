@@ -190,6 +190,7 @@ class MoE:
                     tracer=tracer, predictor=ExpertPredictor(tracer),
                     prefetch=config.prefetch,
                     impl=config.moe_impl, prefill_impl=config.prefill_impl,
+                    speculative=config.speculative_decode,
                 )
                 self.generator = self.engine  # same generate() surface
             return
@@ -244,6 +245,7 @@ class MoE:
                 predictor=ExpertPredictor(tracer),
                 prefetch=config.prefetch,
                 impl=config.moe_impl, prefill_impl=config.prefill_impl,
+                speculative=config.speculative_decode,
             )
             stepper = self.engine
         self.generator = Generator(

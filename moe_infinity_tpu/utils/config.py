@@ -113,6 +113,12 @@ class EngineConfig:
     """Greedy batch-1 decode: draft this many tokens per step via prompt-
     lookup (n-gram) speculation and verify in one forward (exact; 0 = off)."""
 
+    speculative_decode: bool = False
+    """Offload plans: run each decode step as ONE compiled program over
+    the arena's current slots, verify the routed ids on host, and replay
+    after loading misses (exact; zero per-layer host sync). Requires the
+    arena to hold one step's union of routed experts across MoE layers."""
+
     # ---- parallelism ----------------------------------------------------
     data_parallel: int = 1
     tensor_parallel: int = 1

@@ -396,3 +396,27 @@ def test_logit_bias_through_batcher(tiny_ckpt):
         np.testing.assert_array_equal(plain, plain_want[:, :n])
     finally:
         engine.shutdown()
+
+
+def test_moe_facade_speculative_decode(tiny_ckpt):
+    """speculative_decode=True through the facade's offload plan matches
+    HF greedy exactly."""
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64,
+         "device_memory_bytes": 1, "num_slots": 8,
+         "speculative_decode": True, "prefetch": False},
+    )
+    try:
+        assert engine.engine is not None and engine.engine.speculative
+        prompt = np.array([[5, 9, 33]])
+        got = engine.generate(prompt, max_new_tokens=6)
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+        np.testing.assert_array_equal(got, want)
+        assert engine.engine.replay_counts
+    finally:
+        engine.shutdown()

@@ -182,3 +182,27 @@ def test_nllb_speculative_decode_matches_resident(tmp_path):
         assert engine.stats()["visits"] > 0
     finally:
         arena.shutdown()
+
+
+def test_switch_speculative_decode_matches_resident(setup):
+    """Switch family through the speculative whole-step decoder (its
+    decode_step already returns the routed-ids trace)."""
+    model, params, store_dir, gen_res = setup
+    arena = ExpertArena(
+        ExpertStore(store_dir), 8, compute_dtype=jnp.float32, num_threads=2
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False, speculative=True,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(
+            prompt, max_new_tokens=8, eos_token_id=None
+        ).sequences
+        got = engine.generate(
+            prompt, max_new_tokens=8, eos_token_id=None
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.replay_counts and max(engine.replay_counts) > 1
+    finally:
+        arena.shutdown()
