@@ -40,10 +40,13 @@ def ring_attention(
     axis_size: int,
     causal: bool = True,
     scale: Optional[float] = None,
+    bias_fn=None,  # (q_pos [Tq], k_pos [Tk]) -> additive [.., H, Tq, Tk]
 ) -> jax.Array:
     """Blockwise ring attention. MUST run inside shard_map with the inputs
     sharded over `axis_name` on their time axis. GQA handled by repeating
     kv heads; the value dim may differ from the key dim (MLA latents).
+    bias_fn computes position-dependent additive bias per ring step from
+    the GLOBAL positions (T5 relative bias, ALiBi, ...).
     Returns [B, Tl, H, Dv] in q's dtype."""
     B, Tl, H, Dh = q.shape
     Hkv = k.shape[2]
@@ -74,8 +77,10 @@ def ring_attention(
         logits = jnp.einsum(
             "bthd,bshd->bhts", qf, cur_k.astype(jnp.float32)
         )
+        k_pos = src * Tl + local
+        if bias_fn is not None:
+            logits = logits + bias_fn(q_pos, k_pos).astype(jnp.float32)
         if causal:
-            k_pos = src * Tl + local
             valid = k_pos[None, None, None, :] <= q_pos[None, None, :, None]
             logits = jnp.where(valid, logits, _NEG)
         bmax = logits.max(axis=-1)  # [B, H, Tl]

@@ -198,6 +198,138 @@ def sp_prefill(
     return logits, kvs
 
 
+def sp_encode(
+    model,
+    params: Dict[str, Any],
+    experts: Dict[str, Any],
+    tokens: jax.Array,  # [B, T] unpadded, T % mesh.shape[seq] == 0
+    mesh,
+    *,
+    for_layer,
+    impl: str = "gather",
+    seq_axis: str = SEQ,
+) -> jax.Array:
+    """Sequence-parallel ENCODER pass for the seq2seq families (long-
+    document support the reference lacks — it truncates at one device's
+    activation memory): bidirectional ring attention over the `seq` axis,
+    MoE on local tokens. Switch's T5 relative bias rides the ring via the
+    bias_fn hook, and its capacity-masked top-1 router stays EXACT across
+    shards by prefix-summing per-expert token counts over the seq axis
+    (each shard's capacity budget = capacity − tokens earlier shards
+    already routed to that expert). Assumes unpadded input. Returns the
+    encoder output [B, T, D] sharded on T."""
+    s = mesh.shape[seq_axis]
+    B, T = tokens.shape
+    if T % s:
+        raise ValueError(f"prompt length {T} not divisible by seq={s}")
+    spec = model.spec
+    is_switch = hasattr(spec, "d_kv")
+
+    def _capacity_route(b, h):
+        """switch_route with a cross-shard prefix-summed capacity budget."""
+        E = spec.num_experts
+        logits = linear(h.astype(jnp.float32), b["router"])
+        probs = jax.nn.softmax(logits, axis=-1)
+        idx = jnp.argmax(probs, axis=-1)  # [B, Tl]
+        onehot = jax.nn.one_hot(idx, E, dtype=jnp.int32)
+        local_cum = jnp.cumsum(onehot, axis=1)  # [B, Tl, E]
+        counts = jax.lax.all_gather(onehot.sum(axis=1), seq_axis)  # [s,B,E]
+        me = jax.lax.axis_index(seq_axis)
+        earlier = jnp.arange(s)[:, None, None] < me
+        prefix = jnp.where(earlier, counts, 0).sum(axis=0)  # [B, E]
+        priority = prefix[:, None, :] + local_cum
+        keep = (priority <= spec.expert_capacity).astype(jnp.float32)
+        keep = jnp.take_along_axis(keep, idx[..., None], axis=-1)[..., 0]
+        maxp = jnp.max(probs, axis=-1)
+        return (maxp * keep)[..., None], idx[..., None].astype(jnp.int32)
+
+    def local_fn(params, experts, tokens_loc):
+        idx = jax.lax.axis_index(seq_axis)
+        Tl = tokens_loc.shape[1]
+        gpos = idx * Tl + jnp.arange(Tl, dtype=jnp.int32)  # [Tl] global
+
+        if is_switch:
+            table = params["enc_blocks"][0]["rel_bias"]
+
+            def bias_fn(qp, kp):
+                from moe_infinity_tpu.models.layers import t5_position_bias
+
+                return t5_position_bias(
+                    table, qp, kp, True,
+                    spec.rel_buckets, spec.rel_max_distance,
+                )
+
+            x = params["embed"][tokens_loc].astype(model.dtype)
+            for i, b in enumerate(params["enc_blocks"]):
+                h = rms_norm(x, b["ln0"], spec.rms_eps)
+                H, Dk = spec.num_heads, spec.d_kv
+                q = linear(h, b["q"]).reshape(B, Tl, H, Dk)
+                k = linear(h, b["k"]).reshape(B, Tl, H, Dk)
+                v = linear(h, b["v"]).reshape(B, Tl, H, Dk)
+                attn = ring_attention(
+                    q, k, v, axis_name=seq_axis, axis_size=s,
+                    causal=False, scale=1.0, bias_fn=bias_fn,
+                )
+                x = x + linear(attn.reshape(B, Tl, H * Dk), b["o"])
+                h = rms_norm(x, b["ln_ff"], spec.rms_eps)
+                if spec.is_sparse(i, False):
+                    cw, ids = _capacity_route(b, h)
+                    w, slot_map, biases = for_layer(
+                        experts, spec.moe_layer_id(i, False)
+                    )
+                    y = model.apply_ff(
+                        jnp.zeros_like(h), h, cw, ids, w, slot_map, biases,
+                        impl,
+                    )
+                else:
+                    y = model._dense_ff(b, h)
+                x = x + y
+            return rms_norm(x, params["enc_final_ln"], spec.rms_eps)
+
+        # NLLB / M2M100: biased pre-LN attention, sinusoidal positions
+        # (unpadded: position id = global index + 1 + pad_token_id)
+        from moe_infinity_tpu.models.layers import layer_norm
+
+        pos_ids = gpos + 1 + spec.pad_token_id
+        x = (
+            params["embed"][tokens_loc].astype(model.dtype) * model._scale
+            + model._pos_table[pos_ids].astype(model.dtype)
+        )
+        H = spec.num_heads
+        Dh = spec.d_model // H
+        for i, b in enumerate(params["enc_blocks"]):
+            a = b["self_attn"]
+            h = layer_norm(x, b["ln0_w"], b["ln0_b"], 1e-5)
+            q = linear(h, a["q"], a["qb"]).reshape(B, Tl, H, Dh)
+            k = linear(h, a["k"], a["kb"]).reshape(B, Tl, H, Dh)
+            v = linear(h, a["v"], a["vb"]).reshape(B, Tl, H, Dh)
+            attn = ring_attention(
+                q, k, v, axis_name=seq_axis, axis_size=s,
+                causal=False, scale=Dh ** -0.5,
+            )
+            x = x + linear(attn.reshape(B, Tl, -1), a["o"], a["ob"])
+            h = layer_norm(x, b["lnf_w"], b["lnf_b"], 1e-5)
+            mli = (
+                spec.moe_layer_id(i, False)
+                if spec.is_sparse(i, False)
+                else None
+            )
+            x = x + model._ff(b, h, mli, experts, for_layer, impl)
+        return layer_norm(
+            x, params["enc_final_ln_w"], params["enc_final_ln_b"], 1e-5
+        )
+
+    rep = P()
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, P(None, seq_axis)),
+        out_specs=P(None, seq_axis, None),
+        check_vma=False,
+    )
+    return jax.jit(fn)(params, experts, tokens)
+
+
 def caches_from_sp(
     sp_kvs: List[KVCache], max_len: int, mesh=None
 ) -> List[KVCache]:

@@ -250,3 +250,74 @@ def test_ring_attention_bidirectional(rng):
     )
     got = np.asarray(ring_attend(q, k, v, mesh, causal=False))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+# ---- encoder-side SP (seq2seq families) -------------------------------------
+
+
+def test_sp_encode_nllb_matches(rng):
+    """Bidirectional ring encoder == NllbModel.encode (unpadded)."""
+    from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
+    from moe_infinity_tpu.parallel.sequence import sp_encode
+
+    spec = NllbSpec(
+        vocab_size=96, d_model=32, num_heads=4, encoder_layers=4,
+        decoder_layers=4, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        encoder_sparse_step=2, decoder_sparse_step=2, num_experts=4,
+        pad_token_id=1, decoder_start_token_id=2, max_positions=64,
+        scale_embedding=True,
+    )
+    model = NllbModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(4))
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T = 2, 16
+    tokens = jnp.asarray(rng.integers(2, 96, (B, T)), jnp.int32)
+    want = np.asarray(
+        model.encode(
+            params, experts, tokens, jnp.ones((B, T), jnp.float32),
+            ResidentProvider.for_layer, "gather",
+        )
+    )
+    got = np.asarray(
+        sp_encode(
+            model, params, experts, tokens, mesh,
+            for_layer=ResidentProvider.for_layer,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_encode_switch_capacity_exact(rng):
+    """Switch encoder over the ring: T5 relative bias rides bias_fn, and
+    the capacity-masked router stays exact via the cross-shard prefix sum
+    — with capacity=2 and T=16 the mask BINDS, so any shard-local
+    counting would diverge."""
+    from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
+    from moe_infinity_tpu.parallel.sequence import sp_encode
+
+    spec = SwitchSpec(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_encoder_layers=4, num_decoder_layers=4,
+        encoder_sparse_step=2, decoder_sparse_step=2, num_experts=4,
+        expert_capacity=2, rel_buckets=8, rel_max_distance=16,
+        rms_eps=1e-6, tie_embeddings=True, is_gated=False,
+        dense_act_gelu=False, decoder_start_token_id=0,
+    )
+    model = SwitchModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(5))
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T = 2, 16
+    tokens = jnp.asarray(rng.integers(0, 96, (B, T)), jnp.int32)
+    want = np.asarray(
+        model.encode(
+            params, experts, tokens, jnp.ones((B, T), jnp.float32),
+            ResidentProvider.for_layer, "gather",
+        )
+    )
+    got = np.asarray(
+        sp_encode(
+            model, params, experts, tokens, mesh,
+            for_layer=ResidentProvider.for_layer,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
