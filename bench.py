@@ -753,6 +753,9 @@ def bench_nllb_offload(args):
     # ~420 slots at the default budget hold the entire decode-phase hot
     # set (6 decoder MoE layers x <=64 routed experts at B=32).
     if args.moe_impl == "gather":
+        print("[bench] nllb-offload: moe_impl gather -> pallas (the gather "
+              "path gathers whole 33.5M-param matrices per route and blows "
+              "HBM at this geometry)", file=sys.stderr, flush=True)
         args.moe_impl = "pallas"
     D, F, E = spec.d_model, spec.encoder_ffn_dim, spec.num_experts
     n_enc_moe = sum(

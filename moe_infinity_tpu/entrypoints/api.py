@@ -287,10 +287,11 @@ class MoE:
         arr = np.atleast_2d(np.asarray(input_ids))
         # HF semantics: eos_token_id defaults from the model config
         # (big_modeling.py delegates to HF generate, which reads
-        # generation_config/eos_token_id; we mirror that here)
+        # generation_config/eos_token_id); list-valued eos (multi-
+        # terminator checkpoints) stops on ANY member, like HF
         cfg_eos = getattr(self.hf_config, "eos_token_id", None)
-        if isinstance(cfg_eos, (list, tuple)):
-            cfg_eos = cfg_eos[0] if cfg_eos else None
+        if isinstance(cfg_eos, (list, tuple)) and not cfg_eos:
+            cfg_eos = None
         kwargs.setdefault("eos_token_id", cfg_eos)
         if (
             self.batcher is not None

@@ -162,7 +162,7 @@ class NllbModel:
         expert tiers are ~100 GB bf16; benches stream them quantized)."""
         s = self.spec
         expert_dtype = expert_dtype or self.dtype
-        D, F, E = s.d_model, s.encoder_ffn_dim, s.num_experts
+        D, E = s.d_model, s.num_experts
         keys = jax.random.split(
             key, 2 + s.encoder_layers + s.decoder_layers
         )
@@ -186,6 +186,7 @@ class NllbModel:
         experts: List[Dict[str, Any]] = []
 
         def block(k, i, decoder):
+            F = s.decoder_ffn_dim if decoder else s.encoder_ffn_dim
             ks = jax.random.split(k, 8)
             b: Dict[str, Any] = {
                 "self_attn": attn(ks[0]),

@@ -53,10 +53,11 @@ def ring_attention(
     Dv = v.shape[-1]  # may differ from Dh (MLA: keys [c|k_pe], values c)
     if scale is None:
         scale = Dh ** -0.5
+    # GQA/MLA: the ring rotates the UN-repeated kv blocks (ppermute bytes
+    # stay at Hkv heads — for MLA the latent itself rides the ring); heads
+    # broadcast per step inside the block compute, where XLA fuses the
+    # repeat into the einsum
     rep = H // Hkv
-    if rep > 1:
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
     qf = q.astype(jnp.float32) * scale
 
     idx = jax.lax.axis_index(axis_name)
@@ -74,8 +75,12 @@ def ring_attention(
         # after t forward hops, this device holds the block that
         # originated on device (idx - t) mod axis_size
         src = jax.lax.rem(idx - t + axis_size, axis_size)
+        k_t, v_t = cur_k, cur_v
+        if rep > 1:
+            k_t = jnp.repeat(k_t, rep, axis=2)
+            v_t = jnp.repeat(v_t, rep, axis=2)
         logits = jnp.einsum(
-            "bthd,bshd->bhts", qf, cur_k.astype(jnp.float32)
+            "bthd,bshd->bhts", qf, k_t.astype(jnp.float32)
         )
         k_pos = src * Tl + local
         if bias_fn is not None:
@@ -90,7 +95,7 @@ def ring_attention(
         p = jnp.exp(logits - safe_m[..., None])
         p = jnp.where(jnp.isfinite(logits), p, 0.0)  # masked block rows
         num = num * corr[..., None] + jnp.einsum(
-            "bhts,bshd->bhtd", p, cur_v.astype(jnp.float32)
+            "bhts,bshd->bhtd", p, v_t.astype(jnp.float32)
         )
         den = den * corr + p.sum(axis=-1)
         m = m_new

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from moe_infinity_tpu.runtime.generate import _bucket_len
+from moe_infinity_tpu.runtime.generate import eos_hit as _eos, _bucket_len
 
 
 @dataclass
@@ -167,7 +167,7 @@ class DynamicBatcher:
                 ngen[b] += 1
                 if (
                     r.eos_token_id is not None
-                    and tok_host[b] == r.eos_token_id
+                    and _eos(tok_host[b], r.eos_token_id)
                 ) or ngen[b] >= r.max_new_tokens:
                     done[b] = True
             if done.all() or step == max_new - 1:

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from moe_infinity_tpu.runtime.paged_kv import PageAllocator, PagedKVCache
+from moe_infinity_tpu.runtime.generate import eos_hit as _eos_hit
 from moe_infinity_tpu.runtime.sampling import (
     RowParams,
     reset_rows,
@@ -274,8 +275,15 @@ class ContinuousBatcher:
                     self._counts_full, self._counts_gen, jnp.asarray(keep)
                 )
             if req.sampling.logit_bias or self._bias_host[b].any():
+                from moe_infinity_tpu.runtime.sampling import (
+                    normalize_logit_bias,
+                )
+
+                # normalize here too: submit(sampling=RequestSampling(...))
+                # may carry a raw {token: bias} dict
+                bias = normalize_logit_bias(req.sampling.logit_bias) or ()
                 self._bias_host[b] = 0.0
-                for t, v in req.sampling.logit_bias or ():
+                for t, v in bias:
                     if 0 <= t < self._bias_host.shape[1]:
                         self._bias_host[b, t] = v
                 self._bias_dev = jnp.asarray(self._bias_host)
@@ -441,7 +449,7 @@ class ContinuousBatcher:
                         pass  # stream consumers must not stall decode
                 done = len(s.generated) >= s.req.max_new_tokens or (
                     s.req.eos_token_id is not None
-                    and tok == s.req.eos_token_id
+                    and _eos_hit(tok, s.req.eos_token_id)
                 )
                 if done:
                     self._finish(s)

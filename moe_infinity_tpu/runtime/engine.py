@@ -66,34 +66,43 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int):
     reference's per-miss cv.wait on the hot path
     (archer_prefetch_handle.cpp:83-121): no per-layer host sync at all."""
     held: set = set()
-    for replay in range(limit):
-        with arena.locked_tree() as tree:
-            slot_rows = jnp.asarray(
-                np.stack(
-                    [arena.slot_map(m) for m in range(arena.num_layers)]
+    try:
+        for replay in range(limit):
+            with arena.locked_tree() as tree:
+                slot_rows = jnp.asarray(
+                    np.stack(
+                        [arena.slot_map(m) for m in range(arena.num_layers)]
+                    )
                 )
-            )
-            *outs, trace = run(tree, slot_rows)
-        ids_np = np.asarray(trace)
-        keys = {
-            (mlis[j], int(e))
-            for j in range(ids_np.shape[0])
-            for e in np.unique(ids_np[j])
-        }
-        missing = [k for k in keys if not arena.is_resident(k)]
-        # re-protect exactly this run's working set (acquire protects all
-        # keys before any eviction, so releasing first is safe — no
-        # concurrent fetches outside acquire on this path)
+                # residency snapshot from the SAME lock scope as the
+                # dispatch: verification must judge the slot state the
+                # program actually consumed — a prefetch completing while
+                # the step runs must not make a stale execution accept
+                resident_at_dispatch = set(arena.key_to_slot)
+                *outs, trace = run(tree, slot_rows)
+            ids_np = np.asarray(trace)
+            keys = {
+                (mlis[j], int(e))
+                for j in range(ids_np.shape[0])
+                for e in np.unique(ids_np[j])
+            }
+            missing = [k for k in keys if k not in resident_at_dispatch]
+            # re-protect exactly this run's working set (acquire protects
+            # all keys before any eviction, so releasing first is safe —
+            # no concurrent fetches outside acquire on this path)
+            if held:
+                arena.release(sorted(held))
+                held = set()
+            arena.acquire(sorted(keys), mlis[-1] if mlis else 0)
+            held = keys
+            if not missing:
+                return outs, ids_np, replay + 1
+        raise RuntimeError(
+            f"speculative execution did not converge in {limit} replays"
+        )
+    finally:
         if held:
             arena.release(sorted(held))
-        arena.acquire(sorted(keys), mlis[-1] if mlis else 0)
-        held = keys
-        if not missing:
-            arena.release(sorted(held))
-            return outs, ids_np, replay + 1
-    raise RuntimeError(
-        f"speculative execution did not converge in {limit} replays"
-    )
 
 
 class OffloadEngine:

@@ -31,7 +31,11 @@ from moe_infinity_tpu.memory.prefetch_plan import (
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
 from moe_infinity_tpu.runtime.engine import _split_arena_tree
-from moe_infinity_tpu.runtime.generate import GenerationResult, _bucket_len
+from moe_infinity_tpu.runtime.generate import (
+    GenerationResult,
+    _bucket_len,
+    eos_hit,
+)
 
 
 class Seq2SeqOffloadEngine:
@@ -307,7 +311,7 @@ class Seq2SeqOffloadEngine:
                 out[~finished, step + 1] = nxt[~finished]
                 num_gen[~finished] += 1
                 if eos_token_id is not None:
-                    finished |= nxt == eos_token_id
+                    finished |= eos_hit(nxt, eos_token_id)
                     if finished.all():
                         break
                 cur_tok = jnp.asarray(nxt[:, None], jnp.int32)
@@ -344,7 +348,7 @@ class Seq2SeqOffloadEngine:
             out[~finished, step + 1] = nxt[~finished]
             num_gen[~finished] += 1
             if eos_token_id is not None:
-                finished |= nxt == eos_token_id
+                finished |= eos_hit(nxt, eos_token_id)
                 if finished.all():
                     break
             cur_tok = jnp.asarray(nxt[:, None], jnp.int32)

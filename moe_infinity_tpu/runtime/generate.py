@@ -27,6 +27,16 @@ from moe_infinity_tpu.runtime.sampling import (
 )
 
 
+def eos_hit(tok, eos_token_id):
+    """HF semantics: eos_token_id may be an int or a list/tuple of ints
+    (multi-terminator checkpoints); element-wise membership for arrays."""
+    import numpy as _np
+
+    if isinstance(eos_token_id, (list, tuple)):
+        return _np.isin(tok, _np.asarray(eos_token_id))
+    return tok == eos_token_id
+
+
 def _bucket_len(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
     for b in buckets:
         if n <= b:
@@ -257,7 +267,7 @@ class Seq2SeqGenerator:
             out[~finished, step + 1] = tok_host[~finished]
             num_gen[~finished] += 1
             if eos_token_id is not None:
-                finished |= tok_host == eos_token_id
+                finished |= eos_hit(tok_host, eos_token_id)
                 if finished.all():
                     break
             cur_tok = jnp.asarray(tok_host[:, None], jnp.int32)
@@ -450,7 +460,7 @@ class Generator:
             out[~finished, cur] = tok_host[~finished]
             num_gen[~finished] += 1
             if eos_token_id is not None:
-                finished |= tok_host == eos_token_id
+                finished |= eos_hit(tok_host, eos_token_id)
                 if finished.all():
                     cur += 1
                     break

@@ -151,10 +151,15 @@ def process_logits(
     """Full HF processor/warper chain on raw [B, V] logits."""
     if params.logit_bias:
         # applied to raw logits first (OpenAI: "added to the logits prior
-        # to sampling"); affects greedy argmax too
-        idx = jnp.asarray([t for t, _ in params.logit_bias], jnp.int32)
-        val = jnp.asarray([v for _, v in params.logit_bias], logits.dtype)
-        logits = logits.at[..., idx].add(val)
+        # to sampling"); affects greedy argmax too. Out-of-vocab ids are
+        # dropped at trace time (JAX scatter would clamp/wrap them onto
+        # real tokens); matches the continuous batcher's guard
+        V = logits.shape[-1]
+        items = [(t, v) for t, v in params.logit_bias if 0 <= t < V]
+        if items:
+            idx = jnp.asarray([t for t, _ in items], jnp.int32)
+            val = jnp.asarray([v for _, v in items], logits.dtype)
+            logits = logits.at[..., idx].add(val)
     if params.needs_full_counts:
         logits = apply_repetition_penalty(
             logits, state.counts_full, params.repetition_penalty

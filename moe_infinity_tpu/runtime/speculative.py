@@ -25,7 +25,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from moe_infinity_tpu.runtime.generate import GenerationResult, _bucket_len
+from moe_infinity_tpu.runtime.generate import eos_hit, GenerationResult, _bucket_len
 
 
 def ngram_draft(
@@ -99,7 +99,7 @@ class SpeculativeDecoder:
         generated = [first]
         accepted_hist = []
         cur = T + 1  # tokens whose K/V is final
-        done = eos_token_id is not None and first == eos_token_id
+        done = eos_token_id is not None and bool(eos_hit(first, eos_token_id))
         while not done and len(generated) < max_new_tokens:
             draft = ngram_draft(
                 np.asarray(context), self.k, self.max_ngram
@@ -125,7 +125,7 @@ class SpeculativeDecoder:
                     break
                 generated.append(int(t))
                 context.append(int(t))
-                if eos_token_id is not None and t == eos_token_id:
+                if eos_token_id is not None and eos_hit(t, eos_token_id):
                     done = True
                     break
             # K/V is valid through the last *input* column that produced an

@@ -420,3 +420,23 @@ def test_moe_facade_speculative_decode(tiny_ckpt):
         assert engine.engine.replay_counts
     finally:
         engine.shutdown()
+
+
+def test_generate_stops_on_any_of_multiple_eos(tiny_ckpt, tmp_path):
+    """List-valued eos_token_id (multi-terminator checkpoints): generation
+    stops when ANY member appears, matching HF."""
+    path, hf = tiny_ckpt
+    import copy
+
+    biased = copy.deepcopy(hf)
+    with torch.no_grad():
+        biased.lm_head.weight[100] += 100.0  # token 100 always wins greedy
+    ckpt = tmp_path / "meos_ckpt"
+    biased.save_pretrained(ckpt, safe_serialization=True)
+    engine = MoE(str(ckpt), {"expert_dtype": "float32", "max_seq_len": 64})
+    prompt = np.array([[5, 9, 33]])
+    out = engine.generate(
+        prompt, max_new_tokens=8, eos_token_id=[99, 100]
+    )
+    assert out.shape[1] == prompt.shape[1] + 1  # stopped at first token
+    assert out[0, -1] == 100
