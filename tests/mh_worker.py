@@ -88,6 +88,40 @@ got = jax.jit(
 local = np.asarray(got.addressable_shards[0].data)
 np.testing.assert_allclose(local, want, rtol=1e-5, atol=1e-5)
 
+# cross-process ring attention: the `seq` axis spans both processes, so
+# the ppermute hops cross the process boundary (DCN on a real multi-slice)
+from moe_infinity_tpu.models.layers import attend  # noqa: E402
+from moe_infinity_tpu.ops.ring_attention import ring_attend  # noqa: E402
+
+mesh_sp = global_mesh(MeshPlan(seq=4 * nprocs))
+B, Ts, H, Dh = 2, 16, 4, 8
+q = rng.standard_normal((B, Ts, H, Dh)).astype(np.float32)
+kk = rng.standard_normal((B, Ts, H, Dh)).astype(np.float32)
+vv = rng.standard_normal((B, Ts, H, Dh)).astype(np.float32)
+positions = np.broadcast_to(np.arange(Ts, dtype=np.int32), (B, Ts))
+want_attn = np.asarray(
+    attend(
+        jnp.asarray(q), jnp.asarray(kk), jnp.asarray(vv),
+        jnp.asarray(positions), jnp.int32(Ts),
+    )
+)
+
+
+def make_sp(arr, spec):
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh_sp, spec), lambda idx: arr[idx]
+    )
+
+
+tspec = P(None, "seq", None, None)
+got_attn = ring_attend(
+    make_sp(q, tspec), make_sp(kk, tspec), make_sp(vv, tspec), mesh_sp
+)
+for sh in got_attn.addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(sh.data), want_attn[sh.index], rtol=2e-5, atol=2e-5
+    )
+
 # pod-wide prefetch-hint consensus over the jax.distributed KV store
 hints = PrefetchHints(namespace="mh_test")
 if pid == 0:
