@@ -150,6 +150,10 @@ def bench_mixtral_offload(args):
         # large experts + constrained interconnect: cap the prefetch plan so
         # speculative uploads don't starve on-demand fetches
         prefetch_budget=4,
+        # whole-step decode: one compiled program per token instead of
+        # 2 jits + 1 host sync per LAYER per token (the per-layer path is
+        # dispatch-bound through the measurement relay)
+        speculative=True,
     )
     gen = Generator(stepper=engine, max_seq_len=256)
 
