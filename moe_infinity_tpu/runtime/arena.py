@@ -286,6 +286,11 @@ class ExpertArena:
                 self.policy.record_visit(key, hit=hit)
                 if hit:
                     continue
+                # a fresh fetch supersedes any error a PREVIOUS failed
+                # acquire left for this key (e.g. exhaustion while a
+                # speculative step over-protected; by now the protections
+                # are released and the retry can succeed)
+                self._errors.pop(key, None)
                 ev = self._in_flight.get(key)
                 if ev is None:
                     ev = threading.Event()

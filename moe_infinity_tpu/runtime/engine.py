@@ -39,6 +39,9 @@ from moe_infinity_tpu.memory.prefetch_plan import (
 )
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("engine")
 
 _BIAS_KEYS = ("gate_bias", "down_bias")
 
@@ -92,9 +95,10 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int):
             # no concurrent fetches outside acquire on this path)
             if held:
                 arena.release(sorted(held))
-                held = set()
-            arena.acquire(sorted(keys), mlis[-1] if mlis else 0)
+            # reassign BEFORE acquire: it protects keys before fetching,
+            # so a fetch failure must still release them via the finally
             held = keys
+            arena.acquire(sorted(keys), mlis[-1] if mlis else 0)
             if not missing:
                 return outs, ids_np, replay + 1
         raise RuntimeError(
@@ -235,12 +239,23 @@ class OffloadEngine:
                 return logits, new_kvs, t_w, t_ids
 
             limit = self.max_replays or (len(self._moe_lis) + 2)
-            (logits, new_kvs, t_w), ids_np, execs = run_speculative(
-                arena, self._moe_lis, run, limit
-            )
-            self.replay_counts.append(execs)
-            self._spec_trace_and_prefetch(ids_np, self._moe_lis, seq_ids)
-            return logits, new_kvs, (jnp.asarray(ids_np), t_w)
+            try:
+                (logits, new_kvs, t_w), ids_np, execs = run_speculative(
+                    arena, self._moe_lis, run, limit
+                )
+            except RuntimeError as e:
+                # arena can't hold this step's expert union (or replays
+                # didn't converge): fall back to the exact per-layer path
+                # permanently rather than failing the request
+                logger.warning(
+                    "speculative decode disabled (%s); falling back to the "
+                    "per-layer path", e,
+                )
+                self.speculative = False
+            else:
+                self.replay_counts.append(execs)
+                self._spec_trace_and_prefetch(ids_np, self._moe_lis, seq_ids)
+                return logits, new_kvs, (jnp.asarray(ids_np), t_w)
         x = self._embed(params, tokens)
         trace_ids, trace_w = [], []
         self._last_layer_t = None  # don't count inter-step host gaps

@@ -31,6 +31,9 @@ from moe_infinity_tpu.memory.prefetch_plan import (
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
 from moe_infinity_tpu.runtime.engine import _split_arena_tree
+from moe_infinity_tpu.utils.logger import get_logger
+
+_log = get_logger("engine_seq2seq")
 from moe_infinity_tpu.runtime.generate import (
     GenerationResult,
     _bucket_len,
@@ -319,10 +322,22 @@ class Seq2SeqOffloadEngine:
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
             if self.speculative:
-                logits, kvs = self._speculative_step(
-                    params, cur_tok, positions, step, kvs, mask, cross,
-                    dec_mlis, seq_ids,
-                )
+                try:
+                    logits, kvs = self._speculative_step(
+                        params, cur_tok, positions, step, kvs, mask, cross,
+                        dec_mlis, seq_ids,
+                    )
+                except RuntimeError as e:
+                    # arena can't hold the step's expert union (or replays
+                    # didn't converge): permanent fallback to the exact
+                    # per-layer path below
+                    _log.warning(
+                        "speculative decode disabled (%s); falling back to "
+                        "the per-layer path", e,
+                    )
+                    self.speculative = False
+                    logits = None
+            if self.speculative and logits is not None:
                 if sstate is None:
                     sstate = sampler.init(
                         B, logits.shape[-1],

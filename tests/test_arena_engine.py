@@ -286,3 +286,29 @@ def test_speculative_with_prefetch_matches(tiny_mixtral):
         assert s.get("prefetched", s.get("prefetches", 0)) >= 0  # counters live
     finally:
         arena.shutdown()
+
+
+def test_speculative_falls_back_when_union_exceeds_arena(tiny_mixtral):
+    """An arena smaller than one step's expert union can't satisfy the
+    replay protocol: the engine must disable speculation and finish the
+    request exactly on the per-layer path."""
+    cfg, model, params, store_dir = tiny_mixtral
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Generator(
+        model, params, provider.pytree(), ResidentProvider.for_layer,
+        max_seq_len=64,
+    )
+    # E=8 slots (engine minimum) < 3 layers x 4 routed at B=2
+    arena = make_arena(store_dir, E)
+    engine = OffloadEngine(
+        model, params, arena, prefetch=False, speculative=True,
+    )
+    try:
+        gen_off = Generator(stepper=engine, max_seq_len=64)
+        prompt = np.array([[5, 17, 31, 7], [9, 4, 2, 61]])
+        want = gen_res.generate(prompt, max_new_tokens=6).sequences
+        got = gen_off.generate(prompt, max_new_tokens=6).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.speculative is False  # fell back
+    finally:
+        arena.shutdown()
