@@ -33,12 +33,6 @@ logger = get_logger("api")
 _REGISTRY = {}
 
 
-def _norm_bias(logit_bias):
-    from moe_infinity_tpu.runtime.sampling import normalize_logit_bias
-
-    return normalize_logit_bias(logit_bias)
-
-
 def _register_models():
     import jax.numpy as jnp
 
@@ -300,6 +294,7 @@ class MoE:
             and not kwargs.get("collect_trace")
         ):
             from moe_infinity_tpu.runtime.continuous import RequestSampling
+            from moe_infinity_tpu.runtime.sampling import normalize_logit_bias
 
             do_sample = kwargs.get("do_sample")
             temp = kwargs.get("temperature", 1.0 if do_sample else 0.0)
@@ -311,7 +306,9 @@ class MoE:
                 eos_token_id=kwargs.get("eos_token_id"),
                 sampling=RequestSampling(
                     temperature=float(temp),
-                    logit_bias=_norm_bias(kwargs.get("logit_bias")),
+                    logit_bias=normalize_logit_bias(
+                        kwargs.get("logit_bias")
+                    ),
                     top_k=int(kwargs.get("top_k", 0) or 0),
                     top_p=float(kwargs.get("top_p", 1.0)),
                     min_p=float(kwargs.get("min_p", 0.0)),

@@ -109,6 +109,37 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int):
             arena.release(sorted(held))
 
 
+def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1):
+    """After an accepted speculative step: record the realized routing in
+    the EAMC tracer and (with prefetch on) warm the NEXT step's likely
+    experts — those fetches overlap the next step's compute, and the
+    dispatch-time residency snapshot keeps concurrently landing prefetches
+    from corrupting verification. plan_floor: plan_prefetch current_layer
+    (-1 = all MoE layers; seq2seq passes the first decoder layer - 1 since
+    the encoder never runs again)."""
+    if engine.tracer is None or not seq_ids:
+        return
+    score = None
+    for j, mli in enumerate(mlis):
+        for b, sid in enumerate(seq_ids):
+            row = ids_np[j, b].ravel()
+            if engine.prefetch:
+                score = engine.predictor.predict(sid, row, mli)
+            else:
+                engine.tracer.update_entry(sid, row, mli)
+    if score is None:
+        return
+    engine.arena.set_context(
+        mlis[-1], engine.tracer.get_entry_decoder(seq_ids[0]).matrix
+    )
+    orders = plan_prefetch(
+        score, plan_floor, lookahead=None, budget=engine._current_budget(),
+        is_resident=engine.arena.is_resident,
+    )
+    if orders:
+        engine.arena.prefetch(orders)
+
+
 class OffloadEngine:
     """Drives a layer-step-protocol model (pre_moe/apply_moe) against an
     ExpertArena. Implements the Stepper protocol used by runtime.generate."""
@@ -254,7 +285,7 @@ class OffloadEngine:
                 self.speculative = False
             else:
                 self.replay_counts.append(execs)
-                self._spec_trace_and_prefetch(ids_np, self._moe_lis, seq_ids)
+                spec_trace_and_prefetch(self, ids_np, self._moe_lis, seq_ids)
                 return logits, new_kvs, (jnp.asarray(ids_np), t_w)
         x = self._embed(params, tokens)
         trace_ids, trace_w = [], []
@@ -286,35 +317,6 @@ class OffloadEngine:
         return logits, kv_caches, (jnp.stack(trace_ids), jnp.stack(trace_w))
 
     # ---- policy glue -------------------------------------------------------
-    def _spec_trace_and_prefetch(self, ids_np, mlis, seq_ids) -> None:
-        """After an accepted speculative step: record the realized routing
-        and warm the NEXT step's likely experts — the fetches overlap the
-        next step's compute, and the dispatch-time residency snapshot
-        keeps concurrently landing prefetches from corrupting
-        verification."""
-        if self.tracer is None or not seq_ids:
-            return
-        score = None
-        for j, mli in enumerate(mlis):
-            for b, sid in enumerate(seq_ids):
-                if self.prefetch:
-                    score = self.predictor.predict(sid, ids_np[j, b], mli)
-                else:
-                    self.tracer.update_entry(sid, ids_np[j, b], mli)
-        if score is None:
-            return
-        self.arena.set_context(
-            mlis[-1], self.tracer.get_entry_decoder(seq_ids[0]).matrix
-        )
-        # whole-step mode: the next step revisits EVERY MoE layer, so the
-        # plan considers all layers (current_layer=-1, no lookahead cap)
-        orders = plan_prefetch(
-            score, -1, lookahead=None, budget=self._current_budget(),
-            is_resident=self.arena.is_resident,
-        )
-        if orders:
-            self.arena.prefetch(orders)
-
     def _trace_and_prefetch(
         self, ids_np: np.ndarray, mli: int, seq_ids: Optional[Sequence[str]]
     ) -> None:

@@ -30,15 +30,18 @@ from moe_infinity_tpu.memory.prefetch_plan import (
 )
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
-from moe_infinity_tpu.runtime.engine import _split_arena_tree
-from moe_infinity_tpu.utils.logger import get_logger
-
-_log = get_logger("engine_seq2seq")
+from moe_infinity_tpu.runtime.engine import (
+    _split_arena_tree,
+    spec_trace_and_prefetch,
+)
 from moe_infinity_tpu.runtime.generate import (
     GenerationResult,
     _bucket_len,
     eos_hit,
 )
+from moe_infinity_tpu.utils.logger import get_logger
+
+_log = get_logger("engine_seq2seq")
 
 
 class Seq2SeqOffloadEngine:
@@ -202,36 +205,12 @@ class Seq2SeqOffloadEngine:
             self.arena, dec_mlis, run, limit
         )
         self.replay_counts.append(execs)
-        # record realized routing; with prefetch, warm the NEXT step's
-        # likely experts (fetches overlap the next step's compute; the
-        # dispatch-time residency snapshot keeps landing prefetches from
-        # corrupting verification)
-        if self.tracer is not None and seq_ids:
-            score = None
-            for j, mli in enumerate(dec_mlis):
-                for b, sid in enumerate(seq_ids):
-                    if self.prefetch:
-                        score = self.predictor.predict(
-                            sid, ids_np[j, b].ravel(), mli
-                        )
-                    else:
-                        self.tracer.update_entry(
-                            sid, ids_np[j, b].ravel(), mli
-                        )
-            if score is not None:
-                self.arena.set_context(
-                    dec_mlis[-1],
-                    self.tracer.get_entry_decoder(seq_ids[0]).matrix,
-                )
-                # the next step revisits every DECODER MoE layer (the
-                # encoder never runs again): plan over decoder rows only
-                orders = plan_prefetch(
-                    score, dec_mlis[0] - 1, lookahead=None,
-                    budget=self._current_budget(),
-                    is_resident=self.arena.is_resident,
-                )
-                if orders:
-                    self.arena.prefetch(orders)
+        # record routing + warm the next step (decoder rows only: the
+        # encoder never runs again)
+        spec_trace_and_prefetch(
+            self, ids_np, dec_mlis, seq_ids,
+            plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
+        )
         return logits, new_kvs
 
     # ---- generation -------------------------------------------------------
@@ -321,6 +300,7 @@ class Seq2SeqOffloadEngine:
         ]
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
+            logits = None
             if self.speculative:
                 try:
                     logits, kvs = self._speculative_step(
@@ -336,45 +316,27 @@ class Seq2SeqOffloadEngine:
                         "the per-layer path", e,
                     )
                     self.speculative = False
-                    logits = None
-            if self.speculative and logits is not None:
-                if sstate is None:
-                    sstate = sampler.init(
-                        B, logits.shape[-1],
-                        prompt_ids=np.full((B, 1), start), seed=seed,
-                    )
-                sout, sstate = sampler(logits[:, -1, :], sstate)
-                if sp.logprobs > 0:
-                    lp_tok.append(np.asarray(sout.logprob))
-                    lp_top.append(np.asarray(sout.top_logprobs))
-                    lp_ids.append(np.asarray(sout.top_tokens))
-                nxt = np.asarray(sout.token).astype(np.int64)
-                out[~finished, step + 1] = nxt[~finished]
-                num_gen[~finished] += 1
-                if eos_token_id is not None:
-                    finished |= eos_hit(nxt, eos_token_id)
-                    if finished.all():
-                        break
-                cur_tok = jnp.asarray(nxt[:, None], jnp.int32)
-                continue
-            bias, cross_bias = self._dec_prelude(params, positions, cap, mask)
-            x = self._dec_embed(params, cur_tok, jnp.int32(step))
-            for i, b in enumerate(params["dec_blocks"]):
-                ck, cv = cross[i]
-                if s.is_sparse(i, True):
-                    x, h, cw, ids, kvs[i] = self._dec_sparse(
-                        b, x, kvs[i], positions, jnp.int32(step), bias,
-                        ck, cv, cross_bias,
-                    )
-                    x = self._moe(
-                        x, h, cw, ids, s.moe_layer_id(i, True), seq_ids
-                    )
-                else:
-                    x, kvs[i] = self._dec_dense(
-                        b, x, kvs[i], positions, jnp.int32(step), bias,
-                        ck, cv, cross_bias,
-                    )
-            logits = self._dec_final(params, x)
+            if logits is None:  # per-layer path
+                bias, cross_bias = self._dec_prelude(
+                    params, positions, cap, mask
+                )
+                x = self._dec_embed(params, cur_tok, jnp.int32(step))
+                for i, b in enumerate(params["dec_blocks"]):
+                    ck, cv = cross[i]
+                    if s.is_sparse(i, True):
+                        x, h, cw, ids, kvs[i] = self._dec_sparse(
+                            b, x, kvs[i], positions, jnp.int32(step), bias,
+                            ck, cv, cross_bias,
+                        )
+                        x = self._moe(
+                            x, h, cw, ids, s.moe_layer_id(i, True), seq_ids
+                        )
+                    else:
+                        x, kvs[i] = self._dec_dense(
+                            b, x, kvs[i], positions, jnp.int32(step), bias,
+                            ck, cv, cross_bias,
+                        )
+                logits = self._dec_final(params, x)
             if sstate is None:
                 sstate = sampler.init(
                     B, logits.shape[-1],
