@@ -134,6 +134,7 @@ class MoE:
             self.params = self.model.fold_mla_params(self.params)
 
         self.batcher = None
+        self.s2s_batcher = None
         # ---- residency budget ------------------------------------------
         expert_bytes_all = store.stride * store.num_layers * store.num_experts
         budget_all = config.device_memory_bytes
@@ -156,6 +157,17 @@ class MoE:
                     max_seq_len=config.max_seq_len,
                 )
                 self.engine = None
+                if config.max_batch_size > 1:
+                    from moe_infinity_tpu.runtime.batching import (
+                        Seq2SeqDynamicBatcher,
+                    )
+
+                    self.s2s_batcher = Seq2SeqDynamicBatcher(
+                        self.model, self.params, provider.pytree(),
+                        ResidentProvider.for_layer,
+                        max_batch_size=config.max_batch_size,
+                        max_seq_len=config.max_seq_len,
+                    )
             else:
                 from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
                 from moe_infinity_tpu.runtime.arena import ExpertArena
@@ -287,6 +299,24 @@ class MoE:
         if isinstance(cfg_eos, (list, tuple)) and not cfg_eos:
             cfg_eos = None
         kwargs.setdefault("eos_token_id", cfg_eos)
+        # seq2seq wave batcher: concurrent greedy requests share one
+        # batched encode + decode (the reference serves these models one
+        # request at a time)
+        if (
+            self.s2s_batcher is not None
+            and arr.shape[0] == 1
+            and not kwargs.get("logprobs")
+            and not kwargs.get("do_sample")
+            and float(kwargs.get("temperature", 0.0) or 0.0) == 0.0
+            and not kwargs.get("logit_bias")
+            and not kwargs.get("collect_trace")
+        ):
+            out = self.s2s_batcher.generate(
+                arr[0],
+                max_new_tokens=kwargs.get("max_new_tokens", 32),
+                eos_token_id=kwargs.get("eos_token_id"),
+            )
+            return out[None]
         if (
             self.batcher is not None
             and arr.shape[0] == 1
@@ -374,3 +404,5 @@ class MoE:
             self.engine.arena.shutdown()
         if getattr(self, "batcher", None) is not None:
             self.batcher.shutdown()
+        if getattr(self, "s2s_batcher", None) is not None:
+            self.s2s_batcher.shutdown()

@@ -183,3 +183,136 @@ class DynamicBatcher:
 
         for b, r in enumerate(wave):
             r.future.set_result(np.asarray(out[b], dtype=np.int64))
+
+
+@dataclass
+class _S2SRequest:
+    input_ids: np.ndarray  # [S] source tokens
+    max_new_tokens: int
+    eos_token_id: Optional[int]
+    future: Future = field(default_factory=Future)
+
+
+class Seq2SeqDynamicBatcher:
+    """Wave batching for encoder-decoder models (Switch / NLLB).
+
+    Concurrent translation/generation requests coalesce into one batched
+    encode + batched greedy decode: sources are RIGHT-padded with the
+    spec's pad token under an attention mask (NLLB's sinusoidal position
+    ids derive from the mask cumsum, so padding is position-transparent),
+    cross-attention K/V computes once per wave, and sequences finish
+    independently on EOS. The reference serves its seq2seq headliners
+    strictly one request at a time (api_server.py:276-277)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        experts,
+        for_layer: Callable,
+        *,
+        impl: str = "ragged",
+        max_batch_size: int = 8,
+        max_wait_s: float = 0.02,
+        max_seq_len: int = 512,
+    ):
+        self.model = model
+        self.params = params
+        self.experts = experts
+        self.max_batch_size = max_batch_size
+        self.max_wait_s = max_wait_s
+        self.max_seq_len = max_seq_len
+
+        self._encode = jax.jit(
+            lambda p, e, t, m: model.encode(p, e, t, m, for_layer, impl)
+        )
+        self._cross = jax.jit(model.cross_kv)
+        self._step = jax.jit(
+            lambda p, e, tok, pos, kvs, kv_len, enc_mask, cross:
+            model.decode_step(
+                p, e, tok, pos, kvs, kv_len, enc_mask, cross, for_layer,
+                impl,
+            ),
+            donate_argnums=(4,),
+        )
+        self._queue: "queue.Queue[_S2SRequest]" = queue.Queue()
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ---- client API ------------------------------------------------------
+    def submit(
+        self,
+        input_ids: np.ndarray,
+        max_new_tokens: int = 32,
+        eos_token_id: Optional[int] = None,
+    ) -> Future:
+        """Future resolves to the decoder ids [start, tok, ...] (the same
+        surface as Seq2SeqGenerator.generate sequences for one row)."""
+        req = _S2SRequest(
+            np.asarray(input_ids).reshape(-1), max_new_tokens, eos_token_id
+        )
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, input_ids, **kw) -> np.ndarray:
+        return self.submit(input_ids, **kw).result()
+
+    def shutdown(self):
+        self._shutdown = True
+        self._thread.join(timeout=5)
+
+    # ---- scheduler -------------------------------------------------------
+    _collect_wave = DynamicBatcher._collect_wave
+    _loop = DynamicBatcher._loop
+
+    def _run_wave(self, wave: Sequence[_S2SRequest]) -> None:
+        s = self.model.spec
+        B = len(wave)
+        lens = [len(r.input_ids) for r in wave]
+        S = min(self.max_seq_len, _bucket_len(max(lens)))
+        max_new = max(r.max_new_tokens for r in wave)
+        pad = getattr(s, "pad_token_id", 0)
+        tokens = np.full((B, S), pad, dtype=np.int64)
+        mask = np.zeros((B, S), dtype=np.float32)
+        for b, r in enumerate(wave):
+            tokens[b, : lens[b]] = r.input_ids[: S]
+            mask[b, : min(lens[b], S)] = 1.0
+
+        mask_j = jnp.asarray(mask)
+        enc = self._encode(
+            self.params, self.experts, jnp.asarray(tokens, jnp.int32), mask_j
+        )
+        cross = self._cross(self.params, enc)
+        cap = _bucket_len(max_new + 1)
+        kvs = self.model.init_cache(B, cap)
+        start = s.decoder_start_token_id
+        cur = jnp.full((B, 1), start, jnp.int32)
+        out = [[start] for _ in wave]
+        done = np.zeros(B, dtype=bool)
+        ngen = np.zeros(B, dtype=np.int64)
+        for step in range(max_new):
+            positions = jnp.full((B, 1), step, jnp.int32)
+            logits, kvs, _ = self._step(
+                self.params, self.experts, cur, positions, kvs,
+                jnp.int32(step), mask_j, cross,
+            )
+            tok_host = np.asarray(
+                jnp.argmax(logits[:, -1, :], axis=-1)
+            ).astype(np.int64)
+            for b, r in enumerate(wave):
+                if done[b]:
+                    continue
+                out[b].append(int(tok_host[b]))
+                ngen[b] += 1
+                if (
+                    r.eos_token_id is not None
+                    and _eos(tok_host[b], r.eos_token_id)
+                ) or ngen[b] >= r.max_new_tokens:
+                    done[b] = True
+            if done.all():
+                break
+            cur = jnp.asarray(tok_host[:, None], jnp.int32)
+
+        for b, r in enumerate(wave):
+            r.future.set_result(np.asarray(out[b], dtype=np.int64))

@@ -56,3 +56,80 @@ def test_eos_stops_per_sequence(setup):
     f = batcher.submit(p, max_new_tokens=8, eos_token_id=eos)
     got = f.result(timeout=120)
     np.testing.assert_array_equal(got, ref[:5])
+
+
+# ---- seq2seq wave batching ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def s2s_setup():
+    from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
+    from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
+
+    spec = NllbSpec(
+        vocab_size=96, d_model=32, num_heads=4, encoder_layers=2,
+        decoder_layers=2, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        encoder_sparse_step=2, decoder_sparse_step=2, num_experts=4,
+        pad_token_id=1, decoder_start_token_id=2, max_positions=64,
+        scale_embedding=True,
+    )
+    model = NllbModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(6))
+    gen = Seq2SeqGenerator(
+        model, params, experts, ResidentProvider.for_layer
+    )
+    return model, params, experts, gen
+
+
+def test_s2s_batched_matches_individual(s2s_setup):
+    """Ragged-length sources batched in one wave == serial generation
+    (right-padding under the mask is position-transparent)."""
+    from moe_infinity_tpu.runtime.batching import Seq2SeqDynamicBatcher
+
+    model, params, experts, gen = s2s_setup
+    batcher = Seq2SeqDynamicBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=4, max_wait_s=0.2,
+    )
+    try:
+        prompts = [
+            np.array([5, 31, 8, 77, 2]),
+            np.array([9, 4, 61]),
+            np.array([12, 3, 44, 7, 90, 15, 2]),
+        ]
+        wants = [
+            gen.generate(
+                p[None], max_new_tokens=6, eos_token_id=None
+            ).sequences[0]
+            for p in prompts
+        ]
+        futs = [
+            batcher.submit(p, max_new_tokens=6, eos_token_id=None)
+            for p in prompts
+        ]
+        for f, want in zip(futs, wants):
+            np.testing.assert_array_equal(f.result(timeout=120), want)
+    finally:
+        batcher.shutdown()
+
+
+def test_s2s_eos_stops_per_request(s2s_setup):
+    from moe_infinity_tpu.runtime.batching import Seq2SeqDynamicBatcher
+
+    model, params, experts, gen = s2s_setup
+    # learn what each prompt greedily emits, then stop one row on its
+    # first generated token while the other runs to its budget
+    p1, p2 = np.array([5, 31, 8]), np.array([9, 4, 61, 7])
+    g1 = gen.generate(p1[None], max_new_tokens=5, eos_token_id=None).sequences[0]
+    batcher = Seq2SeqDynamicBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=2, max_wait_s=0.2,
+    )
+    try:
+        f1 = batcher.submit(p1, max_new_tokens=5, eos_token_id=int(g1[1]))
+        f2 = batcher.submit(p2, max_new_tokens=5, eos_token_id=None)
+        r1, r2 = f1.result(timeout=120), f2.result(timeout=120)
+        assert len(r1) == 2 and r1[1] == g1[1]  # stopped at its eos
+        assert len(r2) == 6  # ran to budget
+    finally:
+        batcher.shutdown()

@@ -61,3 +61,52 @@ def test_switch_through_facade(tmp_path):
     np.testing.assert_array_equal(got2[:, :n], want[:, :n])
     assert engine2.stats()["visits"] > 0
     engine2.shutdown()
+
+
+def test_switch_concurrent_wave_batching(tmp_path):
+    """max_batch_size > 1 on a seq2seq checkpoint activates the wave
+    batcher: concurrent greedy generate() calls batch into one encode +
+    decode and match HF exactly."""
+    import concurrent.futures as cf
+
+    cfg = SwitchTransformersConfig(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, num_experts=4, expert_capacity=8,
+        num_sparse_encoder_layers=1, num_sparse_decoder_layers=1,
+        relative_attention_num_buckets=8, relative_attention_max_distance=16,
+        dropout_rate=0.0, router_jitter_noise=0.0, decoder_start_token_id=0,
+        eos_token_id=1, pad_token_id=0, torch_dtype=torch.float32,
+        architectures=["SwitchTransformersForConditionalGeneration"],
+    )
+    torch.manual_seed(5)
+    hf = SwitchTransformersForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    engine = MoE(str(ckpt), {"expert_dtype": "float32", "max_batch_size": 4})
+    assert engine.s2s_batcher is not None
+    try:
+        prompts = [
+            np.array([[5, 31, 8, 77]]),
+            np.array([[9, 4, 61]]),
+            np.array([[12, 3, 44, 7, 90]]),
+        ]
+        wants = []
+        for p in prompts:
+            with torch.no_grad():
+                wants.append(
+                    hf.generate(
+                        torch.tensor(p), max_new_tokens=6, do_sample=False
+                    ).numpy()
+                )
+        with cf.ThreadPoolExecutor(3) as ex:
+            gots = list(
+                ex.map(
+                    lambda p: engine.generate(p, max_new_tokens=6), prompts
+                )
+            )
+        for got, want in zip(gots, wants):
+            n = min(got.shape[1], want.shape[1])
+            np.testing.assert_array_equal(got[:, :n], want[:, :n])
+    finally:
+        engine.shutdown()
