@@ -312,3 +312,69 @@ def test_speculative_falls_back_when_union_exceeds_arena(tiny_mixtral):
         assert engine.speculative is False  # fell back
     finally:
         arena.shutdown()
+
+
+def test_deepseek_speculative_decode_matches_resident(tmp_path):
+    """Speculative whole-step decode on the DeepSeek family: dense
+    first_k_dense layers + shared experts ride inside the same compiled
+    step; only the routed-moe trace drives verification."""
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+    from moe_infinity_tpu.store.blob import SyntheticStore
+
+    spec = DeepseekV2Spec(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_layers=3, num_heads=4,
+        kv_lora_rank=32, qk_nope_head_dim=32, qk_rope_head_dim=16,
+        v_head_dim=32, num_experts=8, top_k=2, n_shared_experts=1,
+        first_k_dense_replace=1, topk_method="greedy", n_group=None,
+        topk_group=None, routed_scaling_factor=1.0, rms_eps=1e-6,
+        rope_theta=10000.0, tie_embeddings=False, q_lora_rank=None,
+    )
+    model = DeepseekV2ModelJax(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(8))
+    gen_res = Generator(
+        model, params, experts, ResidentProvider.for_layer, max_seq_len=64
+    )
+
+    # a real store carrying the SAME expert values as the resident tree
+    # (2 MoE layers x 8 experts); speculative offload must match exactly
+    from moe_infinity_tpu.store.blob import ExpertStoreWriter, ExpertStore
+
+    D, F = spec.hidden_size, spec.moe_intermediate_size
+    fields = [
+        ("gate_proj.weight", (D, F), "float32"),
+        ("up_proj.weight", (D, F), "float32"),
+        ("down_proj.weight", (F, D), "float32"),
+    ]
+    store_dir = str(tmp_path / "store")
+    w = ExpertStoreWriter(
+        store_dir, 2, 8, fields, meta={"arch": "deepseek"}
+    )
+    for mli, lt in enumerate(experts["layers"]):
+        for e in range(8):
+            w.write_tensor(
+                mli, e, "gate_proj.weight", np.asarray(lt["gate"][e])
+            )
+            w.write_tensor(mli, e, "up_proj.weight", np.asarray(lt["up"][e]))
+            w.write_tensor(
+                mli, e, "down_proj.weight", np.asarray(lt["down"][e])
+            )
+    w.finalize()
+    arena = ExpertArena(
+        ExpertStore(store_dir), 8, compute_dtype=jnp.float32, num_threads=2
+    )
+    engine = OffloadEngine(
+        model, params, arena, prefetch=False, speculative=True,
+    )
+    try:
+        gen_off = Generator(stepper=engine, max_seq_len=64)
+        prompt = np.array([[5, 17, 31, 7]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = gen_off.generate(prompt, max_new_tokens=8).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.replay_counts
+    finally:
+        arena.shutdown()
