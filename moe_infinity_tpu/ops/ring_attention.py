@@ -41,6 +41,7 @@ def ring_attention(
     causal: bool = True,
     scale: Optional[float] = None,
     bias_fn=None,  # (q_pos [Tq], k_pos [Tk]) -> additive [.., H, Tq, Tk]
+    logit_softcap: Optional[float] = None,  # tanh cap (Grok)
 ) -> jax.Array:
     """Blockwise ring attention. MUST run inside shard_map with the inputs
     sharded over `axis_name` on their time axis. GQA handled by repeating
@@ -82,6 +83,8 @@ def ring_attention(
         logits = jnp.einsum(
             "bthd,bshd->bhts", qf, k_t.astype(jnp.float32)
         )
+        if logit_softcap is not None:
+            logits = jnp.tanh(logits / logit_softcap) * logit_softcap
         k_pos = src * Tl + local
         if bias_fn is not None:
             logits = logits + bias_fn(q_pos, k_pos).astype(jnp.float32)

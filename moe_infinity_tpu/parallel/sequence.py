@@ -15,12 +15,13 @@ continues on the standard path: `sp_prefill` returns per-layer K/V for the
 whole prompt (time-sharded), which `caches_from_sp` scatters into regular
 decode KV caches.
 
-Scope: models with the llama-style attention layout (q/k/v/o + rope +
-rms_norm) — the Mixtral family — and MLA models (DeepSeek V2/V3), whose
-absorbed-latent attention reduces to the SAME ring primitive: logits
-q·k = [q_lat | q_pe]·[c | k_pe] and values = c, so the latent cache
-itself rides the ring (10.7× fewer ring bytes than rotating
-materialized K/V heads).
+Scope: every decoder family — llama-style (Mixtral), MLA (DeepSeek
+V2/V3, whose absorbed-latent attention reduces to the SAME ring
+primitive: logits q·k = [q_lat | q_pe]·[c | k_pe] and values = c, so
+the latent cache itself rides the ring at a fraction of the bytes of
+materialized K/V heads), Grok (softcapped attention, post-attn/post-moe
+norms), and Arctic (parallel-residual MLP) — plus sp_encode for the
+seq2seq families (Switch/NLLB).
 """
 
 from __future__ import annotations
@@ -155,6 +156,91 @@ def sp_prefill(
             model.dtype
         )
 
+    arch = getattr(model, "arch", None)
+
+    def _qkv_ring(pl, h, positions, *, theta, scale=None, softcap=None):
+        """Shared q/k/v projection + rope + ring for llama-layout blocks."""
+        Tl = h.shape[1]
+        q = linear(h, pl["q"]).reshape(B, Tl, spec.num_heads, spec.head_dim)
+        k = linear(h, pl["k"]).reshape(
+            B, Tl, spec.num_kv_heads, spec.head_dim
+        )
+        v = linear(h, pl["v"]).reshape(
+            B, Tl, spec.num_kv_heads, spec.head_dim
+        )
+        cos, sin = rope_cos_sin(positions, spec.head_dim, theta)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = ring_attention(
+            q, k, v, axis_name=seq_axis, axis_size=s, causal=True,
+            scale=scale, logit_softcap=softcap,
+        )
+        return attn.reshape(B, Tl, -1), k.astype(model.dtype), v.astype(
+            model.dtype
+        )
+
+    def _router(pl, hn, normalize):
+        from moe_infinity_tpu.ops.moe import topk_router
+
+        Bq, Tl, _ = hn.shape
+        logits = linear(hn.astype(jnp.float32), pl["router"])
+        cw, ids, _ = topk_router(
+            logits.reshape(Bq * Tl, -1), spec.top_k, normalize=normalize
+        )
+        return cw.reshape(Bq, Tl, -1), ids.reshape(Bq, Tl, -1)
+
+    def _grok_layer(pl, x, positions, experts, li):
+        """Mirrors GrokModel.pre_moe/apply_moe (softcapped attention,
+        post-attn and post-moe norms, unnormalized top-k gelu experts)."""
+        h = rms_norm(x, pl["pre_attn"], spec.rms_eps)
+        a, k, v = _qkv_ring(
+            pl, h, positions, theta=10000.0,
+            scale=spec.attn_output_multiplier, softcap=spec.max_attn_value,
+        )
+        x = x + rms_norm(linear(a, pl["o"]), pl["post_attn"], spec.rms_eps)
+        hn = rms_norm(x, pl["pre_moe"], spec.rms_eps)
+        cw, ids = _router(pl, hn, normalize=False)
+        y = _grouped(pl, hn, cw, ids, experts, model.moe_layer_index(li),
+                     "gelu")
+        x = x + rms_norm(y, pl["post_moe"], spec.rms_eps)
+        return x, k, v
+
+    def _arctic_layer(pl, x, positions, experts, li):
+        """Mirrors ArcticModel pre_moe/apply_moe incl. the
+        parallel-residual MLP (MoE input taken pre-attention)."""
+        x_pre = x
+        h = rms_norm(x, pl["input_norm"], spec.rms_eps)
+        a, k, v = _qkv_ring(pl, h, positions, theta=spec.rope_theta)
+        x = x + linear(a, pl["o"])
+        mli = model.moe_layer_index(li)
+        if mli is None:
+            hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+            x = x + model._silu_mlp(
+                hn, pl["mlp_w1"], pl["mlp_w2"], pl["mlp_w3"]
+            )
+            return x, k, v
+        if spec.parallel_attn_mlp_res:
+            hr = rms_norm(x, pl["res_norm"], spec.rms_eps)
+            x = x + model._silu_mlp(
+                hr, pl["res_w1"], pl["res_w2"], pl["res_w3"]
+            )
+            hn = rms_norm(x_pre, pl["post_norm"], spec.rms_eps)
+        else:
+            hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+        cw, ids = _router(pl, hn, normalize=(spec.top_k > 1))
+        x = x + _grouped(pl, hn, cw, ids, experts, mli, "silu")
+        return x, k, v
+
+    def _grouped(pl, hn, cw, ids, experts, mli, act):
+        w, slot_map, biases = for_layer(experts, mli)
+        Bq, Tl, D = hn.shape
+        K = ids.shape[-1]
+        return grouped_ffn(
+            hn.reshape(Bq * Tl, D),
+            ids.reshape(Bq * Tl, K),
+            cw.reshape(Bq * Tl, K).astype(jnp.float32),
+            slot_map, w, act, biases=biases, impl=impl,
+        ).reshape(Bq, Tl, D)
+
     def local_fn(params, experts, tokens_loc):
         idx = jax.lax.axis_index(seq_axis)
         Tl = tokens_loc.shape[1]
@@ -165,16 +251,21 @@ def sp_prefill(
         ks, vs = [], []
         for li in range(spec.num_layers):
             pl = params["layers"][li]
-            layer = _mla_layer if is_mla else _llama_layer
-            x, k, v = layer(pl, x, positions)
-            hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
-            mli = model.moe_layer_index(li)
-            if mli is None:  # DeepSeek first_k_dense_replace layers
-                x = x + model._dense_mlp(
-                    hn, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]
-                )
+            if arch == "grok":
+                x, k, v = _grok_layer(pl, x, positions, experts, li)
+            elif arch == "arctic":
+                x, k, v = _arctic_layer(pl, x, positions, experts, li)
             else:
-                x = x + _moe_ffn(pl, hn, mli, experts)
+                layer = _mla_layer if is_mla else _llama_layer
+                x, k, v = layer(pl, x, positions)
+                hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+                mli = model.moe_layer_index(li)
+                if mli is None:  # DeepSeek first_k_dense_replace layers
+                    x = x + model._dense_mlp(
+                        hn, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]
+                    )
+                else:
+                    x = x + _moe_ffn(pl, hn, mli, experts)
             ks.append(k)
             vs.append(v)
         logits = model.head(params, x)

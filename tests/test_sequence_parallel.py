@@ -321,3 +321,48 @@ def test_sp_encode_switch_capacity_exact(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+# ---- Grok / Arctic families --------------------------------------------
+
+
+@pytest.mark.parametrize("family", ["grok", "arctic", "arctic_seq"])
+def test_sp_prefill_grok_arctic(rng, family):
+    """SP prefill for the remaining decoder families: Grok (softcapped
+    attention, post-attn/post-moe norms, unnormalized gelu experts) and
+    Arctic (parallel-residual MLP; also the sequential variant)."""
+    if family == "grok":
+        from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
+
+        spec = GrokSpec(
+            vocab_size=96, hidden_size=48, intermediate_size=64,
+            num_layers=2, num_heads=6, num_kv_heads=2, head_dim=8,
+            num_experts=4, top_k=2, rms_eps=1e-6,
+            embedding_multiplier_scale=1.0, output_multiplier_scale=1.0,
+            attn_output_multiplier=0.12, max_attn_value=30.0,
+        )
+        model = GrokModel(spec, compute_dtype=jnp.float32)
+    else:
+        from moe_infinity_tpu.models.arctic import ArcticModel, ArcticSpec
+
+        spec = ArcticSpec(
+            vocab_size=96, hidden_size=48, intermediate_size=64,
+            num_layers=2, num_heads=6, num_kv_heads=2, head_dim=8,
+            num_experts=4, top_k=2, rms_eps=1e-6, rope_theta=1e4,
+            moe_layer_frequency=1,
+            parallel_attn_mlp_res=(family == "arctic"),
+        )
+        model = ArcticModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(6))
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T = 2, 8
+    tokens = jnp.asarray(rng.integers(0, 96, (B, T)), jnp.int32)
+    want, _, _ = _reference_prefill(model, params, experts, tokens, T)
+    got, kvs = sp_prefill(
+        model, params, experts, tokens, mesh,
+        for_layer=ResidentProvider.for_layer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4
+    )
+    assert kvs[0].k.shape == (B, T, spec.num_kv_heads, spec.head_dim)
