@@ -53,6 +53,8 @@ def main():
     mesh = make_mesh(MeshPlan(seq=args.ring))
     print(f"mesh: {dict(mesh.shape)}")
 
+    if args.tokens < args.ring:
+        raise SystemExit(f"--tokens must be >= --ring ({args.ring})")
     T = args.tokens - args.tokens % args.ring
     tokens = jnp.asarray(
         (np.arange(T)[None] * 7) % spec.vocab_size, jnp.int32

@@ -310,6 +310,14 @@ class MoE:
             and float(kwargs.get("temperature", 0.0) or 0.0) == 0.0
             and not kwargs.get("logit_bias")
             and not kwargs.get("collect_trace")
+            # the wave batcher is plain batched greedy: any knob it does
+            # not implement routes to the full generator instead
+            and float(kwargs.get("repetition_penalty", 1.0)) == 1.0
+            and not kwargs.get("presence_penalty")
+            and not kwargs.get("frequency_penalty")
+            and kwargs.get("attention_mask") is None
+            and kwargs.get("decoder_start_token_id") is None
+            and arr.shape[1] <= self.config.max_seq_len
         ):
             out = self.s2s_batcher.generate(
                 arr[0],

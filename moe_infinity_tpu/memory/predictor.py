@@ -26,11 +26,22 @@ class ExpertPredictor:
         """Record this layer's routing and return predicted activation
         scores for layers >= layer_idx ([L, E] float32, zeros for the past)."""
         self.tracer.update_entry(seq_id, expert_ids, layer_idx)
+        return self.predict_from(seq_id, layer_idx)
+
+    def predict_from(self, seq_id: str, from_layer: int = 0) -> np.ndarray:
+        """Scoring only (no routing update): predicted activations for
+        layers >= from_layer from the sequence's current EAM. The
+        speculative whole-step decoder uses this with from_layer=0 (or the
+        first decoder layer) to warm the NEXT step across ALL its MoE
+        layers — predict()'s score zeroes everything below the layer just
+        recorded, which is right for within-step lookahead only."""
         current = self.tracer.get_entry(seq_id)
-        matrix = self.tracer.find_most_similar(current.matrix, layer_idx)
-        matrix[:layer_idx, :] = 0.0
+        matrix = self.tracer.find_most_similar(current.matrix, from_layer)
+        matrix[:from_layer, :] = 0.0
         L = self.num_layers
-        future = np.arange(layer_idx, L, dtype=np.float32)
-        decay = -(future - layer_idx) / (L + 1) + 1.0  # [L - layer_idx]
-        matrix[layer_idx:, :] = (matrix[layer_idx:, :] + 1e-8) * decay[:, None]
+        future = np.arange(from_layer, L, dtype=np.float32)
+        decay = -(future - from_layer) / (L + 1) + 1.0  # [L - from_layer]
+        matrix[from_layer:, :] = (
+            matrix[from_layer:, :] + 1e-8
+        ) * decay[:, None]
         return matrix

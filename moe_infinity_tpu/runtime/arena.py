@@ -313,9 +313,24 @@ class ExpertArena:
         for key, ev in events:
             if not ev.wait(timeout=300.0):
                 raise TimeoutError(f"expert fetch timed out for {key}")
-            err = self._errors.pop(key, None)
-            if err is not None:
-                raise err
+            # resolve under the lock: a concurrent acquire for the same key
+            # may have consumed our error and re-enqueued a fresh fetch —
+            # follow the new in-flight event instead of mis-reading the
+            # missing error as success
+            while True:
+                with self._lock:
+                    if key in self.key_to_slot:
+                        break
+                    err = self._errors.pop(key, None)
+                    nxt = self._in_flight.get(key)
+                if err is not None:
+                    raise err
+                if nxt is None:
+                    raise RuntimeError(
+                        f"expert fetch for {key} neither landed nor errored"
+                    )
+                if not nxt.wait(timeout=300.0):
+                    raise TimeoutError(f"expert fetch timed out for {key}")
 
     def release(self, keys: Sequence[Key]) -> None:
         with self._lock:

@@ -185,14 +185,6 @@ class DynamicBatcher:
             r.future.set_result(np.asarray(out[b], dtype=np.int64))
 
 
-@dataclass
-class _S2SRequest:
-    input_ids: np.ndarray  # [S] source tokens
-    max_new_tokens: int
-    eos_token_id: Optional[int]
-    future: Future = field(default_factory=Future)
-
-
 class Seq2SeqDynamicBatcher:
     """Wave batching for encoder-decoder models (Switch / NLLB).
 
@@ -213,7 +205,9 @@ class Seq2SeqDynamicBatcher:
         *,
         impl: str = "ragged",
         max_batch_size: int = 8,
-        max_wait_s: float = 0.02,
+        # small: a lone request pays this once per wave, so it must be
+        # negligible against a single decode step; bursts still coalesce
+        max_wait_s: float = 0.005,
         max_seq_len: int = 512,
     ):
         self.model = model
@@ -235,7 +229,7 @@ class Seq2SeqDynamicBatcher:
             ),
             donate_argnums=(4,),
         )
-        self._queue: "queue.Queue[_S2SRequest]" = queue.Queue()
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._shutdown = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -249,7 +243,7 @@ class Seq2SeqDynamicBatcher:
     ) -> Future:
         """Future resolves to the decoder ids [start, tok, ...] (the same
         surface as Seq2SeqGenerator.generate sequences for one row)."""
-        req = _S2SRequest(
+        req = _Request(
             np.asarray(input_ids).reshape(-1), max_new_tokens, eos_token_id
         )
         self._queue.put(req)
@@ -266,18 +260,23 @@ class Seq2SeqDynamicBatcher:
     _collect_wave = DynamicBatcher._collect_wave
     _loop = DynamicBatcher._loop
 
-    def _run_wave(self, wave: Sequence[_S2SRequest]) -> None:
+    def _run_wave(self, wave: Sequence[_Request]) -> None:
         s = self.model.spec
         B = len(wave)
         lens = [len(r.input_ids) for r in wave]
+        if max(lens) > self.max_seq_len:
+            raise ValueError(
+                f"source length {max(lens)} exceeds max_seq_len="
+                f"{self.max_seq_len}; the wave batcher never truncates"
+            )
         S = min(self.max_seq_len, _bucket_len(max(lens)))
         max_new = max(r.max_new_tokens for r in wave)
         pad = getattr(s, "pad_token_id", 0)
         tokens = np.full((B, S), pad, dtype=np.int64)
         mask = np.zeros((B, S), dtype=np.float32)
         for b, r in enumerate(wave):
-            tokens[b, : lens[b]] = r.input_ids[: S]
-            mask[b, : min(lens[b], S)] = 1.0
+            tokens[b, : lens[b]] = r.input_ids
+            mask[b, : lens[b]] = 1.0
 
         mask_j = jnp.asarray(mask)
         enc = self._encode(

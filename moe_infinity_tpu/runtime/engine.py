@@ -119,16 +119,17 @@ def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1):
     the encoder never runs again)."""
     if engine.tracer is None or not seq_ids:
         return
-    score = None
     for j, mli in enumerate(mlis):
         for b, sid in enumerate(seq_ids):
-            row = ids_np[j, b].ravel()
-            if engine.prefetch:
-                score = engine.predictor.predict(sid, row, mli)
-            else:
-                engine.tracer.update_entry(sid, row, mli)
-    if score is None:
+            engine.tracer.update_entry(sid, ids_np[j, b].ravel(), mli)
+    if not engine.prefetch:
         return
+    # score from the FIRST plannable layer, not the last recorded one:
+    # predict()'s within-step score zeroes every row below the layer just
+    # seen, which would leave nothing to warm for the next step
+    score = engine.predictor.predict_from(
+        seq_ids[0], from_layer=max(plan_floor + 1, 0)
+    )
     engine.arena.set_context(
         mlis[-1], engine.tracer.get_entry_decoder(seq_ids[0]).matrix
     )

@@ -282,8 +282,8 @@ def test_speculative_with_prefetch_matches(tiny_mixtral):
         got = gen_off.generate(prompt, max_new_tokens=10).sequences
         np.testing.assert_array_equal(got, want)
         assert engine.replay_counts
-        s = engine.stats()
-        assert s.get("prefetched", s.get("prefetches", 0)) >= 0  # counters live
+        # next-step warming actually issued prefetch orders
+        assert engine.stats()["prefetches"] > 0
     finally:
         arena.shutdown()
 
