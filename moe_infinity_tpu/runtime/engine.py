@@ -371,7 +371,13 @@ class OffloadEngine:
         return self.arena.policy.stats.hit_rate
 
     def stats(self) -> dict:
-        return self.arena.hit_stats()
+        out = self.arena.hit_stats()
+        if self.replay_counts:
+            out["speculative_steps"] = len(self.replay_counts)
+            out["mean_step_executions"] = round(
+                sum(self.replay_counts) / len(self.replay_counts), 4
+            )
+        return out
 
     def node_stats(self) -> dict:
         return self.arena.node_stats()

@@ -366,7 +366,13 @@ class Seq2SeqOffloadEngine:
         )
 
     def stats(self) -> dict:
-        return self.arena.hit_stats()
+        out = self.arena.hit_stats()
+        if self.replay_counts:
+            out["speculative_steps"] = len(self.replay_counts)
+            out["mean_step_executions"] = round(
+                sum(self.replay_counts) / len(self.replay_counts), 4
+            )
+        return out
 
     def node_stats(self) -> dict:
         return self.arena.node_stats()
