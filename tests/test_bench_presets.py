@@ -1,0 +1,63 @@
+"""CPU smoke tests for the bench presets' wiring (tiny geometry overrides).
+
+The real measurements run on the TPU; these guard the preset plumbing —
+synthetic stores, arena sizing, speculative engines, metric math — so a
+relay-side outage can't hide a broken preset until the driver's bench run.
+"""
+
+import sys
+import types
+
+import pytest
+
+
+def _args(**over):
+    base = dict(
+        preset="", tokens=4, prompt=4, layers=4, slots=0, hbm_gb=13.0,
+        threads=2, lookahead=2, policy="priority", arena_dtype="int4",
+        no_prefetch=False, batch=2, moe_impl="gather", fold_mla=False,
+        fuse_gateup=False,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+@pytest.fixture(scope="module")
+def bench():
+    sys.path.insert(0, "/root/repo")
+    import bench as bench_mod
+
+    return bench_mod
+
+
+def test_nllb_offload_preset_smoke(bench, monkeypatch):
+    """Full preset path at 4+4 layers, B=2: synthetic int4 store, arena
+    sized for the speculative union, speculative decode, differenced
+    throughput metric. Geometry shrunk (the real 256k-vocab head is far
+    too slow for one CPU core); the preset derives everything from the
+    spec dict, so the plumbing under test is identical."""
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "vocab_size", 512)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "d_model", 64)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_heads", 4)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "encoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "decoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_experts", 8)
+    # explicit ragged: the preset's pallas default can't run on the CPU
+    # backend (interpret-only); an explicit non-gather impl is honored
+    args = _args(slots=40, moe_impl="ragged")
+    out = bench.bench_nllb_offload(args)
+    assert out["metric"] == "nllb_moe_54b_offload_decode_throughput"
+    assert out["unit"] == "tokens/s"
+    assert out["arena_dtype"] == "int4"
+    assert out["hit_rate"] > 0
+    assert out["mean_step_executions"] is None or (
+        out["mean_step_executions"] >= 1.0
+    )
+
+
+def test_mixtral_offload_preset_smoke(bench):
+    args = _args(layers=2, tokens=3, slots=16, arena_dtype="int8")
+    out = bench.bench_mixtral_offload(args)
+    assert out["metric"] == "mixtral_8x7b_int8_offload_decode_latency"
+    assert out["value"] > 0
+    assert out["hit_rate"] > 0
