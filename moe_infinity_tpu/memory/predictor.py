@@ -5,6 +5,13 @@ Same math as the reference ExpertPredictor
 sequence's EAM, find the most-similar historical matrix, zero the past, and
 apply a linear layer-distance decay `-(x - l)/(L + 1) + 1` so nearer layers
 score higher. Output is a [L, E] score matrix over future layers.
+
+Beyond the reference: the next layer's row is sharpened with measured
+inter-layer expert AFFINITY — P(expert at l+1 | experts routed at l) from
+the tracer's transition counts (which the reference records via
+children_visit_cnt but never feeds back into prefetch; exploiting them is
+the core idea of arXiv:2401.08383). The blend keeps the row's magnitude so
+the global flat ranking across layers stays comparable.
 """
 
 from __future__ import annotations
@@ -15,10 +22,11 @@ from moe_infinity_tpu.memory.tracer import ExpertTracer
 
 
 class ExpertPredictor:
-    def __init__(self, tracer: ExpertTracer):
+    def __init__(self, tracer: ExpertTracer, affinity_weight: float = 0.5):
         self.tracer = tracer
         self.num_layers = tracer.num_layers
         self.num_experts = tracer.num_experts
+        self.affinity_weight = float(affinity_weight)
 
     def predict(
         self, seq_id: str, expert_ids: np.ndarray, layer_idx: int
@@ -26,7 +34,23 @@ class ExpertPredictor:
         """Record this layer's routing and return predicted activation
         scores for layers >= layer_idx ([L, E] float32, zeros for the past)."""
         self.tracer.update_entry(seq_id, expert_ids, layer_idx)
-        return self.predict_from(seq_id, layer_idx)
+        score = self.predict_from(seq_id, layer_idx)
+        w = self.affinity_weight
+        if w > 0 and layer_idx + 1 < self.num_layers:
+            t = self.tracer.transitions[layer_idx]  # [E, E] counts
+            rows = t[np.unique(np.asarray(expert_ids).reshape(-1))]
+            total = rows.sum()
+            if total > 0:
+                aff = rows.sum(axis=0) / total  # P(expert at l+1)
+                nr = score[layer_idx + 1]
+                # rescale the distribution to the row's magnitude so the
+                # blended row ranks comparably in the flat cross-layer sort
+                amax = aff.max()
+                scale = nr.max() if nr.max() > 0 else 1.0
+                score[layer_idx + 1] = (1.0 - w) * nr + w * (
+                    aff / (amax or 1.0)
+                ) * scale
+        return score
 
     def predict_from(self, seq_id: str, from_layer: int = 0) -> np.ndarray:
         """Scoring only (no routing update): predicted activations for

@@ -283,3 +283,34 @@ class TestTransitionTrace:
         tr2 = make_tracer()
         tr2.load_trace(p)
         assert tr2.get_trace()[0, 0, 1] == 1
+
+
+def test_affinity_sharpens_next_layer_prediction():
+    """Inter-layer transition counts feed prediction (the reference
+    records children_visit_cnt but never uses it): with an empty
+    similarity collection, the next layer's top predicted expert is the
+    one the transition statistics imply."""
+    from moe_infinity_tpu.memory.predictor import ExpertPredictor
+    from moe_infinity_tpu.memory.tracer import ExpertTracer
+
+    L, E = 3, 8
+    tracer = ExpertTracer(4, L, E)
+    # learned affinity: expert i at layer l -> expert (i + 1) % E at l+1
+    trans = np.zeros((L - 1, E, E), np.float32)
+    for l in range(L - 1):
+        for i in range(E):
+            trans[l, i, (i + 1) % E] = 50.0
+    tracer.set_trace(trans)
+
+    pred = ExpertPredictor(tracer, affinity_weight=0.5)
+    sid = tracer.create_entry()
+    score = pred.predict(sid, np.array([[3]]), 0)
+    assert int(np.argmax(score[1])) == 4  # affinity says 3 -> 4
+
+    # weight 0 disables the blend: uniform tiny scores, no sharpening
+    tracer2 = ExpertTracer(4, L, E)
+    tracer2.set_trace(trans)
+    pred0 = ExpertPredictor(tracer2, affinity_weight=0.0)
+    sid2 = tracer2.create_entry()
+    score0 = pred0.predict(sid2, np.array([[3]]), 0)
+    assert np.allclose(score0[1], score0[1][0])
