@@ -259,11 +259,14 @@ class MoE:
         )
 
         # continuous batching for concurrent serving: decoder-only models
-        # with pad_offsets support, resident plan, batch slots configured
+        # with pad_offsets support, batch slots configured. Resident plans
+        # feed the batcher the expert pytree; offload plans (with
+        # speculative_decode on) share the engine's arena — every batched
+        # step runs as one verified speculative program over the slots
         if (
-            self.engine is None
-            and config.max_batch_size > 1
+            config.max_batch_size > 1
             and "key_valid" in self.model.forward.__code__.co_varnames
+            and (self.engine is None or config.speculative_decode)
         ):
             from moe_infinity_tpu.runtime.continuous import ContinuousBatcher
 
@@ -273,15 +276,28 @@ class MoE:
                 (config.max_seq_len // page_size)
                 * (config.max_batch_size + 1),
             )
-            self.batcher = ContinuousBatcher(
-                self.model, self.params, provider.pytree(),
-                ResidentProvider.for_layer,
+            common = dict(
                 max_batch_size=config.max_batch_size,
                 page_size=page_size,
                 num_pages=pages,
                 max_cols=config.max_seq_len,
                 prefill_chunk=config.prefill_chunk,
+                impl=config.moe_impl,
             )
+            if self.engine is None:
+                self.batcher = ContinuousBatcher(
+                    self.model, self.params, provider.pytree(),
+                    ResidentProvider.for_layer, **common,
+                )
+            else:
+                self.batcher = ContinuousBatcher(
+                    self.model, self.params, None, None,
+                    arena=self.engine.arena,
+                    tracer=self.engine.tracer,
+                    predictor=self.engine.predictor,
+                    prefetch=config.prefetch,
+                    **common,
+                )
 
     # ---- generation -----------------------------------------------------
     def generate(self, input_ids, **kwargs) -> np.ndarray:
@@ -408,9 +424,10 @@ class MoE:
             self.engine.tracer.save_trace(path or self.config.trace_path)
 
     def shutdown(self) -> None:
-        if self.engine:
-            self.engine.arena.shutdown()
+        # batchers first: their scheduler threads may hold arena keys
         if getattr(self, "batcher", None) is not None:
             self.batcher.shutdown()
+        if self.engine:
+            self.engine.arena.shutdown()
         if getattr(self, "s2s_batcher", None) is not None:
             self.s2s_batcher.shutdown()

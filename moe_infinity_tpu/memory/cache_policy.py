@@ -79,7 +79,10 @@ class ExpertCachePolicy:
         self.num_encoder_layers = num_encoder_layers
         self.policy = policy
         self.resident: Dict[Key, ResidentInfo] = {}
-        self.protected_ondemand: Set[Key] = set()
+        # key -> refcount: two executors sharing one arena (e.g. the
+        # offload engine and the continuous batcher) may protect the same
+        # key; one releasing must not strip the other's protection
+        self.protected_ondemand: Dict[Key, int] = {}
         self.candidates: Set[Key] = set()  # prefetch-protected set
         self.frequency = np.zeros((num_layers, num_experts), dtype=np.float64)
         self.stats = CacheStats()
@@ -140,10 +143,14 @@ class ExpertCachePolicy:
 
     # ---- protection -------------------------------------------------------
     def protect(self, key: Key) -> None:
-        self.protected_ondemand.add(key)
+        self.protected_ondemand[key] = self.protected_ondemand.get(key, 0) + 1
 
     def unprotect(self, key: Key) -> None:
-        self.protected_ondemand.discard(key)
+        n = self.protected_ondemand.get(key, 0) - 1
+        if n > 0:
+            self.protected_ondemand[key] = n
+        else:
+            self.protected_ondemand.pop(key, None)
 
     def replace_candidates(self, keys: Iterable[Key]) -> None:
         """Swap the prefetch-protected set (reference
@@ -151,7 +158,7 @@ class ExpertCachePolicy:
         self.candidates = set(keys)
 
     def _protected(self) -> Set[Key]:
-        return self.protected_ondemand | self.candidates
+        return set(self.protected_ondemand) | self.candidates
 
     # ---- scoring ----------------------------------------------------------
     def _topo_score(self, current_layer: int) -> np.ndarray:

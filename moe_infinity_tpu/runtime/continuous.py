@@ -20,6 +20,15 @@ persistent decode batch mid-flight:
 The model must support `rope_positions`/`key_valid` (Mixtral and DeepSeek
 families do). Two jitted step programs serve the whole lifetime (width 1
 and width `prefill_chunk`); shapes never change after warmup.
+
+Offload mode (`arena=...`): the batch's experts live in an ExpertArena
+instead of a resident pytree, and every shared step runs SPECULATIVELY —
+one compiled program over the arena's current slot state, routed ids
+verified on the host, replayed after loading misses (runtime/engine.py's
+`run_speculative` protocol, pooled over the whole batch). Requires the
+arena to hold one step's UNION of routed experts across all MoE layers
+and batch rows. Accepted routing feeds the EAMC tracer per-request and
+warms the next step's experts via the predictor.
 """
 
 from __future__ import annotations
@@ -36,6 +45,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from moe_infinity_tpu.memory.prefetch_plan import plan_prefetch
+from moe_infinity_tpu.runtime.engine import _split_arena_tree, run_speculative
 from moe_infinity_tpu.runtime.paged_kv import PageAllocator, PagedKVCache
 from moe_infinity_tpu.runtime.generate import eos_hit as _eos_hit
 from moe_infinity_tpu.runtime.sampling import (
@@ -103,6 +114,7 @@ class _Slot:
     prompt_pos: int = 0  # next prompt token to feed
     generated: list = field(default_factory=list)
     active: bool = False
+    seq_id: Optional[str] = None  # EAMC tracer entry (offload mode)
 
     @property
     def prefilling(self) -> bool:
@@ -124,6 +136,12 @@ class ContinuousBatcher:
         max_cols: int = 256,
         prefill_chunk: int = 1,
         idle_sleep_s: float = 0.005,
+        arena=None,
+        tracer=None,
+        predictor=None,
+        prefetch: bool = True,
+        prefetch_budget: Optional[int] = None,
+        max_replays: Optional[int] = None,
     ):
         self.model = model
         self.B = max_batch_size
@@ -150,13 +168,49 @@ class ContinuousBatcher:
             for kv in probe
         ]
 
-        def fwd(params, experts, tokens, positions, kvs, kv_len,
-                rope_positions, key_valid):
-            return model.forward(
-                params, experts, tokens, positions, kvs, kv_len,
-                for_layer=for_layer, impl=impl,
-                rope_positions=rope_positions, key_valid=key_valid,
+        # ---- offload (speculative) mode ---------------------------------
+        self.arena = arena
+        self.tracer = tracer
+        self.predictor = predictor
+        self.prefetch = bool(prefetch and predictor is not None and arena)
+        self.max_replays = max_replays
+        self.replay_counts: list = []
+        if arena is not None:
+            if arena.num_slots < model.spec.num_experts:
+                raise ValueError(
+                    f"arena num_slots={arena.num_slots} < num_experts="
+                    f"{model.spec.num_experts}; speculative batched decode "
+                    "needs at least one full MoE layer of slots"
+                )
+            self._moe_lis = [
+                model.moe_layer_index(li)
+                for li in range(model.spec.num_layers)
+                if model.moe_layer_index(li) is not None
+            ]
+            self.prefetch_budget = prefetch_budget or max(
+                1, arena.num_slots // 2
             )
+
+            def fwd(params, tree, slot_rows, tokens, positions, kvs,
+                    kv_len, rope_positions, key_valid):
+                weights, biases = _split_arena_tree(tree)
+
+                def arena_layer(_experts, mli):
+                    return weights, slot_rows[mli], biases
+
+                return model.forward(
+                    params, None, tokens, positions, kvs, kv_len,
+                    for_layer=arena_layer, impl=impl,
+                    rope_positions=rope_positions, key_valid=key_valid,
+                )
+        else:
+            def fwd(params, experts, tokens, positions, kvs, kv_len,
+                    rope_positions, key_valid):
+                return model.forward(
+                    params, experts, tokens, positions, kvs, kv_len,
+                    for_layer=for_layer, impl=impl,
+                    rope_positions=rope_positions, key_valid=key_valid,
+                )
 
         self._params = params
         self._experts = experts
@@ -193,7 +247,10 @@ class ContinuousBatcher:
 
     def _program(self, width: int):
         if width not in self._fwd:
-            self._fwd[width] = jax.jit(self._fwd_raw, donate_argnums=(4,))
+            # resident mode donates the KV pools; speculative replays
+            # re-feed the SAME pre-step pools, so no donation in arena mode
+            donate = () if self.arena is not None else (4,)
+            self._fwd[width] = jax.jit(self._fwd_raw, donate_argnums=donate)
         return self._fwd[width]
 
     # ---- client API ------------------------------------------------------
@@ -236,6 +293,15 @@ class ContinuousBatcher:
         self._shutdown = True
         self._thread.join(timeout=5)
 
+    def stats(self) -> dict:
+        out = self.arena.hit_stats() if self.arena is not None else {}
+        if self.replay_counts:
+            out["speculative_steps"] = len(self.replay_counts)
+            out["mean_step_executions"] = round(
+                sum(self.replay_counts) / len(self.replay_counts), 4
+            )
+        return out
+
     # ---- scheduler -------------------------------------------------------
     def _admit(self) -> bool:
         """Seat queued requests into free slots. Returns True if any slot
@@ -266,6 +332,9 @@ class ContinuousBatcher:
             slot.prompt_pos = 0
             slot.generated = []
             slot.active = True
+            slot.seq_id = (
+                self.tracer.create_entry() if self.tracer is not None else None
+            )
             self._valid[b, :] = False
             self._logical[b] = 0
             if req.sampling.needs_counts:
@@ -292,6 +361,9 @@ class ContinuousBatcher:
     def _finish(self, slot: _Slot):
         req = slot.req
         self.alloc.release(id(req))
+        if slot.seq_id is not None:
+            self.tracer.finish_entry(slot.seq_id)
+            slot.seq_id = None
         req.future.set_result(
             np.concatenate(
                 [req.input_ids, np.asarray(slot.generated, dtype=np.int64)]
@@ -299,6 +371,52 @@ class ContinuousBatcher:
         )
         slot.req = None
         slot.active = False
+
+    def _fail_all(self, exc: BaseException):
+        """Abort every active request (speculative non-convergence or a
+        fetch failure): the scheduler thread must survive, futures must
+        not hang."""
+        for s in self._slots:
+            if not s.active:
+                continue
+            self.alloc.release(id(s.req))
+            if s.seq_id is not None:
+                self.tracer.finish_entry(s.seq_id)
+                s.seq_id = None
+            s.req.future.set_exception(exc)
+            s.req = None
+            s.active = False
+
+    def _spec_trace_and_prefetch(self, ids_np: np.ndarray, n_feed):
+        """After an accepted speculative step: record each row's realized
+        routing in its own EAMC entry (hole columns excluded — only the
+        first n_feed[b] columns carried real tokens) and warm the next
+        step's likely experts from the first active row's prediction."""
+        if self.tracer is None:
+            return
+        first_sid = None
+        for j, mli in enumerate(self._moe_lis):
+            for b, s in enumerate(self._slots):
+                if not s.active or s.seq_id is None or n_feed[b] == 0:
+                    continue
+                self.tracer.update_entry(
+                    s.seq_id, ids_np[j, b, : int(n_feed[b])].ravel(), mli
+                )
+                if first_sid is None:
+                    first_sid = s.seq_id
+        if not self.prefetch or first_sid is None:
+            return
+        score = self.predictor.predict_from(first_sid, from_layer=0)
+        self.arena.set_context(
+            self._moe_lis[-1],
+            self.tracer.get_entry_decoder(first_sid).matrix,
+        )
+        orders = plan_prefetch(
+            score, -1, lookahead=None, budget=self.prefetch_budget,
+            is_resident=self.arena.is_resident,
+        )
+        if orders:
+            self.arena.prefetch(orders)
 
     def _reset_if_idle(self):
         if not any(s.active for s in self._slots) and self._col > 0:
@@ -363,12 +481,36 @@ class ContinuousBatcher:
             positions = np.broadcast_to(
                 self._col + np.arange(W, dtype=np.int32), (self.B, W)
             )
-            logits, kvs, _ = self._program(W)(
-                self._params, self._experts, jnp.asarray(toks),
-                jnp.asarray(positions), kvs, jnp.int32(self._col),
-                jnp.asarray(rope_pos),
-                jnp.asarray(self._valid[:, : self.max_cols]),
-            )
+            toks_j = jnp.asarray(toks)
+            pos_j = jnp.asarray(positions)
+            rope_j = jnp.asarray(rope_pos)
+            valid_j = jnp.asarray(self._valid[:, : self.max_cols])
+            col_j = jnp.int32(self._col)
+            if self.arena is not None:
+                prog = self._program(W)
+
+                def run(tree, slot_rows):
+                    lg, new_kvs, (t_ids, _t_w) = prog(
+                        self._params, tree, slot_rows, toks_j, pos_j, kvs,
+                        col_j, rope_j, valid_j,
+                    )
+                    return lg, new_kvs, t_ids
+
+                limit = self.max_replays or (len(self._moe_lis) + 2)
+                try:
+                    (logits, kvs), ids_np, execs = run_speculative(
+                        self.arena, self._moe_lis, run, limit
+                    )
+                except (RuntimeError, TimeoutError) as e:
+                    self._fail_all(e)
+                    continue
+                self.replay_counts.append(execs)
+                self._spec_trace_and_prefetch(ids_np, n_feed)
+            else:
+                logits, kvs, _ = self._program(W)(
+                    self._params, self._experts, toks_j, pos_j, kvs,
+                    col_j, rope_j, valid_j,
+                )
             self._kvs = kvs
             active = [s for s in self._slots if s.active]
             needs_counts = any(s.req.sampling.needs_counts for s in active)

@@ -282,3 +282,87 @@ def test_continuous_grok_arctic(family):
         np.testing.assert_array_equal(f2.result(timeout=120), want2)
     finally:
         batcher.shutdown()
+
+class TestOffloadSpeculativeBatcher:
+    """Continuous batching over an ExpertArena: every shared step runs as
+    ONE speculative program over the arena's slots (verify + replay), so
+    concurrent serving works in the offload regime with zero per-layer
+    host sync. Output must match the resident generator exactly."""
+
+    @pytest.fixture(scope="class")
+    def offload_setup(self, tmp_path_factory):
+        import torch
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
+        from moe_infinity_tpu.runtime.arena import ExpertArena
+        from moe_infinity_tpu.store.blob import DenseArchive, ExpertStore
+        from moe_infinity_tpu.store.ingest import ingest_checkpoint
+
+        cfg = MixtralConfig(
+            hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=6, num_key_value_heads=2,
+            num_local_experts=8, num_experts_per_tok=2, vocab_size=160,
+            max_position_embeddings=128, torch_dtype=torch.float32,
+            architectures=["MixtralForCausalLM"],
+        )
+        torch.manual_seed(11)
+        hf = MixtralForCausalLM(cfg).eval()
+        ckpt = tmp_path_factory.mktemp("cbo") / "ckpt"
+        hf.save_pretrained(ckpt, safe_serialization=True)
+        store_dir = str(tmp_path_factory.mktemp("cbo") / "store")
+        ingest_checkpoint(
+            str(ckpt), store_dir, cfg,
+            expert_dtype="float32", dense_dtype="float32",
+        )
+        model = MixtralModel(
+            MixtralSpec.from_hf(cfg), compute_dtype=jnp.float32
+        )
+        params = model.load_params(DenseArchive(store_dir))
+        experts = ResidentProvider(
+            ExpertStore(store_dir), dtype=jnp.float32
+        ).pytree()
+        gen = Generator(
+            model, params, experts, ResidentProvider.for_layer,
+            max_seq_len=64,
+        )
+        # 13 slots of 16 (2 layers x 8 experts): a step's union (<= 12 =
+        # B*K*L) always fits, but residency churns between steps
+        arena = ExpertArena(
+            ExpertStore(store_dir), 13,
+            compute_dtype=jnp.float32, num_threads=2,
+        )
+        tracer = ExpertTracer(64, 2, 8)
+        batcher = ContinuousBatcher(
+            model, params, None, None,
+            arena=arena, tracer=tracer, predictor=ExpertPredictor(tracer),
+            max_batch_size=3, page_size=8, num_pages=48, max_cols=96,
+        )
+        yield gen, batcher, arena
+        batcher.shutdown()
+        arena.shutdown()
+
+    def test_staggered_offload_matches_resident(self, offload_setup):
+        gen, batcher, arena = offload_setup
+        p1 = np.array([5, 31, 8])
+        p2 = np.array([9, 3, 44, 6])
+        want1 = gen.generate(p1[None], max_new_tokens=8).sequences[0]
+        want2 = gen.generate(p2[None], max_new_tokens=6).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=8)
+        time.sleep(0.3)  # request 2 joins mid-decode
+        f2 = batcher.submit(p2, max_new_tokens=6)
+        np.testing.assert_array_equal(f1.result(timeout=180), want1)
+        np.testing.assert_array_equal(f2.result(timeout=180), want2)
+        assert batcher.replay_counts, "speculative path not exercised"
+        s = batcher.stats()
+        assert s["speculative_steps"] == len(batcher.replay_counts)
+
+    def test_offload_batcher_slot_reuse(self, offload_setup):
+        gen, batcher, arena = offload_setup
+        prompts = [np.array([7, 11]), np.array([13, 17, 19]),
+                   np.array([23]), np.array([29, 31]), np.array([37])]
+        futures = [batcher.submit(p, max_new_tokens=5) for p in prompts]
+        results = [f.result(timeout=180) for f in futures]
+        for p, got in zip(prompts, results):
+            want = gen.generate(p[None], max_new_tokens=5).sequences[0]
+            np.testing.assert_array_equal(got, want)

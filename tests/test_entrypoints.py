@@ -406,7 +406,8 @@ def test_moe_facade_speculative_decode(tiny_ckpt):
         path,
         {"expert_dtype": "float32", "max_seq_len": 64,
          "device_memory_bytes": 1, "num_slots": 8,
-         "speculative_decode": True, "prefetch": False},
+         "speculative_decode": True, "prefetch": False,
+         "max_batch_size": 1},  # pin the engine path (no pooled batcher)
     )
     try:
         assert engine.engine is not None and engine.engine.speculative
@@ -418,6 +419,43 @@ def test_moe_facade_speculative_decode(tiny_ckpt):
         ).numpy()
         np.testing.assert_array_equal(got, want)
         assert engine.engine.replay_counts
+    finally:
+        engine.shutdown()
+
+
+def test_moe_facade_offload_pooled_batcher(tiny_ckpt):
+    """speculative_decode + max_batch_size > 1 through the offload plan:
+    the facade wires the continuous batcher to the engine's arena; pooled
+    speculative steps match HF greedy exactly for concurrent requests."""
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64,
+         "device_memory_bytes": 1, "num_slots": 8,
+         "speculative_decode": True, "prefetch": False,
+         "max_batch_size": 2},
+    )
+    try:
+        assert engine.engine is not None and engine.batcher is not None
+        assert engine.batcher.arena is engine.engine.arena
+        p1 = np.array([[5, 9, 33]])
+        p2 = np.array([[7, 2]])
+        want1 = hf.generate(
+            torch.tensor(p1), max_new_tokens=5, do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+        want2 = hf.generate(
+            torch.tensor(p2), max_new_tokens=4, do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            g1 = ex.submit(engine.generate, p1, max_new_tokens=5)
+            g2 = ex.submit(engine.generate, p2, max_new_tokens=4)
+            np.testing.assert_array_equal(g1.result(), want1)
+            np.testing.assert_array_equal(g2.result(), want2)
+        assert engine.batcher.replay_counts
     finally:
         engine.shutdown()
 
