@@ -69,7 +69,8 @@ def main():
         f"{time.perf_counter() - t0:.2f}s, logits {logits.shape}"
     )
 
-    # decode continues on the standard single-program path
+    # Path A (prompt fits one device after all): gather the SP caches and
+    # decode on the standard single-program path
     cap = T + args.decode
     kvs = caches_from_sp(sp_kvs, cap)
     cur = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
@@ -82,7 +83,25 @@ def main():
         )
         cur = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)[:, None]
         out.append(int(cur[0, 0]))
-    print(f"decode continuation from SP caches: {out}")
+    print(f"decode continuation from gathered SP caches: {out}")
+
+    # Path B (prompt does NOT fit one device — the point of SP): the
+    # prefill K/V stays sharded in place; each decode step merges the
+    # per-shard flash partials with two tiny collectives. Same tokens.
+    from moe_infinity_tpu.parallel import SPDecoder
+
+    dec = SPDecoder(
+        model, params, experts, mesh,
+        for_layer=ResidentProvider.for_layer, tail_cap=args.decode,
+    )
+    t0 = time.perf_counter()
+    seq = dec.generate(np.asarray(tokens), max_new_tokens=args.decode)
+    sp_out = [int(t) for t in seq[T : T + len(out)]]
+    print(
+        f"SP decode over frozen shards ({time.perf_counter() - t0:.2f}s "
+        f"incl. its own prefill): {sp_out}"
+    )
+    assert sp_out == out, "SP decode must match the gathered-cache path"
 
 
 if __name__ == "__main__":

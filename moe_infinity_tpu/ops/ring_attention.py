@@ -110,6 +110,70 @@ def ring_attention(
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
+def _flash_partial(qf, k, v, valid, softcap):
+    """Online-softmax partial over one K/V block. qf [B, H, Tq, Dh] f32
+    pre-scaled; k/v [B, S, Hkv, D*]; valid optional [S] bool. Returns
+    (m [B,H,Tq], num [B,H,Tq,Dv], den [B,H,Tq]) — a mergeable triple."""
+    rep = qf.shape[1] // k.shape[2]
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bhtd,bshd->bhts", qf, k.astype(jnp.float32))
+    if softcap is not None:
+        logits = jnp.tanh(logits / softcap) * softcap
+    if valid is not None:
+        logits = jnp.where(valid[None, None, None, :], logits, _NEG)
+    m = logits.max(axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    p = jnp.where(logits > _NEG / 2, p, 0.0)  # zero masked columns
+    num = jnp.einsum("bhts,bshd->bhtd", p, v.astype(jnp.float32))
+    return m, num, p.sum(axis=-1)
+
+
+def sp_decode_attention(
+    q: jax.Array,  # [B, 1, H, Dh] replicated query (rope applied)
+    k_shard: jax.Array,  # [B, Ts, Hkv, Dh] local FROZEN prefill shard
+    v_shard: jax.Array,  # [B, Ts, Hkv, Dv]
+    tail_k: jax.Array,  # [B, C, Hkv, Dh] replicated decode tail
+    tail_v: jax.Array,  # [B, C, Hkv, Dv]
+    tail_len: jax.Array,  # scalar int32: valid tail columns
+    *,
+    axis_name: str,
+    scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    """Distributed flash decoding over a sequence-sharded cache.
+
+    Long-context DECODE counterpart of `ring_attention` (which serves
+    prefill): the prompt's K/V stays sharded over `axis_name` — frozen,
+    every column valid — while generated tokens live in a small
+    replicated tail. Each device computes the flash partial over its own
+    shard; the partials merge with TWO tiny collectives (pmax of the
+    running max, psum of the rescaled numerator/denominator — bytes are
+    O(B·H·Dv), independent of context length). The tail partial is
+    computed identically on every device and folded in after the psum,
+    so the result is replicated. No ring rotation: a decode step moves
+    no K/V bytes across the ICI at all.
+
+    MUST run inside shard_map. Returns [B, 1, H, Dv] replicated."""
+    B, Tq, H, Dh = q.shape
+    if scale is None:
+        scale = Dh ** -0.5
+    # [B, H, Tq, Dh]: _flash_partial's layout
+    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)
+    m_s, n_s, d_s = _flash_partial(qf, k_shard, v_shard, None, logit_softcap)
+    C = tail_k.shape[1]
+    tvalid = jnp.arange(C, dtype=jnp.int32) < tail_len
+    m_t, n_t, d_t = _flash_partial(qf, tail_k, tail_v, tvalid, logit_softcap)
+    m_g = jnp.maximum(jax.lax.pmax(m_s, axis_name), m_t)
+    c_s = jnp.exp(m_s - m_g)
+    c_t = jnp.exp(m_t - m_g)  # 0 when the tail is empty (m_t = _NEG)
+    num = jax.lax.psum(n_s * c_s[..., None], axis_name) + n_t * c_t[..., None]
+    den = jax.lax.psum(d_s * c_s, axis_name) + d_t * c_t
+    out = num / jnp.maximum(den, 1e-30)[..., None]  # [B, H, Tq, Dv]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def ring_attend(
     q: jax.Array,  # [B, T, H, Dh] global (sharded or shardable on T)
     k: jax.Array,

@@ -5,7 +5,12 @@ from moe_infinity_tpu.parallel.mesh import (
     expert_shardings,
     shard_params,
 )
-from moe_infinity_tpu.parallel.sequence import caches_from_sp, sp_prefill
+from moe_infinity_tpu.parallel.sequence import (
+    SPDecoder,
+    caches_from_sp,
+    sp_encode,
+    sp_prefill,
+)
 
 __all__ = [
     "MeshPlan",
@@ -14,5 +19,7 @@ __all__ = [
     "expert_shardings",
     "shard_params",
     "sp_prefill",
+    "sp_encode",
+    "SPDecoder",
     "caches_from_sp",
 ]

@@ -41,7 +41,10 @@ from moe_infinity_tpu.models.layers import (
     rope_cos_sin,
 )
 from moe_infinity_tpu.ops.moe import grouped_ffn
-from moe_infinity_tpu.ops.ring_attention import ring_attention
+from moe_infinity_tpu.ops.ring_attention import (
+    ring_attention,
+    sp_decode_attention,
+)
 from moe_infinity_tpu.parallel.mesh import SEQ
 
 
@@ -440,3 +443,349 @@ def caches_from_sp(
             k, v = jax.device_put(k, rep), jax.device_put(v, rep)
         out.append(KVCache(k, v))
     return out
+
+class SPDecoder:
+    """Long-context DECODE over sequence-sharded caches (beyond-reference;
+    complements `sp_prefill`, which covers the prompt).
+
+    `caches_from_sp` gathers the prompt's K/V onto every device — fine for
+    prompts that fit one chip, but it forfeits the 1/s memory scaling that
+    made the SP prefill possible. SPDecoder keeps the prefill K/V where it
+    landed: frozen, time-sharded over the `seq` axis. Generated tokens go
+    to a small REPLICATED tail (decode lengths are tiny next to the
+    long-context prompts this serves). Each decode step is one SPMD
+    program: every device computes the flash-decoding partial over its own
+    shard, the partials merge with two O(B·H·Dv) collectives
+    (ops/ring_attention.py `sp_decode_attention`), the tail folds in
+    replicated, and the MoE FFN runs replicated on the single token. No
+    K/V bytes cross the ICI at decode time.
+
+    Families: llama-style (Mixtral), MLA (DeepSeek V2/V3 — the latent
+    shard serves as both key and value, same as the prefill ring), Grok
+    (softcap + post-norms), Arctic (parallel residual)."""
+
+    def __init__(
+        self,
+        model,
+        params: Dict[str, Any],
+        experts: Dict[str, Any],
+        mesh,
+        *,
+        for_layer,
+        impl: str = "gather",
+        tail_cap: int = 64,
+        seq_axis: str = SEQ,
+    ):
+        self.model = model
+        self.params = params
+        self.experts = experts
+        self.mesh = mesh
+        self.for_layer = for_layer
+        self.impl = impl
+        self.tail_cap = int(tail_cap)
+        self.seq_axis = seq_axis
+        self.s = mesh.shape[seq_axis]
+        self.is_mla = hasattr(model.spec, "kv_lora_rank")
+        self.arch = getattr(model, "arch", None)
+        self._step_fn = None
+        self._state = None  # (ks, vs, tks, tvs) after prefill
+
+    # ---- layer bodies (mirror the sp_prefill variants) -------------------
+    def _attn(self, pl, h, pos_arr, k_shard, v_shard, tk, tv, g, *,
+              theta, scale=None, softcap=None):
+        model, spec = self.model, self.model.spec
+        B = h.shape[0]
+        q = linear(h, pl["q"]).reshape(B, 1, spec.num_heads, spec.head_dim)
+        k = linear(h, pl["k"]).reshape(B, 1, spec.num_kv_heads, spec.head_dim)
+        v = linear(h, pl["v"]).reshape(B, 1, spec.num_kv_heads, spec.head_dim)
+        cos, sin = rope_cos_sin(pos_arr, spec.head_dim, theta)
+        q, k = apply_rope(q, k, cos, sin)
+        tk = jax.lax.dynamic_update_slice(tk, k.astype(tk.dtype), (0, g, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype), (0, g, 0, 0))
+        attn = sp_decode_attention(
+            q, k_shard, v_shard, tk, tv, g + 1,
+            axis_name=self.seq_axis, scale=scale, logit_softcap=softcap,
+        )
+        return attn.reshape(B, 1, -1), tk, tv
+
+    def _moe_y(self, pl, hn, mli):
+        model, spec = self.model, self.model.spec
+        cw, ids = model.route(pl, hn)
+        w, slot_map, biases = self.for_layer(self.experts, mli)
+        Bq, Tl, D = hn.shape
+        K = ids.shape[-1]
+        act = "gelu" if self.arch == "grok" else "silu"
+        y = grouped_ffn(
+            hn.reshape(Bq * Tl, D), ids.reshape(Bq * Tl, K),
+            cw.reshape(Bq * Tl, K).astype(jnp.float32),
+            slot_map, w, act, biases=biases, impl=self.impl,
+        ).reshape(Bq, Tl, D)
+        if getattr(spec, "n_shared_experts", 0):
+            y = y + model._dense_mlp(
+                hn, pl["shared_gate"], pl["shared_up"], pl["shared_down"]
+            )
+        return y
+
+    def _llama_decode(self, pl, x, pos_arr, mli, ksh, vsh, tk, tv, g):
+        model, spec = self.model, self.model.spec
+        h = rms_norm(x, pl["input_norm"], spec.rms_eps)
+        a, tk, tv = self._attn(
+            pl, h, pos_arr, ksh, vsh, tk, tv, g, theta=spec.rope_theta
+        )
+        x = x + linear(a, pl["o"])
+        hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+        if mli is None:  # DeepSeek first_k_dense_replace layers
+            x = x + model._dense_mlp(
+                hn, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]
+            )
+        else:
+            x = x + self._moe_y(pl, hn, mli)
+        return x, tk, tv
+
+    def _mla_decode(self, pl, x, pos_arr, mli, c_shard, kpe_shard, tc,
+                    tkpe, g):
+        from moe_infinity_tpu.models.deepseek_v2 import rope_interleaved
+
+        model, spec = self.model, self.model.spec
+        B, H = x.shape[0], spec.num_heads
+        h = rms_norm(x, pl["input_norm"], spec.rms_eps)
+        if spec.q_lora_rank is None:
+            q = linear(h, pl["q"])
+        else:
+            q = linear(
+                rms_norm(linear(h, pl["q_a"]), pl["q_a_norm"], spec.rms_eps),
+                pl["q_b"],
+            )
+        q = q.reshape(B, 1, H, spec.qk_head_dim)
+        q_nope = q[..., : spec.qk_nope_head_dim]
+        q_pe = q[..., spec.qk_nope_head_dim :]
+        ckv = linear(h, pl["kv_a"])
+        c = rms_norm(
+            ckv[..., : spec.kv_lora_rank], pl["kv_a_norm"], spec.rms_eps
+        )
+        k_pe = ckv[..., spec.kv_lora_rank :][:, :, None, :]
+        cos, sin = model._rope_tables(pos_arr)
+        q_pe = rope_interleaved(q_pe, cos, sin)
+        k_pe = rope_interleaved(k_pe, cos, sin)
+        tc = jax.lax.dynamic_update_slice(
+            tc, c[:, :, None, :].astype(tc.dtype), (0, g, 0, 0)
+        )
+        tkpe = jax.lax.dynamic_update_slice(
+            tkpe, k_pe.astype(tkpe.dtype), (0, g, 0, 0)
+        )
+        q_lat = jnp.einsum(
+            "bthd,hdr->bthr", q_nope.astype(jnp.float32),
+            pl["w_uk"].astype(jnp.float32),
+        )
+        q_ring = jnp.concatenate([q_lat, q_pe.astype(jnp.float32)], axis=-1)
+        out_lat = sp_decode_attention(
+            q_ring,
+            jnp.concatenate(
+                [c_shard.astype(jnp.float32), kpe_shard.astype(jnp.float32)],
+                axis=-1,
+            ),
+            c_shard.astype(jnp.float32),
+            jnp.concatenate(
+                [tc.astype(jnp.float32), tkpe.astype(jnp.float32)], axis=-1
+            ),
+            tc.astype(jnp.float32),
+            g + 1,
+            axis_name=self.seq_axis,
+            scale=spec.qk_head_dim ** -0.5,
+        )  # [B, 1, H, R]
+        out = jnp.einsum(
+            "bthr,hdr->bthd", out_lat.astype(jnp.float32),
+            pl["w_uv"].astype(jnp.float32),
+        )
+        x = x + linear(
+            out.reshape(B, 1, H * spec.v_head_dim).astype(model.dtype),
+            pl["o"],
+        )
+        hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+        if mli is None:
+            x = x + model._dense_mlp(
+                hn, pl["mlp_gate"], pl["mlp_up"], pl["mlp_down"]
+            )
+        else:
+            x = x + self._moe_y(pl, hn, mli)
+        return x, tc, tkpe
+
+    def _grok_decode(self, pl, x, pos_arr, mli, ksh, vsh, tk, tv, g):
+        from moe_infinity_tpu.ops.moe import topk_router
+
+        model, spec = self.model, self.model.spec
+        h = rms_norm(x, pl["pre_attn"], spec.rms_eps)
+        a, tk, tv = self._attn(
+            pl, h, pos_arr, ksh, vsh, tk, tv, g, theta=10000.0,
+            scale=spec.attn_output_multiplier, softcap=spec.max_attn_value,
+        )
+        x = x + rms_norm(linear(a, pl["o"]), pl["post_attn"], spec.rms_eps)
+        hn = rms_norm(x, pl["pre_moe"], spec.rms_eps)
+        B = hn.shape[0]
+        logits = linear(hn.astype(jnp.float32), pl["router"])
+        cw, ids, _ = topk_router(
+            logits.reshape(B, -1), spec.top_k, normalize=False
+        )
+        w, slot_map, biases = self.for_layer(self.experts, mli)
+        y = grouped_ffn(
+            hn.reshape(B, -1), ids, cw.astype(jnp.float32), slot_map, w,
+            "gelu", biases=biases, impl=self.impl,
+        ).reshape(B, 1, -1)
+        x = x + rms_norm(y, pl["post_moe"], spec.rms_eps)
+        return x, tk, tv
+
+    def _arctic_decode(self, pl, x, pos_arr, mli, ksh, vsh, tk, tv, g):
+        from moe_infinity_tpu.ops.moe import topk_router
+
+        model, spec = self.model, self.model.spec
+        x_pre = x
+        h = rms_norm(x, pl["input_norm"], spec.rms_eps)
+        a, tk, tv = self._attn(
+            pl, h, pos_arr, ksh, vsh, tk, tv, g, theta=spec.rope_theta
+        )
+        x = x + linear(a, pl["o"])
+        if mli is None:
+            hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+            x = x + model._silu_mlp(
+                hn, pl["mlp_w1"], pl["mlp_w2"], pl["mlp_w3"]
+            )
+            return x, tk, tv
+        if spec.parallel_attn_mlp_res:
+            hr = rms_norm(x, pl["res_norm"], spec.rms_eps)
+            x = x + model._silu_mlp(
+                hr, pl["res_w1"], pl["res_w2"], pl["res_w3"]
+            )
+            hn = rms_norm(x_pre, pl["post_norm"], spec.rms_eps)
+        else:
+            hn = rms_norm(x, pl["post_norm"], spec.rms_eps)
+        B = hn.shape[0]
+        logits = linear(hn.astype(jnp.float32), pl["router"])
+        cw, ids, _ = topk_router(
+            logits.reshape(B, -1), spec.top_k, normalize=(spec.top_k > 1)
+        )
+        w, slot_map, biases = self.for_layer(self.experts, mli)
+        y = grouped_ffn(
+            hn.reshape(B, -1), ids, cw.astype(jnp.float32), slot_map, w,
+            "silu", biases=biases, impl=self.impl,
+        ).reshape(B, 1, -1)
+        return x + y, tk, tv
+
+    # ---- step program ----------------------------------------------------
+    def _layer_fn(self):
+        if self.arch == "grok":
+            return self._grok_decode
+        if self.arch == "arctic":
+            return self._arctic_decode
+        return self._mla_decode if self.is_mla else self._llama_decode
+
+    def _build_step(self):
+        model, spec = self.model, self.model.spec
+        layer = self._layer_fn()
+
+        def local_step(params, experts_, tok, pos, ks, vs, tks, tvs, g):
+            B = tok.shape[0]
+            pos_arr = jnp.broadcast_to(pos.astype(jnp.int32), (B, 1))
+            x = model.embed(params, tok)
+            new_tks, new_tvs = [], []
+            for li in range(spec.num_layers):
+                pl = params["layers"][li]
+                mli = model.moe_layer_index(li)
+                x, tk, tv = layer(
+                    pl, x, pos_arr, mli, ks[li], vs[li], tks[li], tvs[li], g
+                )
+                new_tks.append(tk)
+                new_tvs.append(tv)
+            return (
+                model.head(params, x),
+                jnp.stack(new_tks),
+                jnp.stack(new_tvs),
+            )
+
+        rep = P()
+        shard5 = P(None, None, self.seq_axis, None, None)
+        fn = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(rep, rep, rep, rep, shard5, shard5, rep, rep, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False,
+        )
+        # NOTE: self.experts flows in replicated; arena-style providers
+        # would shard it on an expert axis instead (future work)
+        self._step_fn = jax.jit(fn)
+
+    # ---- public API --------------------------------------------------------
+    def prefill(self, tokens: jax.Array) -> int:
+        """Sequence-parallel prefill; keeps the K/V shards in place.
+        Returns the first generated (greedy) token id."""
+        model, spec = self.model, self.model.spec
+        logits, kvs = sp_prefill(
+            model, self.params, self.experts, tokens, self.mesh,
+            for_layer=self.for_layer, impl=self.impl,
+            seq_axis=self.seq_axis,
+        )
+        shard5 = NamedSharding(
+            self.mesh, P(None, None, self.seq_axis, None, None)
+        )
+        ks = jax.device_put(jnp.stack([c.k for c in kvs]), shard5)
+        vs = jax.device_put(jnp.stack([c.v for c in kvs]), shard5)
+        B = tokens.shape[0]
+        rep = NamedSharding(self.mesh, P())
+        C = self.tail_cap
+        tks = jax.device_put(
+            jnp.zeros((spec.num_layers, B, C) + ks.shape[3:], ks.dtype), rep
+        )
+        tvs = jax.device_put(
+            jnp.zeros((spec.num_layers, B, C) + vs.shape[3:], vs.dtype), rep
+        )
+        self._state = [ks, vs, tks, tvs]
+        self._T = tokens.shape[1]
+        import numpy as _np
+
+        return int(_np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))[0])
+
+    def step(self, token: int, g: int) -> jax.Array:
+        """One decode step: feed `token` (the g-th generated token,
+        0-based) at global position T+g. Returns logits [B, 1, V]."""
+        if self._state is None:
+            raise RuntimeError("call prefill() first")
+        if g >= self.tail_cap:
+            raise ValueError(
+                f"decode tail exhausted ({self.tail_cap}); raise tail_cap"
+            )
+        if self._step_fn is None:
+            self._build_step()
+        ks, vs, tks, tvs = self._state
+        B = ks.shape[1]
+        logits, tks, tvs = self._step_fn(
+            self.params, self.experts,
+            jnp.full((B, 1), token, jnp.int32),
+            jnp.int32(self._T + g), ks, vs, tks, tvs, jnp.int32(g),
+        )
+        self._state[2], self._state[3] = tks, tvs
+        return logits
+
+    def generate(self, input_ids, max_new_tokens: int = 32,
+                 eos_token_id=None):
+        """Greedy long-context generation, batch 1: SP prefill + SP decode.
+        Returns the full sequence (prompt + generated) as a numpy array."""
+        import numpy as _np
+
+        arr = _np.atleast_2d(_np.asarray(input_ids))
+        if arr.shape[0] != 1:
+            raise ValueError("SPDecoder.generate supports batch size 1")
+        if max_new_tokens > self.tail_cap:
+            raise ValueError(
+                f"max_new_tokens {max_new_tokens} > tail_cap {self.tail_cap}"
+            )
+        tok = self.prefill(jnp.asarray(arr, jnp.int32))
+        generated = [tok]
+        from moe_infinity_tpu.runtime.generate import eos_hit
+
+        while len(generated) < max_new_tokens and not (
+            eos_token_id is not None and eos_hit(tok, eos_token_id)
+        ):
+            logits = self.step(tok, len(generated) - 1)
+            tok = int(_np.asarray(jnp.argmax(logits[0, -1, :])))
+            generated.append(tok)
+        return _np.concatenate([arr[0], _np.asarray(generated, _np.int64)])

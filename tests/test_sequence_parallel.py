@@ -366,3 +366,141 @@ def test_sp_prefill_grok_arctic(rng, family):
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4
     )
     assert kvs[0].k.shape == (B, T, spec.num_kv_heads, spec.head_dim)
+
+# ---- SP decode: frozen shards + replicated tail -----------------------------
+
+
+def test_sp_decode_attention_matches_dense(rng):
+    """Distributed flash decoding (shard partials + pmax/psum merge +
+    replicated tail) == dense attention over the concatenated context."""
+    from functools import partial
+
+    from moe_infinity_tpu.ops.ring_attention import sp_decode_attention
+
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, C, H, HKV, Dh = 2, 16, 8, 8, 4, 16
+    g = 3  # valid tail columns
+    q = jnp.asarray(rng.standard_normal((B, 1, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, HKV, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, HKV, Dh)), jnp.float32)
+    tk = jnp.asarray(rng.standard_normal((B, C, HKV, Dh)), jnp.float32)
+    tv = jnp.asarray(rng.standard_normal((B, C, HKV, Dh)), jnp.float32)
+
+    # dense reference over [prefill | valid tail]
+    kf = jnp.concatenate([k, tk[:, :g]], axis=1)
+    vf = jnp.concatenate([v, tv[:, :g]], axis=1)
+    positions = jnp.full((B, 1), T + g - 1, jnp.int32)
+    want = np.asarray(attend(q, kf, vf, positions, jnp.int32(T + g)))
+
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
+
+    shard = P(None, "seq", None, None)
+    rep = P()
+    fn = _jax.shard_map(
+        partial(sp_decode_attention, axis_name="seq"),
+        mesh=mesh,
+        in_specs=(rep, shard, shard, rep, rep, rep),
+        out_specs=rep,
+        check_vma=False,
+    )
+    got = np.asarray(fn(q, k, v, tk, tv, jnp.int32(g)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def _greedy_reference(model, params, experts, tokens, cap, steps):
+    ref_logits, ref_kv, _ = _reference_prefill(
+        model, params, experts, tokens, cap
+    )
+    toks = []
+    cur = jnp.argmax(ref_logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+    kv_len = tokens.shape[1]
+    for _ in range(steps):
+        toks.append(int(cur[0, 0]))
+        pos = jnp.full((tokens.shape[0], 1), kv_len, jnp.int32)
+        ref_logits, ref_kv, _ = model.forward(
+            params, experts, cur, pos, ref_kv, jnp.int32(kv_len),
+            for_layer=ResidentProvider.for_layer, impl="gather",
+        )
+        cur = jnp.argmax(ref_logits[:, -1, :], -1).astype(jnp.int32)[:, None]
+        kv_len += 1
+    return toks
+
+
+def test_sp_decoder_matches_single_device(rng, tiny_model):
+    """SPDecoder: prefill shards stay frozen in place, decode merges
+    shard partials + replicated tail — greedy tokens identical to the
+    standard single-device path."""
+    from moe_infinity_tpu.parallel.sequence import SPDecoder
+
+    model, params, experts = tiny_model
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, STEPS = 1, 8, 6
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    want = _greedy_reference(model, params, experts, tokens, 32, STEPS)
+
+    dec = SPDecoder(
+        model, params, experts, mesh,
+        for_layer=ResidentProvider.for_layer, tail_cap=16,
+    )
+    got = dec.generate(np.asarray(tokens), max_new_tokens=STEPS)
+    assert list(got[T:]) == want
+
+
+def test_sp_decoder_mla_matches_single_device(rng, tiny_mla):
+    """MLA SP decode: the latent shard serves as both key ([c | k_pe])
+    and value (c); dense leading layers + shared experts included."""
+    from moe_infinity_tpu.parallel.sequence import SPDecoder
+
+    model, params, experts = tiny_mla
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, STEPS = 1, 8, 6
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    want = _greedy_reference(model, params, experts, tokens, 32, STEPS)
+
+    dec = SPDecoder(
+        model, params, experts, mesh,
+        for_layer=ResidentProvider.for_layer, tail_cap=16,
+    )
+    got = dec.generate(np.asarray(tokens), max_new_tokens=STEPS)
+    assert list(got[T:]) == want
+
+@pytest.mark.parametrize("family", ["grok", "arctic", "arctic_seq"])
+def test_sp_decoder_grok_arctic(rng, family):
+    """SP decode for the remaining decoder families (softcap / parallel
+    residual): greedy tokens identical to the single-device path."""
+    from moe_infinity_tpu.parallel.sequence import SPDecoder
+
+    if family == "grok":
+        from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
+
+        spec = GrokSpec(
+            vocab_size=96, hidden_size=48, intermediate_size=64,
+            num_layers=2, num_heads=6, num_kv_heads=2, head_dim=8,
+            num_experts=4, top_k=2, rms_eps=1e-6,
+            embedding_multiplier_scale=1.0, output_multiplier_scale=1.0,
+            attn_output_multiplier=0.12, max_attn_value=30.0,
+        )
+        model = GrokModel(spec, compute_dtype=jnp.float32)
+    else:
+        from moe_infinity_tpu.models.arctic import ArcticModel, ArcticSpec
+
+        spec = ArcticSpec(
+            vocab_size=96, hidden_size=48, intermediate_size=64,
+            num_layers=2, num_heads=6, num_kv_heads=2, head_dim=8,
+            num_experts=4, top_k=2, rms_eps=1e-6, rope_theta=1e4,
+            moe_layer_frequency=1,
+            parallel_attn_mlp_res=(family == "arctic"),
+        )
+        model = ArcticModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(6))
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, STEPS = 1, 8, 5
+    tokens = jnp.asarray(rng.integers(0, 96, (B, T)), jnp.int32)
+    want = _greedy_reference(model, params, experts, tokens, 32, STEPS)
+    dec = SPDecoder(
+        model, params, experts, mesh,
+        for_layer=ResidentProvider.for_layer, tail_cap=16,
+    )
+    got = dec.generate(np.asarray(tokens), max_new_tokens=STEPS)
+    assert list(got[T:]) == want
