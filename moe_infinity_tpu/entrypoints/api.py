@@ -158,16 +158,29 @@ class MoE:
                 )
                 self.engine = None
                 if config.max_batch_size > 1:
-                    from moe_infinity_tpu.runtime.batching import (
-                        Seq2SeqDynamicBatcher,
-                    )
+                    if config.s2s_batcher == "continuous":
+                        from moe_infinity_tpu.runtime.continuous_s2s import (
+                            Seq2SeqContinuousBatcher,
+                        )
 
-                    self.s2s_batcher = Seq2SeqDynamicBatcher(
-                        self.model, self.params, provider.pytree(),
-                        ResidentProvider.for_layer,
-                        max_batch_size=config.max_batch_size,
-                        max_seq_len=config.max_seq_len,
-                    )
+                        self.s2s_batcher = Seq2SeqContinuousBatcher(
+                            self.model, self.params, provider.pytree(),
+                            ResidentProvider.for_layer,
+                            max_batch_size=config.max_batch_size,
+                            max_src_len=config.max_seq_len,
+                            max_decode_len=config.max_seq_len,
+                        )
+                    else:
+                        from moe_infinity_tpu.runtime.batching import (
+                            Seq2SeqDynamicBatcher,
+                        )
+
+                        self.s2s_batcher = Seq2SeqDynamicBatcher(
+                            self.model, self.params, provider.pytree(),
+                            ResidentProvider.for_layer,
+                            max_batch_size=config.max_batch_size,
+                            max_seq_len=config.max_seq_len,
+                        )
             else:
                 from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
                 from moe_infinity_tpu.runtime.arena import ExpertArena

@@ -110,6 +110,20 @@ class KVCache(NamedTuple):
         v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, offset, 0, 0))
         return KVCache(k, v)
 
+    def update_rows(
+        self, k_new: jax.Array, v_new: jax.Array, offsets: jax.Array
+    ):
+        """Insert [B, 1, Hkv, Dh] at PER-ROW time offsets [B] (continuous
+        seq2seq batching: each slot decodes at its own position). One-hot
+        select along the time axis — no scatter, XLA fuses it."""
+        S = self.k.shape[1]
+        hot = (
+            jnp.arange(S, dtype=jnp.int32)[None, :] == offsets[:, None]
+        )[:, :, None, None]
+        k = jnp.where(hot, k_new.astype(self.k.dtype), self.k)
+        v = jnp.where(hot, v_new.astype(self.v.dtype), self.v)
+        return KVCache(k, v)
+
 
 def attend(
     q: jax.Array,  # [B, T, H, Dh] (rope already applied)

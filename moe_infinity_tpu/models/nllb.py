@@ -433,22 +433,35 @@ class NllbModel:
 
     def decode_step(
         self, params, experts, dec_tokens, positions, kvs, kv_len,
-        enc_mask, cross, for_layer, impl="ragged",
+        enc_mask, cross, for_layer, impl="ragged", row_offsets=None,
     ):
+        """row_offsets [B] (optional, T must be 1): PER-ROW decode
+        positions — each row writes its K/V at its own cache column and
+        embeds its own sinusoidal position id (continuous seq2seq
+        batching: slots at different decode depths share one step)."""
         s = self.spec
         B, T = dec_tokens.shape
         # kv_len tracks decoded length; sinusoidal ids derive from it
-        x = self._embed(params, dec_tokens, past=kv_len)
+        x = self._embed(
+            params, dec_tokens,
+            past=kv_len if row_offsets is None else row_offsets[:, None],
+        )
         cross_bias = jnp.where(
             enc_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
         )
+        S = kvs[0].k.shape[1]
         new_kvs, trace = [], []
         for i, b in enumerate(params["dec_blocks"]):
             h = layer_norm(x, b["ln0_w"], b["ln0_b"], 1e-5)
             k, v = self._kv(b["self_attn"], h)
-            kv = kvs[i].update(k, v, kv_len)
+            if row_offsets is None:
+                kv = kvs[i].update(k, v, kv_len)
+                valid_len = kv_len + T
+            else:
+                kv = kvs[i].update_rows(k, v, row_offsets)
+                valid_len = jnp.int32(S)  # causal mask bounds each row
             x = x + self._attn(
-                b["self_attn"], h, kv.k, kv.v, positions, kv_len + T,
+                b["self_attn"], h, kv.k, kv.v, positions, valid_len,
                 causal=True,
             )
             h = layer_norm(x, b["lnc_w"], b["lnc_b"], 1e-5)

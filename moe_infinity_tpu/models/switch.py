@@ -460,18 +460,34 @@ class SwitchModel:
 
     def decode_step(
         self, params, experts, dec_tokens, positions, kvs, kv_len,
-        enc_mask, cross, for_layer, impl="ragged",
+        enc_mask, cross, for_layer, impl="ragged", row_offsets=None,
     ):
-        """dec_tokens [B, T]; returns (logits, new kvs, trace ids)."""
+        """dec_tokens [B, T]; returns (logits, new kvs, trace ids).
+        row_offsets [B] (optional, T must be 1): PER-ROW decode positions —
+        each batch row writes its K/V at its own cache column and sees its
+        own relative-position bias (continuous seq2seq batching: slots at
+        different decode depths share one compiled step)."""
         s = self.spec
         B, T = dec_tokens.shape
         x = params["embed"][dec_tokens].astype(self.dtype)
         S = kvs[0].k.shape[1]
         k_pos = jnp.arange(S, dtype=jnp.int32)
-        bias = t5_position_bias(
-            params["dec_blocks"][0]["rel_bias"], positions[0], k_pos, False,
-            s.rel_buckets, s.rel_max_distance,
-        )
+        if row_offsets is None:
+            bias = t5_position_bias(
+                params["dec_blocks"][0]["rel_bias"], positions[0], k_pos,
+                False, s.rel_buckets, s.rel_max_distance,
+            )
+        else:
+            from moe_infinity_tpu.models.layers import t5_relative_bucket
+
+            rel = k_pos[None, :] - row_offsets[:, None]  # [B, S]
+            buckets = t5_relative_bucket(
+                rel, False, s.rel_buckets, s.rel_max_distance
+            )
+            # [B, S, H] -> [B, H, 1, S]
+            bias = jnp.transpose(
+                params["dec_blocks"][0]["rel_bias"][buckets], (0, 2, 1)
+            )[:, :, None, :]
         cross_bias = jnp.where(
             enc_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
         )
@@ -480,10 +496,18 @@ class SwitchModel:
             h = rms_norm(x, b["ln0"], s.rms_eps)
             k = linear(h, b["k"]).reshape(B, T, s.num_heads, s.d_kv)
             v = linear(h, b["v"]).reshape(B, T, s.num_heads, s.d_kv)
-            kv = kvs[i].update(k, v, kv_len)
+            if row_offsets is None:
+                kv = kvs[i].update(k, v, kv_len)
+                valid_len = kv_len + T
+            else:
+                kv = kvs[i].update_rows(k, v, row_offsets)
+                # per-row validity rides the causal mask: columns beyond a
+                # row's own position (incl. a prior occupant's leftovers)
+                # are masked by key_pos <= positions
+                valid_len = jnp.int32(S)
             q = linear(h, b["q"]).reshape(B, T, s.num_heads, s.d_kv)
             a = attend(
-                q, kv.k, kv.v, positions, kv_len + T,
+                q, kv.k, kv.v, positions, valid_len,
                 scale=1.0, causal=True, bias=bias,
             )
             x = x + linear(a.reshape(B, T, -1), b["o"])

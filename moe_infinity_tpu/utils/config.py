@@ -100,6 +100,11 @@ class EngineConfig:
     """Prompt tokens ingested per shared step in the continuous batcher
     (chunked prefill). 1 = hole-free single-token piggyback prefill."""
 
+    s2s_batcher: str = "continuous"
+    """Seq2seq concurrent-serving strategy: "continuous" (requests join
+    the decode batch mid-flight via per-row decode positions) or "wave"
+    (requests coalesce into aligned batched waves)."""
+
     fold_mla: bool = False
     """DeepSeek/MLA models: fold w_uk + attention scale into the q
     projection and w_uv into o_proj (fewer decode ops; exact up to f32

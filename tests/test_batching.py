@@ -133,3 +133,116 @@ def test_s2s_eos_stops_per_request(s2s_setup):
         assert len(r2) == 6  # ran to budget
     finally:
         batcher.shutdown()
+
+# ---- seq2seq CONTINUOUS batching -----------------------------------------
+
+
+def test_s2s_continuous_staggered_matches_isolated(s2s_setup):
+    """Requests joining MID-DECODE produce exactly the isolated outputs:
+    per-row decode positions (row_offsets), per-slot cross K/V rows, and
+    slot reuse behind the causal horizon."""
+    from moe_infinity_tpu.runtime.continuous_s2s import (
+        Seq2SeqContinuousBatcher,
+    )
+
+    model, params, experts, gen = s2s_setup
+    batcher = Seq2SeqContinuousBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=3, max_src_len=16, max_decode_len=16,
+    )
+    try:
+        p1 = np.array([5, 31, 8, 77, 2])
+        p2 = np.array([9, 4, 61])
+        want1 = gen.generate(
+            p1[None], max_new_tokens=8, eos_token_id=None
+        ).sequences[0]
+        want2 = gen.generate(
+            p2[None], max_new_tokens=6, eos_token_id=None
+        ).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=8, eos_token_id=None)
+        import time as _t
+
+        _t.sleep(0.4)  # request 2 joins while 1 is mid-decode
+        f2 = batcher.submit(p2, max_new_tokens=6, eos_token_id=None)
+        np.testing.assert_array_equal(f1.result(timeout=120), want1)
+        np.testing.assert_array_equal(f2.result(timeout=120), want2)
+    finally:
+        batcher.shutdown()
+
+
+def test_s2s_continuous_slot_reuse(s2s_setup):
+    """More requests than slots: completed slots reseat new requests;
+    stale K/V from prior occupants never leaks (causal horizon)."""
+    from moe_infinity_tpu.runtime.continuous_s2s import (
+        Seq2SeqContinuousBatcher,
+    )
+
+    model, params, experts, gen = s2s_setup
+    batcher = Seq2SeqContinuousBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=2, max_src_len=16, max_decode_len=16,
+    )
+    try:
+        prompts = [
+            np.array([5, 31, 8]), np.array([9, 4, 61, 7]),
+            np.array([12, 3]), np.array([44, 7, 90, 15, 2]),
+            np.array([77]),
+        ]
+        wants = [
+            gen.generate(
+                p[None], max_new_tokens=5, eos_token_id=None
+            ).sequences[0]
+            for p in prompts
+        ]
+        futs = [
+            batcher.submit(p, max_new_tokens=5, eos_token_id=None)
+            for p in prompts
+        ]
+        for f, want in zip(futs, wants):
+            np.testing.assert_array_equal(f.result(timeout=120), want)
+    finally:
+        batcher.shutdown()
+
+
+def test_s2s_continuous_switch_family(rng=None):
+    """Switch (T5 relative bias + capacity router): per-row bias path."""
+    from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
+    from moe_infinity_tpu.runtime.continuous_s2s import (
+        Seq2SeqContinuousBatcher,
+    )
+    from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
+
+    spec = SwitchSpec(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=2, encoder_sparse_step=2,
+        decoder_sparse_step=2, num_experts=4, expert_capacity=8,
+        rel_buckets=8, rel_max_distance=16, rms_eps=1e-6,
+        tie_embeddings=True, is_gated=False, dense_act_gelu=False,
+        decoder_start_token_id=0,
+    )
+    model = SwitchModel(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(3))
+    gen = Seq2SeqGenerator(
+        model, params, experts, ResidentProvider.for_layer
+    )
+    batcher = Seq2SeqContinuousBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=2, max_src_len=16, max_decode_len=16,
+    )
+    try:
+        p1, p2 = np.array([5, 31, 8, 7]), np.array([9, 4, 61])
+        want1 = gen.generate(
+            p1[None], max_new_tokens=6, eos_token_id=None
+        ).sequences[0]
+        want2 = gen.generate(
+            p2[None], max_new_tokens=5, eos_token_id=None
+        ).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=6, eos_token_id=None)
+        import time as _t
+
+        _t.sleep(0.4)
+        f2 = batcher.submit(p2, max_new_tokens=5, eos_token_id=None)
+        np.testing.assert_array_equal(f1.result(timeout=120), want1)
+        np.testing.assert_array_equal(f2.result(timeout=120), want2)
+    finally:
+        batcher.shutdown()
