@@ -347,6 +347,9 @@ class MoE:
             and kwargs.get("attention_mask") is None
             and kwargs.get("decoder_start_token_id") is None
             and arr.shape[1] <= self.config.max_seq_len
+            # the continuous batcher's decode cache is max_seq_len columns;
+            # oversized budgets route to the full generator instead
+            and kwargs.get("max_new_tokens", 32) + 1 <= self.config.max_seq_len
         ):
             out = self.s2s_batcher.generate(
                 arr[0],
@@ -429,7 +432,12 @@ class MoE:
         return self.engine.hit_rate() if self.engine else 1.0
 
     def stats(self) -> dict:
-        return self.engine.stats() if self.engine else {}
+        out = self.engine.stats() if self.engine else {}
+        # offload + batched serving: the pooled batcher drives the arena,
+        # so its speculative counters are the live ones
+        if self.batcher is not None and getattr(self.batcher, "arena", None):
+            out.update(self.batcher.stats())
+        return out
 
     def save_trace(self, path: Optional[str] = None) -> None:
         """Persist the EAMC trace collection ('knowledge checkpoint')."""

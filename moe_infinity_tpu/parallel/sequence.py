@@ -768,24 +768,40 @@ class SPDecoder:
     def generate(self, input_ids, max_new_tokens: int = 32,
                  eos_token_id=None):
         """Greedy long-context generation, batch 1: SP prefill + SP decode.
-        Returns the full sequence (prompt + generated) as a numpy array."""
+        Ragged prompts are handled exactly: the ring prefills the largest
+        ring-divisible prefix and the remaining (< ring size) prompt
+        tokens ride the decode path into the replicated tail. Returns the
+        full sequence (prompt + generated) as a numpy array."""
         import numpy as _np
 
         arr = _np.atleast_2d(_np.asarray(input_ids))
         if arr.shape[0] != 1:
             raise ValueError("SPDecoder.generate supports batch size 1")
-        if max_new_tokens > self.tail_cap:
+        T = arr.shape[1]
+        r = T % self.s
+        if T - r == 0:
             raise ValueError(
-                f"max_new_tokens {max_new_tokens} > tail_cap {self.tail_cap}"
+                f"prompt length {T} is shorter than the ring size {self.s}"
             )
-        tok = self.prefill(jnp.asarray(arr, jnp.int32))
+        if r + max_new_tokens > self.tail_cap:
+            raise ValueError(
+                f"prompt remainder ({r}) + max_new_tokens "
+                f"({max_new_tokens}) > tail_cap {self.tail_cap}"
+            )
+        tok = self.prefill(jnp.asarray(arr[:, : T - r], jnp.int32))
+        g = 0
+        for i in range(r):  # remainder prompt tokens -> the tail
+            logits = self.step(int(arr[0, T - r + i]), g)
+            g += 1
+            tok = int(_np.asarray(jnp.argmax(logits[0, -1, :])))
         generated = [tok]
         from moe_infinity_tpu.runtime.generate import eos_hit
 
         while len(generated) < max_new_tokens and not (
             eos_token_id is not None and eos_hit(tok, eos_token_id)
         ):
-            logits = self.step(tok, len(generated) - 1)
+            logits = self.step(tok, g)
+            g += 1
             tok = int(_np.asarray(jnp.argmax(logits[0, -1, :])))
             generated.append(tok)
         return _np.concatenate([arr[0], _np.asarray(generated, _np.int64)])

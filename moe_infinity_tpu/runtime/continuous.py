@@ -45,8 +45,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from moe_infinity_tpu.memory.prefetch_plan import plan_prefetch
-from moe_infinity_tpu.runtime.engine import _split_arena_tree, run_speculative
+from moe_infinity_tpu.runtime.engine import (
+    _split_arena_tree,
+    run_speculative,
+    spec_trace_and_prefetch,
+)
 from moe_infinity_tpu.runtime.paged_kv import PageAllocator, PagedKVCache
 from moe_infinity_tpu.runtime.generate import eos_hit as _eos_hit
 from moe_infinity_tpu.runtime.sampling import (
@@ -387,36 +390,8 @@ class ContinuousBatcher:
             s.req = None
             s.active = False
 
-    def _spec_trace_and_prefetch(self, ids_np: np.ndarray, n_feed):
-        """After an accepted speculative step: record each row's realized
-        routing in its own EAMC entry (hole columns excluded — only the
-        first n_feed[b] columns carried real tokens) and warm the next
-        step's likely experts from the first active row's prediction."""
-        if self.tracer is None:
-            return
-        first_sid = None
-        for j, mli in enumerate(self._moe_lis):
-            for b, s in enumerate(self._slots):
-                if not s.active or s.seq_id is None or n_feed[b] == 0:
-                    continue
-                self.tracer.update_entry(
-                    s.seq_id, ids_np[j, b, : int(n_feed[b])].ravel(), mli
-                )
-                if first_sid is None:
-                    first_sid = s.seq_id
-        if not self.prefetch or first_sid is None:
-            return
-        score = self.predictor.predict_from(first_sid, from_layer=0)
-        self.arena.set_context(
-            self._moe_lis[-1],
-            self.tracer.get_entry_decoder(first_sid).matrix,
-        )
-        orders = plan_prefetch(
-            score, -1, lookahead=None, budget=self.prefetch_budget,
-            is_resident=self.arena.is_resident,
-        )
-        if orders:
-            self.arena.prefetch(orders)
+    def _current_budget(self) -> int:
+        return self.prefetch_budget
 
     def _reset_if_idle(self):
         if not any(s.active for s in self._slots) and self._col > 0:
@@ -497,15 +472,37 @@ class ContinuousBatcher:
                     return lg, new_kvs, t_ids
 
                 limit = self.max_replays or (len(self._moe_lis) + 2)
+                # verify only live routing: inactive rows / masked hole
+                # columns carry garbage ids that must not force fetches
+                # (their outputs never reach an active row)
+                live = [
+                    (b, int(n_feed[b]))
+                    for b, s in enumerate(self._slots)
+                    if s.active and n_feed[b] > 0
+                ]
+
+                def live_keys(ids, j):
+                    return np.unique(
+                        np.concatenate(
+                            [ids[j, b, :n].ravel() for b, n in live]
+                        )
+                    ) if live else np.empty(0, np.int64)
+
                 try:
                     (logits, kvs), ids_np, execs = run_speculative(
-                        self.arena, self._moe_lis, run, limit
+                        self.arena, self._moe_lis, run, limit,
+                        key_fn=live_keys,
                     )
                 except (RuntimeError, TimeoutError) as e:
                     self._fail_all(e)
                     continue
                 self.replay_counts.append(execs)
-                self._spec_trace_and_prefetch(ids_np, n_feed)
+                seq_ids = [
+                    s.seq_id if s.active else None for s in self._slots
+                ]
+                spec_trace_and_prefetch(
+                    self, ids_np, self._moe_lis, seq_ids, n_feed=n_feed
+                )
             else:
                 logits, kvs, _ = self._program(W)(
                     self._params, self._experts, toks_j, pos_j, kvs,

@@ -162,16 +162,20 @@ class Seq2SeqContinuousBatcher:
             tok[0, : len(req.input_ids)] = req.input_ids
             mrow = np.zeros((1, S1), np.float32)
             mrow[0, : len(req.input_ids)] = 1.0
-            enc = self._encode(
-                self.params, self.experts, jnp.asarray(tok, jnp.int32),
-                jnp.asarray(mrow),
-            )
-            rows = self._cross(self.params, enc)  # [(ck [1,S1,H,D], cv)]
-            ck_row = jnp.stack([c[0][0] for c in rows])  # [L, S1, H, D]
-            cv_row = jnp.stack([c[1][0] for c in rows])
-            bi = jnp.int32(b)
-            self._ck = self._seat_row(self._ck, ck_row, bi)
-            self._cv = self._seat_row(self._cv, cv_row, bi)
+            try:
+                enc = self._encode(
+                    self.params, self.experts, jnp.asarray(tok, jnp.int32),
+                    jnp.asarray(mrow),
+                )
+                rows = self._cross(self.params, enc)  # [(ck [1,S1,H,D], cv)]
+                ck_row = jnp.stack([c[0][0] for c in rows])  # [L, S1, H, D]
+                cv_row = jnp.stack([c[1][0] for c in rows])
+                bi = jnp.int32(b)
+                self._ck = self._seat_row(self._ck, ck_row, bi)
+                self._cv = self._seat_row(self._cv, cv_row, bi)
+            except Exception as e:  # a failed join-encode fails ONLY
+                req.future.set_exception(e)  # this request
+                continue
             self._mask_host[b] = 0.0
             self._mask_host[b, : len(req.input_ids)] = 1.0
             self._mask_dev = jnp.asarray(self._mask_host)
@@ -190,12 +194,28 @@ class Seq2SeqContinuousBatcher:
         slot.req = None
         slot.active = False
 
+    def _fail_active(self, exc: BaseException):
+        """Abort every active request: the scheduler thread must survive
+        a failed encode/step, and futures must not hang (the wave
+        batcher's guard, batching.py _loop)."""
+        for sl in self._slots:
+            if sl.active:
+                sl.req.future.set_exception(exc)
+                sl.req = None
+                sl.active = False
+
     def _loop(self):
         start = self.model.spec.decoder_start_token_id
         while not self._shutdown:
             if not self._admit():
                 time.sleep(self.idle_sleep_s)
                 continue
+            try:
+                self._step_once(start)
+            except Exception as e:  # a failed shared step aborts the batch
+                self._fail_active(e)
+
+    def _step_once(self, start: int):
             toks = np.full((self.B, 1), start, np.int32)
             offs = np.zeros(self.B, np.int32)
             for b, sl in enumerate(self._slots):

@@ -52,7 +52,8 @@ def _split_arena_tree(tree: Dict[str, jax.Array]):
     return weights, (biases or None)
 
 
-def run_speculative(arena: ExpertArena, mlis, run, limit: int):
+def run_speculative(arena: ExpertArena, mlis, run, limit: int,
+                    key_fn=None):
     """Optimistic whole-step execution against the arena's current slots.
 
     `run(tree, slot_rows)` executes ONE compiled program that resolves MoE
@@ -65,9 +66,17 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int):
     stabilizes by replay l+1. Requires the arena to hold one step's UNION
     of routed experts across MoE layers.
 
+    key_fn(ids_np, j) -> iterable of expert ids for MoE layer j; defaults
+    to np.unique over the whole trace row. Batched callers pass a filter
+    that drops inactive batch rows / masked hole columns — their garbage
+    routing must not force fetches or count against the arena's capacity
+    (the discarded rows' outputs never affect active rows).
+
     Returns (outputs, ids_np, executions). The TPU-native inversion of the
     reference's per-miss cv.wait on the hot path
     (archer_prefetch_handle.cpp:83-121): no per-layer host sync at all."""
+    if key_fn is None:
+        key_fn = lambda ids, j: np.unique(ids[j])  # noqa: E731
     held: set = set()
     try:
         for replay in range(limit):
@@ -87,7 +96,7 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int):
             keys = {
                 (mlis[j], int(e))
                 for j in range(ids_np.shape[0])
-                for e in np.unique(ids_np[j])
+                for e in key_fn(ids_np, j)
             }
             missing = [k for k in keys if k not in resident_at_dispatch]
             # re-protect exactly this run's working set (acquire protects
@@ -102,36 +111,50 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int):
             if not missing:
                 return outs, ids_np, replay + 1
         raise RuntimeError(
-            f"speculative execution did not converge in {limit} replays"
+            f"speculative execution did not converge in {limit} replays; "
+            f"the arena ({arena.num_slots} slots) likely cannot hold one "
+            "step's union of routed experts across MoE layers — raise "
+            "num_slots or disable speculative decode"
         )
     finally:
         if held:
             arena.release(sorted(held))
 
 
-def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1):
+def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
+                            n_feed=None):
     """After an accepted speculative step: record the realized routing in
     the EAMC tracer and (with prefetch on) warm the NEXT step's likely
     experts — those fetches overlap the next step's compute, and the
     dispatch-time residency snapshot keeps concurrently landing prefetches
     from corrupting verification. plan_floor: plan_prefetch current_layer
     (-1 = all MoE layers; seq2seq passes the first decoder layer - 1 since
-    the encoder never runs again)."""
-    if engine.tracer is None or not seq_ids:
+    the encoder never runs again). Batched callers pass per-row seq_ids
+    with None for inactive slots and n_feed [B] (real tokens per row this
+    step) so hole columns stay out of the trace."""
+    if engine.tracer is None or not seq_ids or not any(seq_ids):
         return
     for j, mli in enumerate(mlis):
         for b, sid in enumerate(seq_ids):
-            engine.tracer.update_entry(sid, ids_np[j, b].ravel(), mli)
+            if sid is None:
+                continue
+            row = ids_np[j, b]
+            if n_feed is not None:
+                if n_feed[b] == 0:
+                    continue
+                row = row[: int(n_feed[b])]
+            engine.tracer.update_entry(sid, row.ravel(), mli)
     if not engine.prefetch:
         return
+    first_sid = next(s for s in seq_ids if s is not None)
     # score from the FIRST plannable layer, not the last recorded one:
     # predict()'s within-step score zeroes every row below the layer just
     # seen, which would leave nothing to warm for the next step
     score = engine.predictor.predict_from(
-        seq_ids[0], from_layer=max(plan_floor + 1, 0)
+        first_sid, from_layer=max(plan_floor + 1, 0)
     )
     engine.arena.set_context(
-        mlis[-1], engine.tracer.get_entry_decoder(seq_ids[0]).matrix
+        mlis[-1], engine.tracer.get_entry_decoder(first_sid).matrix
     )
     orders = plan_prefetch(
         score, plan_floor, lookahead=None, budget=engine._current_budget(),

@@ -504,3 +504,20 @@ def test_sp_decoder_grok_arctic(rng, family):
     )
     got = dec.generate(np.asarray(tokens), max_new_tokens=STEPS)
     assert list(got[T:]) == want
+
+def test_sp_decoder_ragged_prompt(rng, tiny_model):
+    """Prompt length NOT divisible by the ring: the remainder rides the
+    decode path into the tail — still exact vs the single-device run."""
+    from moe_infinity_tpu.parallel.sequence import SPDecoder
+
+    model, params, experts = tiny_model
+    mesh = make_mesh(MeshPlan(seq=4))
+    B, T, STEPS = 1, 11, 5  # 11 % 4 == 3 remainder tokens
+    tokens = jnp.asarray(rng.integers(0, 128, (B, T)), jnp.int32)
+    want = _greedy_reference(model, params, experts, tokens, 32, STEPS)
+    dec = SPDecoder(
+        model, params, experts, mesh,
+        for_layer=ResidentProvider.for_layer, tail_cap=16,
+    )
+    got = dec.generate(np.asarray(tokens), max_new_tokens=STEPS)
+    assert list(got[T:]) == want
