@@ -212,6 +212,22 @@ class MoE:
                     speculative=config.speculative_decode,
                 )
                 self.generator = self.engine  # same generate() surface
+                # concurrent offload serving: joins encode through the
+                # engine's per-layer path; shared decode steps run as ONE
+                # verified speculative program over the arena
+                if config.max_batch_size > 1 and config.speculative_decode:
+                    from moe_infinity_tpu.runtime.continuous_s2s import (
+                        Seq2SeqContinuousBatcher,
+                    )
+
+                    self.s2s_batcher = Seq2SeqContinuousBatcher(
+                        self.model, self.params, None, None,
+                        engine=self.engine,
+                        impl=config.moe_impl,
+                        max_batch_size=config.max_batch_size,
+                        max_src_len=config.max_seq_len,
+                        max_decode_len=config.max_seq_len,
+                    )
             return
 
         # ---- decoder-only residency plan --------------------------------
@@ -437,6 +453,10 @@ class MoE:
         # so its speculative counters are the live ones
         if self.batcher is not None and getattr(self.batcher, "arena", None):
             out.update(self.batcher.stats())
+        if self.s2s_batcher is not None and getattr(
+            self.s2s_batcher, "engine", None
+        ):
+            out.update(self.s2s_batcher.stats())
         return out
 
     def save_trace(self, path: Optional[str] = None) -> None:
@@ -448,7 +468,7 @@ class MoE:
         # batchers first: their scheduler threads may hold arena keys
         if getattr(self, "batcher", None) is not None:
             self.batcher.shutdown()
-        if self.engine:
-            self.engine.arena.shutdown()
         if getattr(self, "s2s_batcher", None) is not None:
             self.s2s_batcher.shutdown()
+        if self.engine:
+            self.engine.arena.shutdown()

@@ -53,6 +53,7 @@ class _Slot:
     generated: list = field(default_factory=list)
     cur: int = 0  # token to feed next step
     active: bool = False
+    seq_id: Optional[str] = None  # EAMC tracer entry (offload mode)
 
 
 class Seq2SeqContinuousBatcher:
@@ -68,29 +69,77 @@ class Seq2SeqContinuousBatcher:
         max_src_len: int = 64,
         max_decode_len: int = 64,
         idle_sleep_s: float = 0.002,
+        engine=None,
+        max_replays: Optional[int] = None,
     ):
+        """engine: a Seq2SeqOffloadEngine for OFFLOAD mode — joins encode
+        through the engine's per-layer acquire/prefetch path, and every
+        shared decode step runs speculatively over the engine's arena
+        (one verified program, replayed after loading misses). Requires
+        the arena to hold one decode step's union of routed experts
+        across decoder MoE layers and active rows. Without an engine,
+        `experts`/`for_layer` carry the resident pytree."""
         self.model = model
         self.params = params
         self.experts = experts
+        self.engine = engine
+        self.max_replays = max_replays
+        self.replay_counts: list = []
         self.B = max_batch_size
         self.Se = int(max_src_len)
         self.cap = int(max_decode_len)
         self.idle_sleep_s = idle_sleep_s
         s = model.spec
 
-        self._encode = jax.jit(
-            lambda p, e, t, m: model.encode(p, e, t, m, for_layer, impl)
-        )
-        self._cross = jax.jit(model.cross_kv)
-
-        def step(p, e, tok, pos, kvs, enc_mask, ck_all, cv_all, offs):
-            cross = [(ck_all[i], cv_all[i]) for i in range(ck_all.shape[0])]
-            return model.decode_step(
-                p, e, tok, pos, kvs, jnp.int32(0), enc_mask, cross,
-                for_layer, impl, row_offsets=offs,
+        if engine is None:
+            self._encode = jax.jit(
+                lambda p, e, t, m: model.encode(p, e, t, m, for_layer, impl)
             )
+            self._cross = jax.jit(model.cross_kv)
 
-        self._step = jax.jit(step, donate_argnums=(4,))
+            def step(p, e, tok, pos, kvs, enc_mask, ck_all, cv_all, offs):
+                cross = [
+                    (ck_all[i], cv_all[i]) for i in range(ck_all.shape[0])
+                ]
+                return model.decode_step(
+                    p, e, tok, pos, kvs, jnp.int32(0), enc_mask, cross,
+                    for_layer, impl, row_offsets=offs,
+                )
+
+            self._step = jax.jit(step, donate_argnums=(4,))
+        else:
+            if engine.arena.num_slots < s.num_experts:
+                raise ValueError(
+                    "arena must fit one full MoE layer of experts"
+                )
+            self._dec_mlis = [
+                s.moe_layer_id(i, True)
+                for i in range(
+                    getattr(s, "decoder_layers", 0)
+                    or getattr(s, "num_decoder_layers", 0)
+                )
+                if s.is_sparse(i, True)
+            ]
+
+            def spec_step(p, tree, slot_rows, tok, pos, kvs, enc_mask,
+                          ck_all, cv_all, offs):
+                from moe_infinity_tpu.runtime.engine import _split_arena_tree
+
+                weights, biases = _split_arena_tree(tree)
+
+                def arena_layer(_experts, mli):
+                    return weights, slot_rows[mli], biases
+
+                cross = [
+                    (ck_all[i], cv_all[i]) for i in range(ck_all.shape[0])
+                ]
+                return model.decode_step(
+                    p, None, tok, pos, kvs, jnp.int32(0), enc_mask, cross,
+                    arena_layer, impl, row_offsets=offs,
+                )
+
+            # no donation: speculative replays re-feed the same pools
+            self._step = jax.jit(spec_step)
         self._seat_row = jax.jit(
             lambda full, row, b: jax.lax.dynamic_update_slice(
                 full, row[:, None], (0, b, 0, 0, 0)
@@ -162,12 +211,22 @@ class Seq2SeqContinuousBatcher:
             tok[0, : len(req.input_ids)] = req.input_ids
             mrow = np.zeros((1, S1), np.float32)
             mrow[0, : len(req.input_ids)] = 1.0
+            seq_id = None
             try:
-                enc = self._encode(
-                    self.params, self.experts, jnp.asarray(tok, jnp.int32),
-                    jnp.asarray(mrow),
-                )
-                rows = self._cross(self.params, enc)  # [(ck [1,S1,H,D], cv)]
+                if self.engine is None:
+                    enc = self._encode(
+                        self.params, self.experts,
+                        jnp.asarray(tok, jnp.int32), jnp.asarray(mrow),
+                    )
+                    rows = self._cross(self.params, enc)
+                else:
+                    # per-layer acquire/prefetch encode through the engine
+                    if self.engine.tracer is not None:
+                        seq_id = self.engine.tracer.create_entry()
+                    _enc, rows = self.engine.run_encoder(
+                        jnp.asarray(tok, jnp.int32), jnp.asarray(mrow),
+                        [seq_id] if seq_id else None,
+                    )
                 ck_row = jnp.stack([c[0][0] for c in rows])  # [L, S1, H, D]
                 cv_row = jnp.stack([c[1][0] for c in rows])
                 bi = jnp.int32(b)
@@ -175,7 +234,10 @@ class Seq2SeqContinuousBatcher:
                 self._cv = self._seat_row(self._cv, cv_row, bi)
             except Exception as e:  # a failed join-encode fails ONLY
                 req.future.set_exception(e)  # this request
+                if seq_id is not None:
+                    self.engine.tracer.finish_entry(seq_id)
                 continue
+            slot.seq_id = seq_id
             self._mask_host[b] = 0.0
             self._mask_host[b, : len(req.input_ids)] = 1.0
             self._mask_dev = jnp.asarray(self._mask_host)
@@ -188,6 +250,9 @@ class Seq2SeqContinuousBatcher:
     def _finish(self, slot: _Slot):
         req = slot.req
         start = self.model.spec.decoder_start_token_id
+        if slot.seq_id is not None:
+            self.engine.tracer.finish_entry(slot.seq_id)
+            slot.seq_id = None
         req.future.set_result(
             np.asarray([start] + slot.generated, dtype=np.int64)
         )
@@ -201,8 +266,22 @@ class Seq2SeqContinuousBatcher:
         for sl in self._slots:
             if sl.active:
                 sl.req.future.set_exception(exc)
+                if sl.seq_id is not None:
+                    self.engine.tracer.finish_entry(sl.seq_id)
+                    sl.seq_id = None
                 sl.req = None
                 sl.active = False
+
+    def stats(self) -> dict:
+        out = (
+            self.engine.arena.hit_stats() if self.engine is not None else {}
+        )
+        if self.replay_counts:
+            out["speculative_steps"] = len(self.replay_counts)
+            out["mean_step_executions"] = round(
+                sum(self.replay_counts) / len(self.replay_counts), 4
+            )
+        return out
 
     def _loop(self):
         start = self.model.spec.decoder_start_token_id
@@ -223,11 +302,54 @@ class Seq2SeqContinuousBatcher:
                     toks[b, 0] = sl.cur
                     offs[b] = len(sl.generated)
             offs_j = jnp.asarray(offs)
-            logits, self._kvs, _ = self._step(
-                self.params, self.experts, jnp.asarray(toks),
-                offs_j[:, None], self._kvs, self._mask_dev,
-                self._ck, self._cv, offs_j,
-            )
+            toks_j = jnp.asarray(toks)
+            if self.engine is None:
+                logits, self._kvs, _ = self._step(
+                    self.params, self.experts, toks_j,
+                    offs_j[:, None], self._kvs, self._mask_dev,
+                    self._ck, self._cv, offs_j,
+                )
+            else:
+                from moe_infinity_tpu.runtime.engine import (
+                    run_speculative,
+                    spec_trace_and_prefetch,
+                )
+
+                kvs = self._kvs
+
+                def run(tree, slot_rows):
+                    lg, new_kvs, t_ids = self._step(
+                        self.params, tree, slot_rows, toks_j,
+                        offs_j[:, None], kvs, self._mask_dev,
+                        self._ck, self._cv, offs_j,
+                    )
+                    return lg, new_kvs, t_ids
+
+                live = [
+                    b for b, sl in enumerate(self._slots) if sl.active
+                ]
+
+                def live_keys(ids, j):
+                    ids = np.asarray(ids)
+                    return np.unique(ids[j][live]) if live else np.empty(
+                        0, np.int64
+                    )
+
+                limit = self.max_replays or (len(self._dec_mlis) + 2)
+                (logits, self._kvs), ids_np, execs = run_speculative(
+                    self.engine.arena, self._dec_mlis, run, limit,
+                    key_fn=live_keys,
+                )
+                self.replay_counts.append(execs)
+                seq_ids = [
+                    sl.seq_id if sl.active else None for sl in self._slots
+                ]
+                spec_trace_and_prefetch(
+                    self.engine, ids_np, self._dec_mlis, seq_ids,
+                    plan_floor=(
+                        self._dec_mlis[0] - 1 if self._dec_mlis else -1
+                    ),
+                )
             nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
             for b, sl in enumerate(self._slots):
                 if not sl.active:

@@ -172,6 +172,23 @@ class Seq2SeqOffloadEngine:
         self.arena.release(keys)
         return x
 
+    def run_encoder(self, input_ids, mask, seq_ids=None):
+        """Per-layer (acquire/prefetch) encoder pass + cross K/V. Also the
+        join-encode path for the continuous seq2seq batcher in offload
+        mode."""
+        params, s = self.params, self.model.spec
+        x, bias, q_pos = self._enc_prelude(params, input_ids, mask)
+        for i, b in enumerate(params["enc_blocks"]):
+            if s.is_sparse(i, False):
+                x, h, cw, ids = self._enc_sparse(b, x, bias, q_pos)
+                x = self._moe(
+                    x, h, cw, ids, s.moe_layer_id(i, False), seq_ids
+                )
+            else:
+                x = self._enc_dense(b, x, bias, q_pos)
+        enc_out = self._enc_final(params, x)
+        return enc_out, self._cross(params, enc_out)
+
     # ---- speculative whole-step decode -------------------------------------
     def _speculative_step(
         self, params, cur_tok, positions, step, kvs, mask, cross,
@@ -268,17 +285,9 @@ class Seq2SeqOffloadEngine:
         )
 
         # ---- encoder ---------------------------------------------------
-        x, bias, q_pos = self._enc_prelude(
-            params, jnp.asarray(input_ids, jnp.int32), mask
+        enc_out, cross = self.run_encoder(
+            jnp.asarray(input_ids, jnp.int32), mask, seq_ids
         )
-        for i, b in enumerate(params["enc_blocks"]):
-            if s.is_sparse(i, False):
-                x, h, cw, ids = self._enc_sparse(b, x, bias, q_pos)
-                x = self._moe(x, h, cw, ids, s.moe_layer_id(i, False), seq_ids)
-            else:
-                x = self._enc_dense(b, x, bias, q_pos)
-        enc_out = self._enc_final(params, x)
-        cross = self._cross(params, enc_out)
 
         # ---- decoder ---------------------------------------------------
         cap = _bucket_len(max_new_tokens + 1)

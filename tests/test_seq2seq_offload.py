@@ -206,3 +206,52 @@ def test_switch_speculative_decode_matches_resident(setup):
         assert engine.replay_counts and max(engine.replay_counts) > 1
     finally:
         arena.shutdown()
+
+def test_continuous_offload_batcher_matches_resident(setup):
+    """Seq2seq CONTINUOUS batching in the OFFLOAD regime: joins encode
+    through the engine's per-layer path, shared decode steps run as ONE
+    verified speculative program over the arena; staggered concurrent
+    requests match the resident generator exactly."""
+    import time
+
+    from moe_infinity_tpu.runtime.continuous_s2s import (
+        Seq2SeqContinuousBatcher,
+    )
+
+    model, params, store_dir, gen_res = setup
+    # 6 slots of 16 (L x E): a decode step's union (<= 2 rows x 1 expert
+    # x 2 sparse decoder layers + encoder traffic) fits; residency churns
+    arena = ExpertArena(
+        ExpertStore(store_dir), 6, compute_dtype=jnp.float32, num_threads=2
+    )
+    tracer = ExpertTracer(16, 4, 4, num_encoder_layers=2)
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena,
+        tracer=tracer, predictor=ExpertPredictor(tracer), prefetch=True,
+        speculative=True,
+    )
+    batcher = Seq2SeqContinuousBatcher(
+        model, params, None, None, engine=engine,
+        max_batch_size=2, max_src_len=16, max_decode_len=16,
+    )
+    try:
+        p1 = np.array([5, 31, 8, 77, 2, 9])
+        p2 = np.array([9, 4, 61])
+        want1 = gen_res.generate(
+            p1[None], max_new_tokens=6, eos_token_id=None
+        ).sequences[0]
+        want2 = gen_res.generate(
+            p2[None], max_new_tokens=5, eos_token_id=None
+        ).sequences[0]
+        f1 = batcher.submit(p1, max_new_tokens=6, eos_token_id=None)
+        time.sleep(0.4)  # request 2 joins mid-decode
+        f2 = batcher.submit(p2, max_new_tokens=5, eos_token_id=None)
+        np.testing.assert_array_equal(f1.result(timeout=180), want1)
+        np.testing.assert_array_equal(f2.result(timeout=180), want2)
+        assert batcher.replay_counts, "speculative path not exercised"
+        s = batcher.stats()
+        assert s["speculative_steps"] == len(batcher.replay_counts)
+        assert s["visits"] > 0
+    finally:
+        batcher.shutdown()
+        arena.shutdown()
