@@ -215,19 +215,35 @@ class MoE:
                 # concurrent offload serving: joins encode through the
                 # engine's per-layer path; shared decode steps run as ONE
                 # verified speculative program over the arena
-                if config.max_batch_size > 1 and config.speculative_decode:
-                    from moe_infinity_tpu.runtime.continuous_s2s import (
-                        Seq2SeqContinuousBatcher,
-                    )
+                if config.max_batch_size > 1:
+                    if (
+                        config.speculative_decode
+                        and config.s2s_batcher == "continuous"
+                    ):
+                        from moe_infinity_tpu.runtime.continuous_s2s import (
+                            Seq2SeqContinuousBatcher,
+                        )
 
-                    self.s2s_batcher = Seq2SeqContinuousBatcher(
-                        self.model, self.params, None, None,
-                        engine=self.engine,
-                        impl=config.moe_impl,
-                        max_batch_size=config.max_batch_size,
-                        max_src_len=config.max_seq_len,
-                        max_decode_len=config.max_seq_len,
-                    )
+                        self.s2s_batcher = Seq2SeqContinuousBatcher(
+                            self.model, self.params, None, None,
+                            engine=self.engine,
+                            impl=config.moe_impl,
+                            max_batch_size=config.max_batch_size,
+                            max_src_len=config.max_seq_len,
+                            max_decode_len=config.max_seq_len,
+                        )
+                    else:
+                        # the wave batcher needs a resident expert pytree,
+                        # and offload batching rides speculative decode;
+                        # concurrent generate() calls still serialize
+                        # safely on the arena's client_lock
+                        logger.warning(
+                            "seq2seq offload plan: concurrent batching "
+                            "needs speculative_decode=True and "
+                            "s2s_batcher='continuous' (got %s/%s); "
+                            "requests will serialize",
+                            config.speculative_decode, config.s2s_batcher,
+                        )
             return
 
         # ---- decoder-only residency plan --------------------------------
@@ -439,7 +455,14 @@ class MoE:
             )
             self.last_result = result
             return result.sequences
-        result = self.generator.generate(np.asarray(input_ids), **kw)
+        if self.engine is not None:
+            # client_lock: a direct engine run must not protect arena keys
+            # concurrently with a batcher step (or another direct run) —
+            # two executors could together pin more slots than exist
+            with self.engine.arena.client_lock:
+                result = self.generator.generate(np.asarray(input_ids), **kw)
+        else:
+            result = self.generator.generate(np.asarray(input_ids), **kw)
         self.last_result = result
         return result.sequences
 

@@ -793,7 +793,10 @@ class SPDecoder:
         for i in range(r):  # remainder prompt tokens -> the tail
             logits = self.step(int(arr[0, T - r + i]), g)
             g += 1
-            tok = int(_np.asarray(jnp.argmax(logits[0, -1, :])))
+            if i == r - 1:  # only the last remainder's logits are used —
+                # skipping the intermediate host argmaxes lets the r tail
+                # steps dispatch back-to-back without device->host syncs
+                tok = int(_np.asarray(jnp.argmax(logits[0, -1, :])))
         generated = [tok]
         from moe_infinity_tpu.runtime.generate import eos_hit
 

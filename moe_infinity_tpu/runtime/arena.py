@@ -198,6 +198,11 @@ class ExpertArena:
 
         # ---- fetch machinery ---------------------------------------------
         self._lock = threading.Lock()  # protects all residency state
+        # serializes EXECUTORS (a continuous batcher's steps vs a direct
+        # engine.generate): two clients protecting key sets concurrently
+        # could together pin more than num_slots and deadlock acquire —
+        # one executor at a time keeps every protected set satisfiable
+        self.client_lock = threading.RLock()
         self._cv = threading.Condition(self._lock)
         self._queue: List[Tuple[int, int, int, Key]] = []  # (prio, gen, seq, key)
         self._seq = itertools.count()

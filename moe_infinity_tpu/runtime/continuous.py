@@ -161,15 +161,14 @@ class ContinuousBatcher:
         # derive per-layer pool shapes from the model's own cache layout
         # (MLA caches have asymmetric k/v slots, GQA has [Hkv, Dh], ...)
         probe = model.init_cache(1, 1)
-        table0 = jnp.zeros((self.B, self.max_pages_per_seq), jnp.int32)
-        self._kvs = [
-            PagedKVCache(
-                jnp.zeros((num_pages, page_size) + kv.k.shape[2:], kv.k.dtype),
-                jnp.zeros((num_pages, page_size) + kv.v.shape[2:], kv.v.dtype),
-                table0,
+        self._pool_specs = [
+            (
+                (num_pages, page_size) + kv.k.shape[2:], kv.k.dtype,
+                (num_pages, page_size) + kv.v.shape[2:], kv.v.dtype,
             )
             for kv in probe
         ]
+        self._kvs = self._fresh_pools()
 
         # ---- offload (speculative) mode ---------------------------------
         self.arena = arena
@@ -248,6 +247,15 @@ class ContinuousBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def _fresh_pools(self):
+        table0 = jnp.zeros((self.B, self.max_pages_per_seq), jnp.int32)
+        return [
+            PagedKVCache(
+                jnp.zeros(ks, kd), jnp.zeros(vs, vd), table0
+            )
+            for ks, kd, vs, vd in self._pool_specs
+        ]
+
     def _program(self, width: int):
         if width not in self._fwd:
             # resident mode donates the KV pools; speculative replays
@@ -297,12 +305,10 @@ class ContinuousBatcher:
         self._thread.join(timeout=5)
 
     def stats(self) -> dict:
+        from moe_infinity_tpu.runtime.engine import speculative_stats
+
         out = self.arena.hit_stats() if self.arena is not None else {}
-        if self.replay_counts:
-            out["speculative_steps"] = len(self.replay_counts)
-            out["mean_step_executions"] = round(
-                sum(self.replay_counts) / len(self.replay_counts), 4
-            )
+        out.update(speculative_stats(self.replay_counts))
         return out
 
     # ---- scheduler -------------------------------------------------------
@@ -376,9 +382,11 @@ class ContinuousBatcher:
         slot.active = False
 
     def _fail_all(self, exc: BaseException):
-        """Abort every active request (speculative non-convergence or a
-        fetch failure): the scheduler thread must survive, futures must
-        not hang."""
+        """Abort every active request (speculative non-convergence, fetch
+        failure, or any step error): the scheduler thread must survive,
+        futures must not hang. Rebuilds the KV pools — a step that failed
+        after dispatch may have consumed the donated buffers — and resets
+        the column timeline for the next admission."""
         for s in self._slots:
             if not s.active:
                 continue
@@ -389,6 +397,9 @@ class ContinuousBatcher:
             s.req.future.set_exception(exc)
             s.req = None
             s.active = False
+        self._kvs = self._fresh_pools()
+        self._col = 0
+        self._valid[:] = False
 
     def _current_budget(self) -> int:
         return self.prefetch_budget
@@ -399,196 +410,205 @@ class ContinuousBatcher:
             self._valid[:] = False
 
     def _loop(self):
-        last_tokens = np.zeros(self.B, dtype=np.int64)
+        self._last_tokens = np.zeros(self.B, dtype=np.int64)
         while not self._shutdown:
             self._reset_if_idle()
             if not self._admit():
                 time.sleep(self.idle_sleep_s)
                 continue
-            # ---- pick this step's width -------------------------------
-            W = (
-                self.chunk
-                if any(s.prefilling for s in self._slots)
-                and self._col + self.chunk <= self.max_cols
-                else 1
-            )
-            if self._col + W > self.max_cols:
-                # timeline exhausted with live slots: truncate them
-                for s in self._slots:
-                    if s.active:
-                        self._finish(s)
+            try:
+                self._step_iteration()
+            except Exception as e:
+                # any step failure (fetch error, device error, speculative
+                # non-convergence) aborts the batch but NOT the scheduler
+                self._fail_all(e)
+
+    def _step_iteration(self):
+        last_tokens = self._last_tokens
+        # ---- pick this step's width -------------------------------
+        W = (
+            self.chunk
+            if any(s.prefilling for s in self._slots)
+            and self._col + self.chunk <= self.max_cols
+            else 1
+        )
+        if self._col + W > self.max_cols:
+            # timeline exhausted with live slots: truncate them
+            for s in self._slots:
+                if s.active:
+                    self._finish(s)
+            return
+        # ---- build this step's inputs -----------------------------
+        toks = np.zeros((self.B, W), dtype=np.int32)
+        rope_pos = np.zeros((self.B, W), dtype=np.int32)
+        n_feed = np.zeros(self.B, dtype=np.int64)  # real tokens per row
+        for b, s in enumerate(self._slots):
+            if not s.active:
                 continue
-            # ---- build this step's inputs -----------------------------
-            toks = np.zeros((self.B, W), dtype=np.int32)
-            rope_pos = np.zeros((self.B, W), dtype=np.int32)
-            n_feed = np.zeros(self.B, dtype=np.int64)  # real tokens per row
-            for b, s in enumerate(self._slots):
-                if not s.active:
-                    continue
-                rope_pos[b] = self._logical[b] + np.arange(W)
-                if s.prefilling:
-                    n = min(W, len(s.req.input_ids) - s.prompt_pos)
-                    toks[b, :n] = s.req.input_ids[
-                        s.prompt_pos : s.prompt_pos + n
-                    ]
-                    n_feed[b] = n
-                else:
-                    toks[b, 0] = last_tokens[b]
-                    n_feed[b] = 1
-                self._valid[b, self._col : self._col + int(n_feed[b])] = True
-                # extend the page allocation over this step's columns
-                # (holes burn columns beyond the admission-time estimate)
-                try:
-                    self.alloc.allocate(
-                        id(s.req), self._col + W, start_token=s.start_col
-                    )
-                except RuntimeError:
-                    self._finish(s)  # pool exhausted: truncate this slot
-                    n_feed[b] = 0
-            table = self.alloc.table(
-                [id(s.req) if s.active else "__free__" for s in self._slots],
-                self.max_pages_per_seq,
-            )
-            kvs = [
-                PagedKVCache(c.pool_k, c.pool_v, jnp.asarray(table))
-                for c in self._kvs
-            ]
-            positions = np.broadcast_to(
-                self._col + np.arange(W, dtype=np.int32), (self.B, W)
-            )
-            toks_j = jnp.asarray(toks)
-            pos_j = jnp.asarray(positions)
-            rope_j = jnp.asarray(rope_pos)
-            valid_j = jnp.asarray(self._valid[:, : self.max_cols])
-            col_j = jnp.int32(self._col)
-            if self.arena is not None:
-                prog = self._program(W)
-
-                def run(tree, slot_rows):
-                    lg, new_kvs, (t_ids, _t_w) = prog(
-                        self._params, tree, slot_rows, toks_j, pos_j, kvs,
-                        col_j, rope_j, valid_j,
-                    )
-                    return lg, new_kvs, t_ids
-
-                limit = self.max_replays or (len(self._moe_lis) + 2)
-                # verify only live routing: inactive rows / masked hole
-                # columns carry garbage ids that must not force fetches
-                # (their outputs never reach an active row)
-                live = [
-                    (b, int(n_feed[b]))
-                    for b, s in enumerate(self._slots)
-                    if s.active and n_feed[b] > 0
+            rope_pos[b] = self._logical[b] + np.arange(W)
+            if s.prefilling:
+                n = min(W, len(s.req.input_ids) - s.prompt_pos)
+                toks[b, :n] = s.req.input_ids[
+                    s.prompt_pos : s.prompt_pos + n
                 ]
-
-                def live_keys(ids, j):
-                    return np.unique(
-                        np.concatenate(
-                            [ids[j, b, :n].ravel() for b, n in live]
-                        )
-                    ) if live else np.empty(0, np.int64)
-
-                try:
-                    (logits, kvs), ids_np, execs = run_speculative(
-                        self.arena, self._moe_lis, run, limit,
-                        key_fn=live_keys,
-                    )
-                except (RuntimeError, TimeoutError) as e:
-                    self._fail_all(e)
-                    continue
-                self.replay_counts.append(execs)
-                seq_ids = [
-                    s.seq_id if s.active else None for s in self._slots
-                ]
-                spec_trace_and_prefetch(
-                    self, ids_np, self._moe_lis, seq_ids, n_feed=n_feed
-                )
+                n_feed[b] = n
             else:
-                logits, kvs, _ = self._program(W)(
-                    self._params, self._experts, toks_j, pos_j, kvs,
+                toks[b, 0] = last_tokens[b]
+                n_feed[b] = 1
+            self._valid[b, self._col : self._col + int(n_feed[b])] = True
+            # extend the page allocation over this step's columns
+            # (holes burn columns beyond the admission-time estimate)
+            try:
+                self.alloc.allocate(
+                    id(s.req), self._col + W, start_token=s.start_col
+                )
+            except RuntimeError:
+                self._finish(s)  # pool exhausted: truncate this slot
+                n_feed[b] = 0
+        table = self.alloc.table(
+            [id(s.req) if s.active else "__free__" for s in self._slots],
+            self.max_pages_per_seq,
+        )
+        kvs = [
+            PagedKVCache(c.pool_k, c.pool_v, jnp.asarray(table))
+            for c in self._kvs
+        ]
+        positions = np.broadcast_to(
+            self._col + np.arange(W, dtype=np.int32), (self.B, W)
+        )
+        toks_j = jnp.asarray(toks)
+        pos_j = jnp.asarray(positions)
+        rope_j = jnp.asarray(rope_pos)
+        valid_j = jnp.asarray(self._valid[:, : self.max_cols])
+        col_j = jnp.int32(self._col)
+        if self.arena is not None:
+            prog = self._program(W)
+
+            def run(tree, slot_rows):
+                lg, new_kvs, (t_ids, _t_w) = prog(
+                    self._params, tree, slot_rows, toks_j, pos_j, kvs,
                     col_j, rope_j, valid_j,
                 )
-            self._kvs = kvs
-            active = [s for s in self._slots if s.active]
-            needs_counts = any(s.req.sampling.needs_counts for s in active)
-            needs_sampling = any(
-                not s.req.sampling.greedy_plain for s in active
-            )
-            if needs_counts:
-                # count this step's fed tokens (prompt for prefill rows;
-                # the previously generated token for decode rows) BEFORE
-                # sampling, so penalties see everything generated so far
-                fed_valid = np.zeros((self.B, W), dtype=bool)
-                gen_mask = np.zeros((self.B, W), dtype=bool)
-                for b, s in enumerate(self._slots):
-                    if not s.active or n_feed[b] == 0:
-                        continue
-                    fed_valid[b, : int(n_feed[b])] = True
-                    if not s.prefilling:
-                        # decode rows feed a *generated* token at index 0;
-                        # its first feed is the prompt's last token only
-                        # when generated is empty (prefill-final edge)
-                        gen_mask[b, 0] = len(s.generated) > 0
-                self._counts_full, self._counts_gen = self._update_counts(
-                    self._counts_full, self._counts_gen, jnp.asarray(toks),
-                    jnp.asarray(fed_valid), jnp.asarray(gen_mask),
-                )
-            if needs_sampling:
-                idx = np.maximum(n_feed - 1, 0).astype(np.int32)
-                sp = [
-                    s.req.sampling if s.active else _GREEDY
-                    for s in self._slots
-                ]
-                rp = RowParams.from_lists(
-                    [p.temperature for p in sp],
-                    [p.top_k for p in sp],
-                    [p.top_p for p in sp],
-                    [p.min_p for p in sp],
-                    [p.repetition_penalty for p in sp],
-                    [p.presence_penalty for p in sp],
-                    [p.frequency_penalty for p in sp],
-                )
-                seeds = jnp.asarray([p.seed for p in sp], jnp.int32)
-                counters = jnp.asarray(
-                    [len(s.generated) if s.active else 0 for s in self._slots],
-                    jnp.int32,
-                )
-                row_tok = np.asarray(
-                    self._sample(
-                        logits, jnp.asarray(idx), seeds, counters,
-                        self._counts_full, self._counts_gen, rp,
-                        self._bias_dev,
+                return lg, new_kvs, t_ids
+
+            limit = self.max_replays or (len(self._moe_lis) + 2)
+            # verify only live routing: inactive rows / masked hole
+            # columns carry garbage ids that must not force fetches
+            # (their outputs never reach an active row)
+            live = [
+                (b, int(n_feed[b]))
+                for b, s in enumerate(self._slots)
+                if s.active and n_feed[b] > 0
+            ]
+
+            def live_keys(ids, j):
+                return np.unique(
+                    np.concatenate(
+                        [ids[j, b, :n].ravel() for b, n in live]
                     )
-                )  # [B]
-                nxt = np.broadcast_to(row_tok[:, None], (self.B, W))
-            else:
-                nxt = np.asarray(jnp.argmax(logits, axis=-1))  # [B, W]
-            self._col += W
-            # ---- bookkeeping ------------------------------------------
+                ) if live else np.empty(0, np.int64)
+
+            # client_lock: a concurrent direct engine.generate (the
+            # facade's fallback for knobs the batcher lacks) must not
+            # protect arena keys while this step holds its union
+            with self.arena.client_lock:
+                (logits, kvs), ids_np, execs = run_speculative(
+                    self.arena, self._moe_lis, run, limit,
+                    key_fn=live_keys,
+                )
+            self.replay_counts.append(execs)
+            seq_ids = [
+                s.seq_id if s.active else None for s in self._slots
+            ]
+            spec_trace_and_prefetch(
+                self, ids_np, self._moe_lis, seq_ids, n_feed=n_feed
+            )
+        else:
+            logits, kvs, _ = self._program(W)(
+                self._params, self._experts, toks_j, pos_j, kvs,
+                col_j, rope_j, valid_j,
+            )
+        self._kvs = kvs
+        active = [s for s in self._slots if s.active]
+        needs_counts = any(s.req.sampling.needs_counts for s in active)
+        needs_sampling = any(
+            not s.req.sampling.greedy_plain for s in active
+        )
+        if needs_counts:
+            # count this step's fed tokens (prompt for prefill rows;
+            # the previously generated token for decode rows) BEFORE
+            # sampling, so penalties see everything generated so far
+            fed_valid = np.zeros((self.B, W), dtype=bool)
+            gen_mask = np.zeros((self.B, W), dtype=bool)
             for b, s in enumerate(self._slots):
                 if not s.active or n_feed[b] == 0:
                     continue
-                if s.prefilling:
-                    s.prompt_pos += int(n_feed[b])
-                    self._logical[b] += int(n_feed[b])
-                    if s.prefilling:
-                        continue  # still consuming the prompt
-                    # final prompt token consumed at chunk index n_feed-1:
-                    # its logits give the first generated token
-                    tok = int(nxt[b, int(n_feed[b]) - 1])
-                else:
-                    self._logical[b] += 1
-                    tok = int(nxt[b, 0])
-                s.generated.append(tok)
-                last_tokens[b] = tok
-                if s.req.on_token is not None:
-                    try:
-                        s.req.on_token(tok)
-                    except Exception:
-                        pass  # stream consumers must not stall decode
-                done = len(s.generated) >= s.req.max_new_tokens or (
-                    s.req.eos_token_id is not None
-                    and _eos_hit(tok, s.req.eos_token_id)
+                fed_valid[b, : int(n_feed[b])] = True
+                if not s.prefilling:
+                    # decode rows feed a *generated* token at index 0;
+                    # its first feed is the prompt's last token only
+                    # when generated is empty (prefill-final edge)
+                    gen_mask[b, 0] = len(s.generated) > 0
+            self._counts_full, self._counts_gen = self._update_counts(
+                self._counts_full, self._counts_gen, jnp.asarray(toks),
+                jnp.asarray(fed_valid), jnp.asarray(gen_mask),
+            )
+        if needs_sampling:
+            idx = np.maximum(n_feed - 1, 0).astype(np.int32)
+            sp = [
+                s.req.sampling if s.active else _GREEDY
+                for s in self._slots
+            ]
+            rp = RowParams.from_lists(
+                [p.temperature for p in sp],
+                [p.top_k for p in sp],
+                [p.top_p for p in sp],
+                [p.min_p for p in sp],
+                [p.repetition_penalty for p in sp],
+                [p.presence_penalty for p in sp],
+                [p.frequency_penalty for p in sp],
+            )
+            seeds = jnp.asarray([p.seed for p in sp], jnp.int32)
+            counters = jnp.asarray(
+                [len(s.generated) if s.active else 0 for s in self._slots],
+                jnp.int32,
+            )
+            row_tok = np.asarray(
+                self._sample(
+                    logits, jnp.asarray(idx), seeds, counters,
+                    self._counts_full, self._counts_gen, rp,
+                    self._bias_dev,
                 )
-                if done:
-                    self._finish(s)
+            )  # [B]
+            nxt = np.broadcast_to(row_tok[:, None], (self.B, W))
+        else:
+            nxt = np.asarray(jnp.argmax(logits, axis=-1))  # [B, W]
+        self._col += W
+        # ---- bookkeeping ------------------------------------------
+        for b, s in enumerate(self._slots):
+            if not s.active or n_feed[b] == 0:
+                continue
+            if s.prefilling:
+                s.prompt_pos += int(n_feed[b])
+                self._logical[b] += int(n_feed[b])
+                if s.prefilling:
+                    continue  # still consuming the prompt
+                # final prompt token consumed at chunk index n_feed-1:
+                # its logits give the first generated token
+                tok = int(nxt[b, int(n_feed[b]) - 1])
+            else:
+                self._logical[b] += 1
+                tok = int(nxt[b, 0])
+            s.generated.append(tok)
+            last_tokens[b] = tok
+            if s.req.on_token is not None:
+                try:
+                    s.req.on_token(tok)
+                except Exception:
+                    pass  # stream consumers must not stall decode
+            done = len(s.generated) >= s.req.max_new_tokens or (
+                s.req.eos_token_id is not None
+                and _eos_hit(tok, s.req.eos_token_id)
+            )
+            if done:
+                self._finish(s)

@@ -112,14 +112,7 @@ class Seq2SeqContinuousBatcher:
                 raise ValueError(
                     "arena must fit one full MoE layer of experts"
                 )
-            self._dec_mlis = [
-                s.moe_layer_id(i, True)
-                for i in range(
-                    getattr(s, "decoder_layers", 0)
-                    or getattr(s, "num_decoder_layers", 0)
-                )
-                if s.is_sparse(i, True)
-            ]
+            self._dec_mlis = engine.dec_mlis
 
             def spec_step(p, tree, slot_rows, tok, pos, kvs, enc_mask,
                           ck_all, cv_all, offs):
@@ -221,12 +214,15 @@ class Seq2SeqContinuousBatcher:
                     rows = self._cross(self.params, enc)
                 else:
                     # per-layer acquire/prefetch encode through the engine
+                    # (client_lock: its per-layer protections must not
+                    # overlap another executor's protected set)
                     if self.engine.tracer is not None:
                         seq_id = self.engine.tracer.create_entry()
-                    _enc, rows = self.engine.run_encoder(
-                        jnp.asarray(tok, jnp.int32), jnp.asarray(mrow),
-                        [seq_id] if seq_id else None,
-                    )
+                    with self.engine.arena.client_lock:
+                        _enc, rows = self.engine.run_encoder(
+                            jnp.asarray(tok, jnp.int32), jnp.asarray(mrow),
+                            [seq_id] if seq_id else None,
+                        )
                 ck_row = jnp.stack([c[0][0] for c in rows])  # [L, S1, H, D]
                 cv_row = jnp.stack([c[1][0] for c in rows])
                 bi = jnp.int32(b)
@@ -262,7 +258,9 @@ class Seq2SeqContinuousBatcher:
     def _fail_active(self, exc: BaseException):
         """Abort every active request: the scheduler thread must survive
         a failed encode/step, and futures must not hang (the wave
-        batcher's guard, batching.py _loop)."""
+        batcher's guard, batching.py _loop). Rebuilds the decode caches —
+        a step that failed after dispatch may have consumed the donated
+        pools (resident mode donates)."""
         for sl in self._slots:
             if sl.active:
                 sl.req.future.set_exception(exc)
@@ -271,16 +269,15 @@ class Seq2SeqContinuousBatcher:
                     sl.seq_id = None
                 sl.req = None
                 sl.active = False
+        self._kvs = self.model.init_cache(self.B, self.cap)
 
     def stats(self) -> dict:
+        from moe_infinity_tpu.runtime.engine import speculative_stats
+
         out = (
             self.engine.arena.hit_stats() if self.engine is not None else {}
         )
-        if self.replay_counts:
-            out["speculative_steps"] = len(self.replay_counts)
-            out["mean_step_executions"] = round(
-                sum(self.replay_counts) / len(self.replay_counts), 4
-            )
+        out.update(speculative_stats(self.replay_counts))
         return out
 
     def _loop(self):
@@ -295,71 +292,72 @@ class Seq2SeqContinuousBatcher:
                 self._fail_active(e)
 
     def _step_once(self, start: int):
-            toks = np.full((self.B, 1), start, np.int32)
-            offs = np.zeros(self.B, np.int32)
-            for b, sl in enumerate(self._slots):
-                if sl.active:
-                    toks[b, 0] = sl.cur
-                    offs[b] = len(sl.generated)
-            offs_j = jnp.asarray(offs)
-            toks_j = jnp.asarray(toks)
-            if self.engine is None:
-                logits, self._kvs, _ = self._step(
-                    self.params, self.experts, toks_j,
-                    offs_j[:, None], self._kvs, self._mask_dev,
+        toks = np.full((self.B, 1), start, np.int32)
+        offs = np.zeros(self.B, np.int32)
+        for b, sl in enumerate(self._slots):
+            if sl.active:
+                toks[b, 0] = sl.cur
+                offs[b] = len(sl.generated)
+        offs_j = jnp.asarray(offs)
+        toks_j = jnp.asarray(toks)
+        if self.engine is None:
+            logits, self._kvs, _ = self._step(
+                self.params, self.experts, toks_j,
+                offs_j[:, None], self._kvs, self._mask_dev,
+                self._ck, self._cv, offs_j,
+            )
+        else:
+            from moe_infinity_tpu.runtime.engine import (
+                run_speculative,
+                spec_trace_and_prefetch,
+            )
+
+            kvs = self._kvs
+
+            def run(tree, slot_rows):
+                lg, new_kvs, t_ids = self._step(
+                    self.params, tree, slot_rows, toks_j,
+                    offs_j[:, None], kvs, self._mask_dev,
                     self._ck, self._cv, offs_j,
                 )
-            else:
-                from moe_infinity_tpu.runtime.engine import (
-                    run_speculative,
-                    spec_trace_and_prefetch,
+                return lg, new_kvs, t_ids
+
+            live = [b for b, sl in enumerate(self._slots) if sl.active]
+
+            def live_keys(ids, j):
+                ids = np.asarray(ids)
+                return np.unique(ids[j][live]) if live else np.empty(
+                    0, np.int64
                 )
 
-                kvs = self._kvs
-
-                def run(tree, slot_rows):
-                    lg, new_kvs, t_ids = self._step(
-                        self.params, tree, slot_rows, toks_j,
-                        offs_j[:, None], kvs, self._mask_dev,
-                        self._ck, self._cv, offs_j,
-                    )
-                    return lg, new_kvs, t_ids
-
-                live = [
-                    b for b, sl in enumerate(self._slots) if sl.active
-                ]
-
-                def live_keys(ids, j):
-                    ids = np.asarray(ids)
-                    return np.unique(ids[j][live]) if live else np.empty(
-                        0, np.int64
-                    )
-
-                limit = self.max_replays or (len(self._dec_mlis) + 2)
+            limit = self.max_replays or (len(self._dec_mlis) + 2)
+            # client_lock: a concurrent direct engine.generate must not
+            # protect arena keys while this step holds its union
+            with self.engine.arena.client_lock:
                 (logits, self._kvs), ids_np, execs = run_speculative(
                     self.engine.arena, self._dec_mlis, run, limit,
                     key_fn=live_keys,
                 )
-                self.replay_counts.append(execs)
-                seq_ids = [
-                    sl.seq_id if sl.active else None for sl in self._slots
-                ]
-                spec_trace_and_prefetch(
-                    self.engine, ids_np, self._dec_mlis, seq_ids,
-                    plan_floor=(
-                        self._dec_mlis[0] - 1 if self._dec_mlis else -1
-                    ),
-                )
-            nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
-            for b, sl in enumerate(self._slots):
-                if not sl.active:
-                    continue
-                tok = int(nxt[b])
-                sl.generated.append(tok)
-                sl.cur = tok
-                done = len(sl.generated) >= sl.req.max_new_tokens or (
-                    sl.req.eos_token_id is not None
-                    and _eos_hit(tok, sl.req.eos_token_id)
-                )
-                if done:
-                    self._finish(sl)
+            self.replay_counts.append(execs)
+            seq_ids = [
+                sl.seq_id if sl.active else None for sl in self._slots
+            ]
+            spec_trace_and_prefetch(
+                self.engine, ids_np, self._dec_mlis, seq_ids,
+                plan_floor=(
+                    self._dec_mlis[0] - 1 if self._dec_mlis else -1
+                ),
+            )
+        nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
+        for b, sl in enumerate(self._slots):
+            if not sl.active:
+                continue
+            tok = int(nxt[b])
+            sl.generated.append(tok)
+            sl.cur = tok
+            done = len(sl.generated) >= sl.req.max_new_tokens or (
+                sl.req.eos_token_id is not None
+                and _eos_hit(tok, sl.req.eos_token_id)
+            )
+            if done:
+                self._finish(sl)

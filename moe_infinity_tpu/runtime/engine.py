@@ -52,6 +52,18 @@ def _split_arena_tree(tree: Dict[str, jax.Array]):
     return weights, (biases or None)
 
 
+def speculative_stats(replay_counts: Sequence[int]) -> dict:
+    """The /metrics counter block every speculative executor exposes."""
+    if not replay_counts:
+        return {}
+    return {
+        "speculative_steps": len(replay_counts),
+        "mean_step_executions": round(
+            sum(replay_counts) / len(replay_counts), 4
+        ),
+    }
+
+
 def run_speculative(arena: ExpertArena, mlis, run, limit: int,
                     key_fn=None):
     """Optimistic whole-step execution against the arena's current slots.
@@ -395,11 +407,7 @@ class OffloadEngine:
 
     def stats(self) -> dict:
         out = self.arena.hit_stats()
-        if self.replay_counts:
-            out["speculative_steps"] = len(self.replay_counts)
-            out["mean_step_executions"] = round(
-                sum(self.replay_counts) / len(self.replay_counts), 4
-            )
+        out.update(speculative_stats(self.replay_counts))
         return out
 
     def node_stats(self) -> dict:

@@ -78,6 +78,17 @@ class Seq2SeqOffloadEngine:
         self._last_layer_t = None
         if arena.num_slots < model.spec.num_experts:
             raise ValueError("arena must fit one full MoE layer of experts")
+        s = model.spec
+        # decoder sparse-layer ids, the rows of every speculative trace
+        # (shared with the continuous batcher's offload mode)
+        self.dec_mlis = [
+            s.moe_layer_id(i, True)
+            for i in range(
+                getattr(s, "decoder_layers", 0)
+                or getattr(s, "num_decoder_layers", 0)
+            )
+            if s.is_sparse(i, True)
+        ]
 
         m = model
         self._enc_prelude = jax.jit(m.enc_prelude)
@@ -299,14 +310,7 @@ class Seq2SeqOffloadEngine:
         cur_tok = jnp.full((B, 1), start, jnp.int32)
         sstate = None
         lp_tok, lp_top, lp_ids = [], [], []
-        dec_mlis = [
-            s.moe_layer_id(i, True)
-            for i in range(
-                getattr(s, "decoder_layers", 0)
-                or getattr(s, "num_decoder_layers", 0)
-            )
-            if s.is_sparse(i, True)
-        ]
+        dec_mlis = self.dec_mlis
         for step in range(max_new_tokens):
             positions = jnp.full((B, 1), step, jnp.int32)
             logits = None
@@ -375,12 +379,10 @@ class Seq2SeqOffloadEngine:
         )
 
     def stats(self) -> dict:
+        from moe_infinity_tpu.runtime.engine import speculative_stats
+
         out = self.arena.hit_stats()
-        if self.replay_counts:
-            out["speculative_steps"] = len(self.replay_counts)
-            out["mean_step_executions"] = round(
-                sum(self.replay_counts) / len(self.replay_counts), 4
-            )
+        out.update(speculative_stats(self.replay_counts))
         return out
 
     def node_stats(self) -> dict:
