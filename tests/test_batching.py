@@ -246,3 +246,43 @@ def test_s2s_continuous_switch_family(rng=None):
         np.testing.assert_array_equal(f2.result(timeout=120), want2)
     finally:
         batcher.shutdown()
+
+def test_s2s_continuous_survives_step_failure(s2s_setup):
+    """A failed shared decode step aborts in-flight futures, rebuilds the
+    decode caches, and the scheduler keeps serving."""
+    from moe_infinity_tpu.runtime.continuous_s2s import (
+        Seq2SeqContinuousBatcher,
+    )
+
+    model, params, experts, gen = s2s_setup
+    batcher = Seq2SeqContinuousBatcher(
+        model, params, experts, ResidentProvider.for_layer,
+        max_batch_size=2, max_src_len=16, max_decode_len=16,
+    )
+    orig = batcher._step
+    state = {"armed": True}
+
+    def poisoned(*a, **k):
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected step failure")
+        return orig(*a, **k)
+
+    batcher._step = poisoned
+    try:
+        f = batcher.submit(
+            np.array([5, 31]), max_new_tokens=4, eos_token_id=None
+        )
+        with pytest.raises(RuntimeError, match="injected"):
+            f.result(timeout=120)
+        batcher._step = orig
+        p = np.array([9, 4, 61])
+        want = gen.generate(
+            p[None], max_new_tokens=5, eos_token_id=None
+        ).sequences[0]
+        got = batcher.submit(
+            p, max_new_tokens=5, eos_token_id=None
+        ).result(timeout=120)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        batcher.shutdown()

@@ -366,3 +366,66 @@ class TestOffloadSpeculativeBatcher:
         for p, got in zip(prompts, results):
             want = gen.generate(p[None], max_new_tokens=5).sequences[0]
             np.testing.assert_array_equal(got, want)
+
+    def test_offload_batcher_survives_step_failure(self, offload_setup):
+        """An injected step failure fails the in-flight futures but the
+        scheduler thread survives, rebuilds the pools, and serves
+        subsequent requests correctly."""
+        gen, batcher, arena = offload_setup
+        orig = batcher._program
+        state = {"armed": True}
+
+        def poisoned(W):
+            prog = orig(W)
+
+            def wrapper(*a, **k):
+                if state["armed"]:
+                    state["armed"] = False
+                    raise RuntimeError("injected step failure")
+                return prog(*a, **k)
+
+            return wrapper
+
+        batcher._program = poisoned
+        try:
+            f = batcher.submit(np.array([5, 31]), max_new_tokens=4)
+            with pytest.raises(RuntimeError, match="injected"):
+                f.result(timeout=120)
+        finally:
+            batcher._program = orig
+        # the batcher still works after the failure
+        p = np.array([9, 3, 44])
+        want = gen.generate(p[None], max_new_tokens=5).sequences[0]
+        got = batcher.submit(p, max_new_tokens=5).result(timeout=120)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_resident_batcher_survives_step_failure(setup):
+    """Resident mode donates the KV pools; after a failed step the pools
+    are rebuilt and serving continues."""
+    model, gen, batcher = setup
+    orig = batcher._program
+    state = {"armed": True}
+
+    def poisoned(W):
+        prog = orig(W)
+
+        def wrapper(*a, **k):
+            if state["armed"]:
+                state["armed"] = False
+                raise RuntimeError("injected step failure")
+            return prog(*a, **k)
+
+        return wrapper
+
+    batcher._program = poisoned
+    try:
+        f = batcher.submit(np.array([5, 31, 8]), max_new_tokens=4)
+        with pytest.raises(RuntimeError, match="injected"):
+            f.result(timeout=120)
+    finally:
+        batcher._program = orig
+    p = np.array([7, 11, 13])
+    want = gen.generate(p[None], max_new_tokens=5).sequences[0]
+    got = batcher.submit(p, max_new_tokens=5).result(timeout=120)
+    np.testing.assert_array_equal(got, want)
