@@ -101,6 +101,8 @@ def expert_layout(config) -> ArchExpertLayout:
             ExpertTensorSpec("down_proj.weight", (d_ff, d_model)),
         )
         return ArchExpertLayout(arch, tensors, "silu", True)
+    if arch == "opt":  # dense decoder-only: no expert tensors at all
+        return ArchExpertLayout(arch, (), "relu", False)
     raise AssertionError(arch)
 
 

@@ -44,6 +44,7 @@ def _register_models():
     from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
     from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
     from moe_infinity_tpu.models.nllb import NllbModel, NllbSpec
+    from moe_infinity_tpu.models.opt import OPTModel, OPTSpec
     from moe_infinity_tpu.models.switch import SwitchModel, SwitchSpec
 
     _REGISTRY.update(
@@ -55,6 +56,7 @@ def _register_models():
             "nllb": (NllbSpec, NllbModel),
             "grok": (GrokSpec, GrokModel),
             "arctic": (ArcticSpec, ArcticModel),
+            "opt": (OPTSpec, OPTModel),
         }
     )
 
@@ -121,7 +123,6 @@ class MoE:
             checkpoint, config.offload_path, hf_config,
             expert_dtype=config.expert_dtype,
         )
-        store = ExpertStore(config.offload_path, load_mode=config.load_mode)
         dense = DenseArchive(config.offload_path)
 
         spec_cls, model_cls = _REGISTRY[self.arch]
@@ -135,6 +136,19 @@ class MoE:
 
         self.batcher = None
         self.s2s_batcher = None
+
+        # ---- dense-only archs (opt): no experts, no residency plan ------
+        if self.geometry.num_experts == 0:
+            self.engine = None
+            stepper = ResidentStepper(
+                self.model, self.params, {}, lambda experts, mli: experts,
+            )
+            self.generator = Generator(
+                stepper=stepper, max_seq_len=config.max_seq_len
+            )
+            return
+
+        store = ExpertStore(config.offload_path, load_mode=config.load_mode)
         # ---- residency budget ------------------------------------------
         expert_bytes_all = store.stride * store.num_layers * store.num_experts
         budget_all = config.device_memory_bytes

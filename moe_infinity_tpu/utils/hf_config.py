@@ -26,6 +26,11 @@ SUPPORTED_ARCHS = (
     "arctic",
     "deepseek_v3",
     "deepseek",
+    # dense decoder-only: the reference registers plain OPT in
+    # MODEL_MAPPING_NAMES (constants.py:22) and serves it with every
+    # layer treated as a dense offload unit; keep LAST so the MoE archs
+    # win substring matches
+    "opt",
 )
 
 
@@ -129,6 +134,11 @@ def parse_geometry(config) -> MoEGeometry:
             decoder_sparse_step=step,
             first_k_dense_replace=first_dense,
         )
+    if arch == "opt":  # dense decoder-only: no MoE geometry at all
+        return MoEGeometry(
+            arch=arch, num_moe_layers=0, num_experts=0,
+            num_encoder_moe_layers=0,
+        )
     raise AssertionError(arch)
 
 
@@ -173,6 +183,8 @@ def parse_expert_param(
     layout.
     """
     g = parse_geometry(config)
+    if g.num_experts == 0:  # dense-only archs (opt): nothing routes
+        return None
     pat = _EXPERT_PATTERNS[g.arch]
     m = pat.search(param_name)
     if not m:
