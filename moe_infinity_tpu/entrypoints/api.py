@@ -136,6 +136,7 @@ class MoE:
 
         self.batcher = None
         self.s2s_batcher = None
+        self.mesh = None
 
         # ---- dense-only archs (opt): no experts, no residency plan ------
         if self.geometry.num_experts == 0:
@@ -273,8 +274,48 @@ class MoE:
             provider = ResidentProvider(
                 store, dtype=compute_dtype, fuse_gateup=config.fuse_gateup
             )
+            experts_tree = provider.pytree()
+            if config.tensor_parallel * config.expert_parallel > 1:
+                # multi-chip resident serving: experts sharded on dim 0
+                # over the `expert` axis, dense weights TP-sharded where
+                # the arch has a sharding plan (replicated otherwise) —
+                # GSPMD inserts the collectives, the generate loop is
+                # unchanged (SURVEY.md §2.4 first-class EP/TP)
+                from jax.sharding import NamedSharding, PartitionSpec
+                from moe_infinity_tpu.parallel import (
+                    MeshPlan,
+                    expert_shardings,
+                    make_mesh,
+                    mixtral_param_shardings,
+                    shard_params,
+                )
+
+                if config.data_parallel > 1:
+                    raise NotImplementedError(
+                        "data_parallel replicas: run one engine per "
+                        "replica (the mesh axes here are model/expert)"
+                    )
+                self.mesh = make_mesh(
+                    MeshPlan(
+                        model=config.tensor_parallel,
+                        expert=config.expert_parallel,
+                    )
+                )
+                experts_tree = shard_params(
+                    experts_tree, expert_shardings(self.mesh, experts_tree)
+                )
+                if self.arch == "mixtral" and config.tensor_parallel > 1:
+                    self.params = shard_params(
+                        self.params,
+                        mixtral_param_shardings(self.mesh, self.params),
+                    )
+                else:
+                    rep = NamedSharding(self.mesh, PartitionSpec())
+                    self.params = jax.tree.map(
+                        lambda a: jax.device_put(a, rep), self.params
+                    )
             stepper = ResidentStepper(
-                self.model, self.params, provider.pytree(),
+                self.model, self.params, experts_tree,
                 ResidentProvider.for_layer,
                 impl=config.moe_impl, prefill_impl=config.prefill_impl,
             )
@@ -345,7 +386,7 @@ class MoE:
             )
             if self.engine is None:
                 self.batcher = ContinuousBatcher(
-                    self.model, self.params, provider.pytree(),
+                    self.model, self.params, experts_tree,
                     ResidentProvider.for_layer, **common,
                 )
             else:

@@ -429,3 +429,27 @@ def test_resident_batcher_survives_step_failure(setup):
     want = gen.generate(p[None], max_new_tokens=5).sequences[0]
     got = batcher.submit(p, max_new_tokens=5).result(timeout=120)
     np.testing.assert_array_equal(got, want)
+
+def test_fuzz_staggered_workload_matches_isolated(setup):
+    """Randomized staggered workload (seeded): many requests with random
+    prompts/lengths/budgets submitted at random times through the shared
+    batch must each match their isolated run exactly."""
+    import time
+
+    model, gen, batcher = setup
+    rng = np.random.default_rng(42)
+    prompts = [
+        rng.integers(1, 127, size=int(rng.integers(1, 9)))
+        for _ in range(10)
+    ]
+    budgets = [int(rng.integers(1, 9)) for _ in range(10)]
+    wants = [
+        gen.generate(p[None], max_new_tokens=m).sequences[0]
+        for p, m in zip(prompts, budgets)
+    ]
+    futures = []
+    for p, m in zip(prompts, budgets):
+        futures.append(batcher.submit(p, max_new_tokens=m))
+        time.sleep(float(rng.uniform(0.0, 0.15)))
+    for f, want in zip(futures, wants):
+        np.testing.assert_array_equal(f.result(timeout=240), want)

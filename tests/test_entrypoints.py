@@ -478,3 +478,27 @@ def test_generate_stops_on_any_of_multiple_eos(tiny_ckpt, tmp_path):
     )
     assert out.shape[1] == prompt.shape[1] + 1  # stopped at first token
     assert out[0, -1] == 100
+
+def test_moe_facade_multichip_resident(tiny_ckpt):
+    """tensor_parallel/expert_parallel config axes through the facade:
+    params TP-sharded, experts EP-sharded on the virtual 8-device mesh,
+    output identical to HF greedy (GSPMD inserts the collectives)."""
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64,
+         "tensor_parallel": 2, "expert_parallel": 4,
+         "max_batch_size": 1},
+    )
+    try:
+        assert engine.mesh is not None
+        assert dict(engine.mesh.shape)["expert"] == 4
+        prompt = np.array([[5, 9, 33]])
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0,
+        ).numpy()
+        got = engine.generate(prompt, max_new_tokens=6)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        engine.shutdown()
