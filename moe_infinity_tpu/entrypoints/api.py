@@ -137,6 +137,7 @@ class MoE:
         self.batcher = None
         self.s2s_batcher = None
         self.mesh = None
+        self.sp_decoder = None
 
         # ---- dense-only archs (opt): no experts, no residency plan ------
         if self.geometry.num_experts == 0:
@@ -319,6 +320,28 @@ class MoE:
                 ResidentProvider.for_layer,
                 impl=config.moe_impl, prefill_impl=config.prefill_impl,
             )
+            if config.sequence_parallel > 1:
+                # long-context lane: ring-attention prefill + SP decode
+                # over the frozen time shards (batch-1 greedy requests
+                # with prompts >= the ring size route here)
+                from moe_infinity_tpu.parallel import (
+                    MeshPlan as _MP,
+                    SPDecoder,
+                    make_mesh as _mm,
+                )
+
+                if config.tensor_parallel * config.expert_parallel > 1:
+                    raise NotImplementedError(
+                        "sequence_parallel is currently exclusive with "
+                        "tensor/expert_parallel"
+                    )
+                self.sp_decoder = SPDecoder(
+                    self.model, self.params, experts_tree,
+                    _mm(_MP(seq=config.sequence_parallel)),
+                    for_layer=ResidentProvider.for_layer,
+                    impl=config.moe_impl,
+                    tail_cap=config.max_seq_len,
+                )
         else:
             from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
             from moe_infinity_tpu.runtime.arena import ExpertArena
@@ -444,6 +467,23 @@ class MoE:
                 eos_token_id=kwargs.get("eos_token_id"),
             )
             return out[None]
+        # long-context lane first: SP prefill + SP decode over frozen time
+        # shards (greedy batch-1 prompts at least one ring long)
+        if (
+            self.sp_decoder is not None
+            and arr.shape[0] == 1
+            and not kwargs.get("do_sample")
+            and float(kwargs.get("temperature", 0.0) or 0.0) == 0.0
+            and not kwargs.get("logprobs")
+            and not kwargs.get("logit_bias")
+            and not kwargs.get("collect_trace")
+            and arr.shape[1] >= self.sp_decoder.s
+        ):
+            seq = self.sp_decoder.generate(
+                arr, max_new_tokens=kwargs.get("max_new_tokens", 32),
+                eos_token_id=kwargs.get("eos_token_id"),
+            )
+            return seq[None]
         if (
             self.batcher is not None
             and arr.shape[0] == 1

@@ -131,6 +131,12 @@ class EngineConfig:
     """Mesh axis sizes (data, model, expert). Product must divide the number
     of addressable devices; 1/1/1 means single chip."""
 
+    sequence_parallel: int = 1
+    """Long-context ring size: > 1 shards prompts over a `seq` mesh axis
+    (ring-attention prefill + SP decode over the frozen shards). Batch-1
+    greedy requests with prompts >= the ring size ride it; currently
+    exclusive with tensor/expert_parallel."""
+
     # ---- misc -----------------------------------------------------------
     seed: int = 0
     log_level: str = "INFO"

@@ -502,3 +502,33 @@ def test_moe_facade_multichip_resident(tiny_ckpt):
         np.testing.assert_array_equal(got, want)
     finally:
         engine.shutdown()
+
+def test_moe_facade_sequence_parallel(tiny_ckpt):
+    """sequence_parallel config: greedy batch-1 long prompts ride the SP
+    lane (ring prefill + SP decode over frozen shards), matching HF
+    exactly; short prompts fall through to the standard path."""
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64,
+         "sequence_parallel": 4, "max_batch_size": 1},
+    )
+    try:
+        assert engine.sp_decoder is not None
+        prompt = np.array([[5, 9, 33, 7, 41, 2, 88, 13, 4]])  # 9 tokens, ragged
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        ).numpy()
+        got = engine.generate(prompt, max_new_tokens=6, eos_token_id=None)
+        np.testing.assert_array_equal(got, want)
+        # short prompt: standard lane, still exact
+        short = np.array([[5, 9]])
+        want_s = hf.generate(
+            torch.tensor(short), max_new_tokens=4, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        ).numpy()
+        got_s = engine.generate(short, max_new_tokens=4, eos_token_id=None)
+        np.testing.assert_array_equal(got_s, want_s)
+    finally:
+        engine.shutdown()
