@@ -152,8 +152,9 @@ def bench_mixtral_offload(args):
         prefetch_budget=4,
         # whole-step decode: one compiled program per token instead of
         # 2 jits + 1 host sync per LAYER per token (the per-layer path is
-        # dispatch-bound through the measurement relay)
-        speculative=True,
+        # dispatch-bound through the measurement relay); spec blocks
+        # amortize that one dispatch over k tokens
+        speculative=True, spec_block=args.spec_block,
     )
     gen = Generator(stepper=engine, max_seq_len=256)
 
@@ -823,7 +824,7 @@ def bench_nllb_offload(args):
         tracer=tracer, predictor=ExpertPredictor(tracer),
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
         prefetch_budget=8, impl=args.moe_impl,
-        speculative=True,
+        speculative=True, spec_block=args.spec_block,
     )
 
     T = args.prompt
@@ -901,6 +902,9 @@ def main():
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))
+    p.add_argument("--spec-block", type=int, default=4,
+                   help="greedy decode steps per speculative program "
+                        "(offload presets; amortizes per-program dispatch)")
     p.add_argument("--fold-mla", action="store_true",
                    help="enable MLA weight folding (dsv2 preset; fewer "
                         "decode ops but +1.3 GB dense HBM — needs headroom "

@@ -226,6 +226,7 @@ class MoE:
                     prefetch=config.prefetch,
                     impl=config.moe_impl, prefill_impl=config.prefill_impl,
                     speculative=config.speculative_decode,
+                    spec_block=config.speculative_block,
                 )
                 self.generator = self.engine  # same generate() surface
                 # concurrent offload serving: joins encode through the
@@ -276,12 +277,19 @@ class MoE:
                 store, dtype=compute_dtype, fuse_gateup=config.fuse_gateup
             )
             experts_tree = provider.pytree()
-            if config.tensor_parallel * config.expert_parallel > 1:
+            n_mesh = (
+                config.data_parallel
+                * config.tensor_parallel
+                * config.expert_parallel
+            )
+            if n_mesh > 1:
                 # multi-chip resident serving: experts sharded on dim 0
                 # over the `expert` axis, dense weights TP-sharded where
-                # the arch has a sharding plan (replicated otherwise) —
-                # GSPMD inserts the collectives, the generate loop is
-                # unchanged (SURVEY.md §2.4 first-class EP/TP)
+                # the arch has a sharding plan (replicated otherwise),
+                # batch rows DP-sharded over the `data` axis — GSPMD
+                # inserts the collectives, the generate loop is unchanged
+                # (SURVEY.md §2.4 first-class DP/EP/TP; the reference has
+                # none of these — its server serializes requests)
                 from jax.sharding import NamedSharding, PartitionSpec
                 from moe_infinity_tpu.parallel import (
                     MeshPlan,
@@ -291,13 +299,9 @@ class MoE:
                     shard_params,
                 )
 
-                if config.data_parallel > 1:
-                    raise NotImplementedError(
-                        "data_parallel replicas: run one engine per "
-                        "replica (the mesh axes here are model/expert)"
-                    )
                 self.mesh = make_mesh(
                     MeshPlan(
+                        data=config.data_parallel,
                         model=config.tensor_parallel,
                         expert=config.expert_parallel,
                     )
@@ -320,6 +324,8 @@ class MoE:
                 ResidentProvider.for_layer,
                 impl=config.moe_impl, prefill_impl=config.prefill_impl,
             )
+            if config.data_parallel > 1:
+                stepper.set_data_sharding(self.mesh)
             if config.sequence_parallel > 1:
                 # long-context lane: ring-attention prefill + SP decode
                 # over the frozen time shards (batch-1 greedy requests
@@ -330,10 +336,10 @@ class MoE:
                     make_mesh as _mm,
                 )
 
-                if config.tensor_parallel * config.expert_parallel > 1:
+                if n_mesh > 1:
                     raise NotImplementedError(
                         "sequence_parallel is currently exclusive with "
-                        "tensor/expert_parallel"
+                        "data/tensor/expert_parallel"
                     )
                 self.sp_decoder = SPDecoder(
                     self.model, self.params, experts_tree,
@@ -375,6 +381,7 @@ class MoE:
                 prefetch=config.prefetch,
                 impl=config.moe_impl, prefill_impl=config.prefill_impl,
                 speculative=config.speculative_decode,
+                spec_block=config.speculative_block,
             )
             stepper = self.engine
         self.generator = Generator(

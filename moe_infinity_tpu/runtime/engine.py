@@ -196,12 +196,16 @@ class OffloadEngine:
         adaptive_budget: bool = True,
         speculative: bool = False,
         max_replays: Optional[int] = None,
+        spec_block: int = 1,
     ):
         self.model = model
         self.params = params
         self.arena = arena
         self.speculative = speculative
         self.max_replays = max_replays
+        self.spec_block = max(1, spec_block)
+        self._impl = impl
+        self._spec_block_cache: dict = {}
         self.replay_counts: list = []
         self.tracer = tracer
         self.predictor = predictor
@@ -268,6 +272,66 @@ class OffloadEngine:
                 for li in range(model.spec.num_layers)
                 if model.moe_layer_index(li) is not None
             ]
+
+    def _spec_block_fn(self, k: int):
+        """Jitted k-step GREEDY decode block: a lax.scan of k decode steps
+        inside ONE compiled program over the arena's current slot state —
+        routing for steps 2..k resolves in-program from the step before.
+        Returns (tokens [B, k], kvs, trace [L_moe, B, k*topk]). Amortizes
+        per-program dispatch/launch overhead by k."""
+        if k in self._spec_block_cache:
+            return self._spec_block_cache[k]
+        model, impl = self.model, self._impl
+
+        def spec_block(params, tree, slot_rows, tok0, pos0, kvs):
+            weights, biases = _split_arena_tree(tree)
+
+            def for_layer(_experts, mli):
+                return weights, slot_rows[mli], biases
+
+            def body(carry, _):
+                tok, pos, kvs = carry
+                positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
+                logits, kvs, (t_ids, _t_w) = model.forward(
+                    params, None, tok, positions, kvs, pos,
+                    for_layer=for_layer, impl=impl,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt[:, None], pos + 1, kvs), (nxt, t_ids)
+
+            (_, _, kvs), (toks, tids) = jax.lax.scan(
+                body, (tok0, jnp.int32(pos0), kvs), None, length=k
+            )
+            # tids [k, L_moe, B, 1, K] -> layer-major, batch at dim 1
+            tr = jnp.moveaxis(tids, 0, 2).reshape(
+                tids.shape[1], tids.shape[2], -1
+            )
+            return toks.T, kvs, tr  # toks [B, k]
+
+        fn = jax.jit(spec_block)
+        self._spec_block_cache[k] = fn
+        return fn
+
+    def decode_block(self, tok, pos: int, kv_caches, k: int, seq_ids=None):
+        """Run k greedy decode steps as one verified speculative program
+        (the whole block replays after loading any step's misses; the
+        accepted execution had every routed expert of every step
+        resident, so all k tokens are exact). Raises RuntimeError when
+        the arena cannot hold the block's expert union — callers drop to
+        single-step decode."""
+        fn = self._spec_block_fn(k)
+        params = self.params
+
+        def run(tree, slot_rows):
+            return fn(params, tree, slot_rows, tok, jnp.int32(pos), kv_caches)
+
+        limit = self.max_replays or (len(self._moe_lis) + 2 + k)
+        (toks, new_kvs), ids_np, execs = run_speculative(
+            self.arena, self._moe_lis, run, limit
+        )
+        self.replay_counts.append(execs)
+        spec_trace_and_prefetch(self, ids_np, self._moe_lis, seq_ids)
+        return np.asarray(toks), new_kvs
 
     # ---- Stepper protocol --------------------------------------------------
     def init_cache(self, batch: int, max_len: int):

@@ -61,6 +61,7 @@ class Seq2SeqOffloadEngine:
         adaptive_budget: bool = True,
         speculative: bool = False,
         max_replays: Optional[int] = None,
+        spec_block: int = 1,
     ):
         self.model = model
         self.params = params
@@ -73,7 +74,9 @@ class Seq2SeqOffloadEngine:
         self.adaptive_budget = adaptive_budget
         self.speculative = speculative
         self.max_replays = max_replays
+        self.spec_block = max(1, spec_block)
         self.replay_counts: list = []
+        self._impl = impl
         self._layer_seconds = None
         self._last_layer_t = None
         if arena.num_slots < model.spec.num_experts:
@@ -130,6 +133,86 @@ class Seq2SeqOffloadEngine:
                 )
 
             self._spec_step = jax.jit(spec_step)
+            self._spec_block_cache = {}
+
+    def _spec_block_fn(self, k: int):
+        """Jitted k-step GREEDY decode block over the arena's current slot
+        state: a lax.scan of k decode steps inside ONE compiled program —
+        routing for steps 2..k resolves in-program from the step before.
+        Returns (tokens [B, k], kvs, trace [L_moe, B, k*topk]). Amortizes
+        per-program dispatch/launch overhead by k (on remote-attached
+        chips dispatch dominates the offload decode step; on local chips
+        it removes k-1 host round-trips per k tokens)."""
+        if k in self._spec_block_cache:
+            return self._spec_block_cache[k]
+        m, impl = self.model, self._impl
+
+        def spec_block(params, tree, slot_rows, tok0, step0, kvs,
+                       enc_mask, cross):
+            weights, biases = _split_arena_tree(tree)
+
+            def for_layer(_experts, mli):
+                return weights, slot_rows[mli], biases
+
+            def body(carry, _):
+                tok, step, kvs = carry
+                positions = jnp.full((tok.shape[0], 1), step, jnp.int32)
+                logits, kvs, trace = m.decode_step(
+                    params, None, tok, positions, kvs, step, enc_mask,
+                    cross, for_layer, impl,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt[:, None], step + 1, kvs), (nxt, trace)
+
+            (_, _, kvs), (toks, traces) = jax.lax.scan(
+                body, (tok0, jnp.int32(step0), kvs), None, length=k
+            )
+            # decode_step's trace is either a list of per-layer [B, ...]
+            # id arrays (Switch) or one stacked [L, B, ...] array (NLLB);
+            # after the scan both carry a leading step axis k. Verification
+            # and the tracer want [L_moe, B, ...] — layer-major, batch at
+            # dim 1, steps folded into the trailing id row
+            if isinstance(traces, (list, tuple)):
+                traces = jnp.stack(traces, axis=1)  # [k, L, B, ...]
+            tr = jnp.moveaxis(traces, 0, 2).reshape(
+                traces.shape[1], traces.shape[2], -1
+            )
+            return toks.T, kvs, tr  # toks [B, k]
+
+        fn = jax.jit(spec_block)
+        self._spec_block_cache[k] = fn
+        return fn
+
+    def _speculative_block(
+        self, params, cur_tok, step, kvs, mask, cross, dec_mlis, seq_ids,
+        k: int,
+    ):
+        """Run k greedy decode steps as one verified speculative program.
+        The whole block replays after loading misses; the accepted
+        execution had every routed expert of every step resident, so all
+        k tokens are exact. Convergence: step 1 stabilizes like the
+        single-step case (its routing depends only on correct inputs),
+        and each stable step pins the next one's inputs."""
+        from moe_infinity_tpu.runtime.engine import run_speculative
+
+        fn = self._spec_block_fn(k)
+
+        def run(tree, slot_rows):
+            return fn(
+                params, tree, slot_rows, cur_tok, jnp.int32(step), kvs,
+                mask, cross,
+            )
+
+        limit = self.max_replays or (len(dec_mlis) + 2 + k)
+        (toks, new_kvs), ids_np, execs = run_speculative(
+            self.arena, dec_mlis, run, limit
+        )
+        self.replay_counts.append(execs)
+        spec_trace_and_prefetch(
+            self, ids_np, dec_mlis, seq_ids,
+            plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
+        )
+        return np.asarray(toks), new_kvs
 
     # ---- shared expert acquire/apply --------------------------------------
     def _tick_layer_clock(self):
@@ -311,7 +394,45 @@ class Seq2SeqOffloadEngine:
         sstate = None
         lp_tok, lp_top, lp_ids = [], [], []
         dec_mlis = self.dec_mlis
-        for step in range(max_new_tokens):
+        step = 0
+        while step < max_new_tokens:
+            # ---- k-step speculative block (greedy-only fast path) -------
+            if (
+                self.speculative
+                and self.spec_block > 1
+                and sp.trivial
+                and sp.logprobs == 0
+            ):
+                k = min(self.spec_block, max_new_tokens - step)
+                try:
+                    toks, kvs = self._speculative_block(
+                        params, cur_tok, step, kvs, mask, cross,
+                        dec_mlis, seq_ids, k,
+                    )
+                except RuntimeError as e:
+                    # the arena can't hold a k-step union of routed
+                    # experts (or the block didn't converge): drop to the
+                    # single-step speculative path, which has the tight
+                    # per-step union and convergence bound
+                    _log.warning(
+                        "speculative block decode disabled (%s); dropping "
+                        "to single-step speculative decode", e,
+                    )
+                    self.spec_block = 1
+                    continue
+                for jj in range(toks.shape[1]):
+                    nxt = toks[:, jj].astype(np.int64)
+                    out[~finished, step + jj + 1] = nxt[~finished]
+                    num_gen[~finished] += 1
+                    if eos_token_id is not None:
+                        finished |= eos_hit(nxt, eos_token_id)
+                        if finished.all():
+                            break
+                if finished.all():
+                    break
+                cur_tok = jnp.asarray(toks[:, -1:], jnp.int32)
+                step += k
+                continue
             positions = jnp.full((B, 1), step, jnp.int32)
             logits = None
             if self.speculative:
@@ -368,6 +489,7 @@ class Seq2SeqOffloadEngine:
                 if finished.all():
                     break
             cur_tok = jnp.asarray(nxt[:, None], jnp.int32)
+            step += 1
         if self.tracer is not None and seq_ids:
             for sid in seq_ids:
                 self.tracer.finish_entry(sid)

@@ -25,6 +25,9 @@ from moe_infinity_tpu.runtime.sampling import (
     SamplingParams,
     params_from_kwargs,
 )
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("generate")
 
 
 def eos_hit(tok, eos_token_id):
@@ -91,9 +94,43 @@ class ResidentStepper:
         # donate the KV cache so decode updates happen in place
         self._raw_fwd = fwd
         self._fwd = jax.jit(fwd, donate_argnums=(4,) if donate_kv else ())
+        self._dp_mesh = None
+        self._dp_axis = "data"
+
+    def set_data_sharding(self, mesh, axis: str = "data") -> None:
+        """Enable data parallelism: batch-dim-0 arrays (tokens, positions,
+        KV-cache leaves) are sharded over `axis` of `mesh` before each
+        launch, so GSPMD runs the whole step as DP replicas over the data
+        axis (batch rows divisible by the axis size; otherwise that array
+        stays replicated). The reference has no DP at all — its server
+        serializes requests through one model instance (SURVEY.md §2.4)."""
+        self._dp_mesh = mesh
+        self._dp_axis = axis
+
+    def _dp_put(self, tree, batch: int):
+        """Shard every array leaf whose leading dim is the batch over the
+        data axis; replicate the rest. No-op when DP is off."""
+        if self._dp_mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self._dp_mesh.shape[self._dp_axis]
+        rep = NamedSharding(self._dp_mesh, P())
+
+        def put(x):
+            if not hasattr(x, "ndim"):
+                return x
+            if x.ndim >= 1 and x.shape[0] == batch and batch % n == 0:
+                spec = P(self._dp_axis, *([None] * (x.ndim - 1)))
+                return jax.device_put(
+                    x, NamedSharding(self._dp_mesh, spec)
+                )
+            return jax.device_put(x, rep)
+
+        return jax.tree.map(put, tree)
 
     def init_cache(self, batch: int, max_len: int):
-        return self.model.init_cache(batch, max_len)
+        return self._dp_put(self.model.init_cache(batch, max_len), batch)
 
     def begin_sequences(self, batch: int):
         return None
@@ -102,6 +139,9 @@ class ResidentStepper:
         pass
 
     def forward(self, tokens, positions, kv, kv_len, seq_ids=None):
+        if self._dp_mesh is not None:
+            B = int(tokens.shape[0])
+            tokens, positions, kv = self._dp_put((tokens, positions, kv), B)
         return self._fwd(self.params, self.experts, tokens, positions, kv, kv_len)
 
     def decode_scan(self, tok0, pos0, kv, num_steps: int,
@@ -149,6 +189,10 @@ class ResidentStepper:
             self._scan_cache = {}
         if key not in self._scan_cache:
             self._scan_cache[key] = jax.jit(scan_fn, donate_argnums=(4,))
+        if self._dp_mesh is not None:
+            tok0, pos0, kv, sstate = self._dp_put(
+                (tok0, pos0, kv, sstate), B
+            )
         return self._scan_cache[key](
             self.params, self.experts, tok0, pos0, kv, sstate
         )
@@ -454,6 +498,20 @@ class Generator:
                 lp_ids.append(np.asarray(s.top_tokens))
 
         record_logprobs(sout)
+        # k-step speculative blocks (offload steppers with spec_block > 1):
+        # one compiled program yields k greedy tokens; buffered tokens are
+        # consumed by the normal per-step bookkeeping below with no extra
+        # device work. Greedy-only: sampling/logprobs/trace need per-step
+        # logits on host.
+        use_blocks = (
+            params.trivial
+            and params.logprobs == 0
+            and not collect_trace
+            and self.step_callback is None
+            and getattr(self.stepper, "speculative", False)
+            and hasattr(self.stepper, "decode_block")
+        )
+        pending: list = []
         cur = T
         for step in range(max_new_tokens):
             tok_host = np.asarray(next_tok)
@@ -467,6 +525,34 @@ class Generator:
             if step == max_new_tokens - 1:
                 cur += 1
                 break
+            if pending:
+                next_tok = pending.pop(0)
+                cur += 1
+                continue
+            if use_blocks and self.stepper.spec_block > 1:
+                k = min(self.stepper.spec_block, max_new_tokens - 1 - step)
+                if k >= 2:
+                    try:
+                        toks, kv = self.stepper.decode_block(
+                            jnp.asarray(tok_host[:, None], jnp.int32),
+                            cur, kv, k, seq_ids=seq_ids,
+                        )
+                    except RuntimeError as e:
+                        # arena can't hold a k-step union (or the block
+                        # didn't converge): single-step speculative decode
+                        # still has the tight per-step bound
+                        logger.warning(
+                            "speculative block decode disabled (%s); "
+                            "dropping to single-step decode", e,
+                        )
+                        self.stepper.spec_block = 1
+                    else:
+                        next_tok = toks[:, 0].astype(np.int64)
+                        pending = [
+                            toks[:, j].astype(np.int64) for j in range(1, k)
+                        ]
+                        cur += 1
+                        continue
             positions = jnp.full((B, 1), cur, jnp.int32)
             logits, kv, trace = self.stepper.forward(
                 jnp.asarray(tok_host[:, None], jnp.int32),

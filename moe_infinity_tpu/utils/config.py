@@ -124,6 +124,13 @@ class EngineConfig:
     after loading misses (exact; zero per-layer host sync). Requires the
     arena to hold one step's union of routed experts across MoE layers."""
 
+    speculative_block: int = 1
+    """With speculative_decode: run this many GREEDY decode steps per
+    compiled program (one lax.scan block, verified + replayed as a unit)
+    — amortizes per-program dispatch by the block size. Sampled/logprobs
+    requests fall back to single-step automatically; an arena too small
+    for a block's expert union downgrades to 1 at runtime."""
+
     # ---- parallelism ----------------------------------------------------
     data_parallel: int = 1
     tensor_parallel: int = 1

@@ -260,6 +260,53 @@ def test_speculative_decode_matches_resident(tiny_mixtral):
         arena.shutdown()
 
 
+def test_speculative_block_decode_matches_resident(tiny_mixtral):
+    """Multi-step speculative blocks through the Generator: k greedy
+    decode steps per compiled program (lax.scan), verified + replayed as
+    a unit — exact vs resident, including the ragged tail (8 tokens with
+    spec_block=3: prefill + blocks of 3, 3, 1->single-step)."""
+    cfg, model, params, store_dir = tiny_mixtral
+    provider = ResidentProvider(ExpertStore(store_dir), dtype=jnp.float32)
+    gen_res = Generator(
+        model, params, provider.pytree(), ResidentProvider.for_layer,
+        max_seq_len=64,
+    )
+    # a 3-step block's expert union can reach 3 layers x 4 routed x 3
+    # steps; 20 slots hold realistic unions while cold starts still replay
+    arena = make_arena(store_dir, 20)
+    tracer = ExpertTracer(16, L, E)
+    engine = OffloadEngine(
+        model, params, arena, tracer=tracer,
+        predictor=ExpertPredictor(tracer), prefetch=False, speculative=True,
+        spec_block=3,
+    )
+    try:
+        gen_off = Generator(stepper=engine, max_seq_len=64)
+        prompt = np.array([[5, 17, 31, 7], [9, 4, 2, 61]])
+        want = gen_res.generate(
+            prompt, max_new_tokens=8, eos_token_id=None
+        ).sequences
+        got = gen_off.generate(
+            prompt, max_new_tokens=8, eos_token_id=None
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.spec_block == 3  # never downgraded
+        assert engine.replay_counts and max(engine.replay_counts) > 1
+        # sampled decode must bypass blocks (needs per-step logits) and
+        # still be exact under the single-step speculative path
+        want_s = gen_res.generate(
+            prompt, max_new_tokens=6, eos_token_id=None,
+            temperature=0.8, top_k=4, seed=11,
+        ).sequences
+        got_s = gen_off.generate(
+            prompt, max_new_tokens=6, eos_token_id=None,
+            temperature=0.8, top_k=4, seed=11,
+        ).sequences
+        np.testing.assert_array_equal(got_s, want_s)
+    finally:
+        arena.shutdown()
+
+
 def test_speculative_with_prefetch_matches(tiny_mixtral):
     """speculative + prefetch: next-step warming runs concurrently with
     verification; the dispatch-time residency snapshot keeps it exact."""

@@ -503,6 +503,38 @@ def test_moe_facade_multichip_resident(tiny_ckpt):
     finally:
         engine.shutdown()
 
+def test_moe_facade_data_parallel(tiny_ckpt):
+    """data_parallel config through the facade: batch rows sharded over
+    the `data` mesh axis (composed with EP here: dp=2 x ep=4 on the
+    virtual 8-device mesh), output identical to HF greedy. A batch not
+    divisible by the data axis stays replicated and still matches."""
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64,
+         "data_parallel": 2, "expert_parallel": 4,
+         "max_batch_size": 1},
+    )
+    try:
+        assert dict(engine.mesh.shape)["data"] == 2
+        prompt = np.array([[5, 9, 33], [7, 21, 4]])  # B=2: dp-sharded
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        ).numpy()
+        got = engine.generate(prompt, max_new_tokens=6, eos_token_id=None)
+        np.testing.assert_array_equal(got, want)
+        odd = np.array([[5, 9, 33]])  # B=1: indivisible -> replicated
+        want_o = hf.generate(
+            torch.tensor(odd), max_new_tokens=4, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        ).numpy()
+        got_o = engine.generate(odd, max_new_tokens=4, eos_token_id=None)
+        np.testing.assert_array_equal(got_o, want_o)
+    finally:
+        engine.shutdown()
+
+
 def test_moe_facade_sequence_parallel(tiny_ckpt):
     """sequence_parallel config: greedy batch-1 long prompts ride the SP
     lane (ring prefill + SP decode over frozen shards), matching HF

@@ -207,6 +207,58 @@ def test_switch_speculative_decode_matches_resident(setup):
     finally:
         arena.shutdown()
 
+def test_switch_speculative_block_decode_matches_resident(setup):
+    """Multi-step speculative blocks: k greedy decode steps run as ONE
+    compiled lax.scan program, verified as a unit (the whole block
+    replays after loading any step's misses). Exact vs the resident
+    path under eviction pressure, including a ragged tail block
+    (8 tokens with k=3 -> blocks of 3, 3, 2)."""
+    model, params, store_dir, gen_res = setup
+    arena = ExpertArena(
+        ExpertStore(store_dir), 8, compute_dtype=jnp.float32, num_threads=2
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False, speculative=True,
+        spec_block=3,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9], [3, 50, 7, 2, 88, 4]])
+        want = gen_res.generate(
+            prompt, max_new_tokens=8, eos_token_id=None
+        ).sequences
+        got = engine.generate(
+            prompt, max_new_tokens=8, eos_token_id=None
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        assert engine.spec_block == 3  # never downgraded
+        assert engine.replay_counts and max(engine.replay_counts) > 1
+        # 3 blocks per request (3+3+2), not 8 per-step programs
+        assert len(engine.replay_counts) == 3
+    finally:
+        arena.shutdown()
+
+
+def test_speculative_block_eos_mid_block(setup):
+    """EOS landing mid-block: rows finishing inside a block stop
+    recording tokens at the same step the per-step path would."""
+    model, params, store_dir, gen_res = setup
+    arena = ExpertArena(
+        ExpertStore(store_dir), 8, compute_dtype=jnp.float32, num_threads=2
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False, speculative=True,
+        spec_block=4,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+    finally:
+        arena.shutdown()
+
+
 def test_continuous_offload_batcher_matches_resident(setup):
     """Seq2seq CONTINUOUS batching in the OFFLOAD regime: joins encode
     through the engine's per-layer path, shared decode steps run as ONE
