@@ -902,9 +902,11 @@ def main():
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))
-    p.add_argument("--spec-block", type=int, default=4,
+    p.add_argument("--spec-block", type=int, default=2,
                    help="greedy decode steps per speculative program "
-                        "(offload presets; amortizes per-program dispatch)")
+                        "(offload presets; amortizes per-program dispatch — "
+                        "k=2 measured best on the relay: larger blocks lose "
+                        "more to whole-block replays + coarser prefetch)")
     p.add_argument("--fold-mla", action="store_true",
                    help="enable MLA weight folding (dsv2 preset; fewer "
                         "decode ops but +1.3 GB dense HBM — needs headroom "

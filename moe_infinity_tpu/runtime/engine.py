@@ -134,7 +134,7 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
 
 
 def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
-                            n_feed=None):
+                            n_feed=None, budget_scale=1):
     """After an accepted speculative step: record the realized routing in
     the EAMC tracer and (with prefetch on) warm the NEXT step's likely
     experts — those fetches overlap the next step's compute, and the
@@ -168,8 +168,11 @@ def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
     engine.arena.set_context(
         mlis[-1], engine.tracer.get_entry_decoder(first_sid).matrix
     )
+    # budget_scale: k-step blocks plan once per k tokens, so each plan may
+    # warm k steps' worth of experts without outpacing the interconnect
     orders = plan_prefetch(
-        score, plan_floor, lookahead=None, budget=engine._current_budget(),
+        score, plan_floor, lookahead=None,
+        budget=engine._current_budget() * max(1, budget_scale),
         is_resident=engine.arena.is_resident,
     )
     if orders:
@@ -330,7 +333,9 @@ class OffloadEngine:
             self.arena, self._moe_lis, run, limit
         )
         self.replay_counts.append(execs)
-        spec_trace_and_prefetch(self, ids_np, self._moe_lis, seq_ids)
+        spec_trace_and_prefetch(
+            self, ids_np, self._moe_lis, seq_ids, budget_scale=k
+        )
         return np.asarray(toks), new_kvs
 
     # ---- Stepper protocol --------------------------------------------------

@@ -211,6 +211,7 @@ class Seq2SeqOffloadEngine:
         spec_trace_and_prefetch(
             self, ids_np, dec_mlis, seq_ids,
             plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
+            budget_scale=k,
         )
         return np.asarray(toks), new_kvs
 

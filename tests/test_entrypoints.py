@@ -423,6 +423,32 @@ def test_moe_facade_speculative_decode(tiny_ckpt):
         engine.shutdown()
 
 
+def test_moe_facade_speculative_block(tiny_ckpt):
+    """speculative_block=3 through the facade: k greedy tokens per
+    compiled speculative program, HF-greedy exact (arena big enough to
+    hold a block's expert union: all 8 (layer, expert) pairs)."""
+    path, hf = tiny_ckpt
+    engine = MoE(
+        path,
+        {"expert_dtype": "float32", "max_seq_len": 64,
+         "device_memory_bytes": 1, "num_slots": 8,
+         "speculative_decode": True, "speculative_block": 3,
+         "prefetch": False, "max_batch_size": 1},
+    )
+    try:
+        assert engine.engine.spec_block == 3
+        prompt = np.array([[5, 9, 33]])
+        got = engine.generate(prompt, max_new_tokens=7, eos_token_id=None)
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=7, do_sample=False,
+            pad_token_id=0, eos_token_id=None,
+        ).numpy()
+        np.testing.assert_array_equal(got, want)
+        assert engine.engine.replay_counts
+    finally:
+        engine.shutdown()
+
+
 def test_moe_facade_offload_pooled_batcher(tiny_ckpt):
     """speculative_decode + max_batch_size > 1 through the offload plan:
     the facade wires the continuous batcher to the engine's arena; pooled
