@@ -69,14 +69,16 @@ def main() -> int:
         y = x
         for _ in range(n):
             y = step(y)
-        y.block_until_ready()
+        # force a host readback: on some transports block_until_ready
+        # resolves before the device work drains
+        np.asarray(y[:1, :1])
 
     def run_uploads(m, out):
         bufs = []
         for _ in range(m):
             bufs.append(jax.device_put(rec, dev))
         for b in bufs:
-            b.block_until_ready()
+            np.asarray(b[:1])  # host readback = upload actually landed
         out.append(len(bufs))
 
     # 1) compute alone
