@@ -875,8 +875,78 @@ def bench_nllb_offload(args):
     }
 
 
+def bench_real_ckpt(args):
+    """End-to-end real-checkpoint serving: HF checkpoint dir ->
+    ingest -> expert store -> facade plan (resident or offload) ->
+    greedy generate, timed. Proves the reference's whole pipeline
+    (/root/reference/moe_infinity/entrypoints/big_modeling.py:100-150)
+    on whatever real weights the driver provides via --real-ckpt.
+
+    The environment this repo is built in ships no pretrained MoE
+    checkpoints (verified: no HF cache, zero egress), so without
+    --real-ckpt this preset reports that honestly instead of faking it.
+    """
+    import os
+
+    if not args.real_ckpt or not os.path.isdir(args.real_ckpt):
+        return {
+            "metric": "real_ckpt_e2e",
+            "value": 0.0,
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "error": "no real checkpoint available in this environment; "
+                     "pass --real-ckpt PATH to an HF checkpoint dir",
+        }
+
+    from moe_infinity_tpu.entrypoints.api import MoE
+
+    moe = MoE(args.real_ckpt)
+    tok = None
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.real_ckpt)
+        prompt = np.asarray(
+            tok("The capital of France is", return_tensors="np").input_ids,
+            dtype=np.int64,
+        )
+    except Exception:  # noqa: BLE001 — tokenizer optional for the timing
+        vocab = getattr(moe.hf_config, "vocab_size", 1000)
+        prompt = (np.arange(args.prompt, dtype=np.int64)[None] * 17 + 3) % (
+            vocab - 10
+        )
+
+    n = args.tokens
+    out = moe.generate(prompt, max_new_tokens=2)  # warm/compile
+    t0 = time.perf_counter()
+    out = moe.generate(prompt, max_new_tokens=n)
+    dt = time.perf_counter() - t0
+    new_tokens = np.asarray(out)[:, prompt.shape[1]:] if (
+        np.asarray(out).shape[1] > prompt.shape[1]
+    ) else np.asarray(out)
+    # non-degenerate: the model must not emit one token on repeat
+    degenerate = bool(new_tokens.size > 3 and len(set(
+        new_tokens.reshape(-1).tolist()
+    )) == 1)
+    result = {
+        "metric": "real_ckpt_e2e",
+        "value": round(prompt.shape[0] * n / dt, 3),
+        "unit": "tokens/s",
+        "vs_baseline": 1.0,
+        "arch": moe.arch,
+        "plan": "offload" if moe.engine is not None else "resident",
+        "degenerate_output": degenerate,
+    }
+    if tok is not None:
+        result["sample"] = tok.decode(
+            new_tokens[0].tolist(), skip_special_tokens=True
+        )[:120]
+    return result
+
+
 PRESETS = {
     "tiny": bench_tiny,
+    "real-ckpt": bench_real_ckpt,
     "switch-throughput": bench_switch_throughput,
     "switch-latency": bench_switch_latency,
     "mixtral-offload": bench_mixtral_offload,
@@ -886,7 +956,7 @@ PRESETS = {
 }
 
 
-def main():
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="switch-throughput", choices=PRESETS)
     p.add_argument("--tokens", type=int, default=64)
@@ -914,10 +984,108 @@ def main():
     p.add_argument("--fuse-gateup", action="store_true",
                    help="enable fused gate+up expert weights (dsv2 preset; "
                         "bigger weight-generation transient)")
-    args = p.parse_args()
-    result = PRESETS[args.preset](args)
-    print(json.dumps(result))
+    p.add_argument("--no-fallback", action="store_true",
+                   help="fail hard instead of degrading down the preset "
+                        "fallback chain")
+    p.add_argument("--real-ckpt", default="",
+                   help="path to a real HF checkpoint dir; runs the "
+                        "ingest->store->facade->generate pipeline on it "
+                        "instead of synthetic weights (real-ckpt preset)")
+    return p
+
+
+def _is_transient(exc) -> bool:
+    """Remote-compile relay hiccups: HTTP 5xx, subprocess signals, DEADLINE.
+    These are worth one retry; real OOM/compile errors are not."""
+    s = str(exc)
+    return any(
+        m in s
+        for m in (
+            "HTTP 500", "HTTP 502", "HTTP 503", "remote_compile",
+            "subprocess exit signal", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+            "Connection refused", "Socket closed",
+        )
+    )
+
+
+# Ordered degradation chain: each entry is (preset, arg overrides). The
+# first preset is whatever the user asked for; on failure we walk down —
+# smaller compiles, fewer layers — until SOMETHING emits a verified JSON
+# line. A verified smaller number beats a failed headline (round-1 lesson:
+# BENCH_r01.json died rc=1 in the headline preset's big scan compile).
+FALLBACK_CHAIN = [
+    ("switch-throughput", {}),
+    ("switch-throughput", {"layers": 12, "tokens": 32}),
+    ("dsv2lite-resident", {}),
+    ("dsv2lite-resident", {"layers": 14, "tokens": 32}),
+    ("mixtral-resident", {"layers": 8, "tokens": 32}),
+    ("tiny", {}),
+]
+
+
+def _run_preset(args, retries=1):
+    """Run one preset; retry once on transient relay errors."""
+    attempt = 0
+    while True:
+        try:
+            return PRESETS[args.preset](args)
+        except Exception as e:  # noqa: BLE001 — bench must not die silently
+            if attempt < retries and _is_transient(e):
+                attempt += 1
+                print(f"[bench] transient failure ({type(e).__name__}); "
+                      f"retry {attempt}/{retries} after 10s",
+                      file=sys.stderr, flush=True)
+                time.sleep(10)
+                continue
+            raise
+
+
+def main():
+    args = build_parser().parse_args()
+    if args.real_ckpt:
+        args.preset = "real-ckpt"
+
+    chain = [(args.preset, {})]
+    if not args.no_fallback:
+        chain += [
+            (name, over) for name, over in FALLBACK_CHAIN
+            if name != args.preset
+        ]
+
+    errors = []
+    for preset, over in chain:
+        run_args = argparse.Namespace(**vars(args))
+        run_args.preset = preset
+        for k, v in over.items():
+            setattr(run_args, k, v)
+        try:
+            result = _run_preset(run_args)
+            if errors:
+                result["fallback_from"] = args.preset
+                result["errors"] = errors[:3]
+            print(json.dumps(result))
+            return 0
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            errors.append(f"{preset}: {type(e).__name__}: {str(e)[:200]}")
+            print(f"[bench] preset {preset} failed; "
+                  f"{'degrading' if not args.no_fallback else 'aborting'}",
+                  file=sys.stderr, flush=True)
+            if args.no_fallback:
+                break
+
+    # Even a total wipeout emits one parseable JSON line for the driver.
+    print(json.dumps({
+        "metric": "bench_failed",
+        "value": 0.0,
+        "unit": "none",
+        "vs_baseline": 0.0,
+        "errors": errors,
+    }))
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

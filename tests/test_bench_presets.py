@@ -12,11 +12,16 @@ import pytest
 
 
 def _args(**over):
-    base = dict(
-        preset="", tokens=4, prompt=4, layers=4, slots=0, hbm_gb=13.0,
-        threads=2, lookahead=2, policy="priority", arena_dtype="int4",
-        no_prefetch=False, batch=2, moe_impl="gather", fold_mla=False,
-        fuse_gateup=False,
+    # Derive defaults from bench.py's own argparse parser so a new preset
+    # flag can never drift out of sync with this test again (round-1
+    # regression: spec_block was added to presets but not here).
+    sys.path.insert(0, "/root/repo")
+    import bench as bench_mod
+
+    base = vars(bench_mod.build_parser().parse_args([]))
+    base.update(
+        tokens=4, prompt=4, layers=4, threads=2, lookahead=2, batch=2,
+        moe_impl="gather",
     )
     base.update(over)
     return types.SimpleNamespace(**base)
