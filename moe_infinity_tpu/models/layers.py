@@ -125,6 +125,31 @@ class KVCache(NamedTuple):
         return KVCache(k, v)
 
 
+# Attention implementation selector. "auto" uses the Pallas flash kernels
+# on TPU and the einsum oracle elsewhere; tests pin it explicitly. Read at
+# TRACE time — set it before building jitted programs.
+_ATTN_IMPL = "auto"  # "auto" | "flash" | "naive"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    if impl not in ("auto", "flash", "naive"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    _ATTN_IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _ATTN_IMPL
+
+
+def _flash_enabled() -> bool:
+    if _ATTN_IMPL == "flash":
+        return True
+    if _ATTN_IMPL == "naive":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def attend(
     q: jax.Array,  # [B, T, H, Dh] (rope already applied)
     k_cache: jax.Array,  # [B, S, Hkv, Dh]
@@ -139,34 +164,123 @@ def attend(
     pad_mask: Optional[jax.Array] = None,  # [B, S] True = valid key
 ) -> jax.Array:
     """Masked multi-head attention over a (possibly over-allocated) KV cache.
-    GQA: q heads grouped onto kv heads by repetition. Softmax in f32."""
+    GQA: q heads grouped onto kv heads (grouped einsum — the cache is read
+    once, never repeated). Softmax in f32.
+
+    Dispatches to the Pallas flash kernels on TPU (tiled online softmax for
+    prefill, live-length-bounded DMA for decode); this einsum body is the
+    numerics oracle everywhere else. The reference relies on optional
+    FlashAttention-2 (/root/reference/moe_infinity/entrypoints/
+    big_modeling.py:125-148)."""
+    if _flash_enabled():
+        from moe_infinity_tpu.ops.flash_attention import flash_attend
+
+        out = flash_attend(
+            q, k_cache, v_cache, q_positions, kv_len,
+            scale=scale, causal=causal, logit_softcap=logit_softcap,
+            bias=bias, pad_mask=pad_mask,
+        )
+        if out is not None:  # None = shape unsupported by the kernel
+            return out
+    return attend_reference(
+        q, k_cache, v_cache, q_positions, kv_len,
+        scale=scale, causal=causal, logit_softcap=logit_softcap,
+        bias=bias, pad_mask=pad_mask,
+    )
+
+
+def attend_cache(
+    q: jax.Array,  # [B, T, H, Dh]
+    kv,  # KVCache or PagedKVCache (already updated with this step's K/V)
+    q_positions: jax.Array,
+    kv_len: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    logit_softcap: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    pad_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """attend() over a cache OBJECT. For a paged cache on TPU, decode steps
+    read K/V pages in place via the paged flash kernel — no
+    ``pool[page_table]`` materialization; everything else routes through
+    attend() on the gathered view."""
+    if (
+        _flash_enabled()
+        and q.shape[1] == 1
+        and causal
+        and bias is None
+        and hasattr(kv, "pool_k")
+    ):
+        from moe_infinity_tpu.ops.flash_attention import paged_flash_decode
+
+        B = q.shape[0]
+        row_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+        row_len = jnp.minimum(
+            row_len, q_positions[:, 0].astype(jnp.int32) + 1
+        )
+        out = paged_flash_decode(
+            q[:, 0], kv.pool_k, kv.pool_v, kv.page_table, row_len,
+            scale=scale, logit_softcap=logit_softcap, pad_mask=pad_mask,
+        )
+        if out is not None:
+            return out[:, None]
+    return attend(
+        q, kv.k, kv.v, q_positions, kv_len,
+        scale=scale, causal=causal, logit_softcap=logit_softcap,
+        bias=bias, pad_mask=pad_mask,
+    )
+
+
+def attend_reference(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_positions: jax.Array,
+    kv_len: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    logit_softcap: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    pad_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The einsum oracle (see attend)."""
     B, T, H, Dh = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
     if scale is None:
         scale = Dh ** -0.5
     rep = H // Hkv
-    if rep > 1:
-        k_cache = jnp.repeat(k_cache, rep, axis=2)
-        v_cache = jnp.repeat(v_cache, rep, axis=2)
 
+    # grouped GQA: contract q [B,T,Hkv,rep,Dh] against the cache once
+    qg = q.reshape(B, T, Hkv, rep, Dh).astype(jnp.float32)
     logits = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)
-    ) * scale
+        "bthgd,bshd->bhgts", qg, k_cache.astype(jnp.float32)
+    ) * scale  # [B, Hkv, rep, T, S]
     if logit_softcap is not None:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        # bias dims may broadcast ([B,1,1,S] pad bias, [1,H,T,S] T5 bias)
+        Bb, Hb, Tb, Sb = bias.shape
+        bias32 = bias.astype(jnp.float32)
+        if Hb == 1:
+            bias_g = bias32[:, :, None]  # [Bb, 1, 1, Tb, Sb]
+        else:
+            bias_g = bias32.reshape(Bb, Hkv, rep, Tb, Sb)
+        logits = logits + bias_g
 
-    key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]  # [1,1,1,S]
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, None, :]
     valid = key_pos < kv_len
     if causal:
-        valid = jnp.logical_and(valid, key_pos <= q_positions[:, None, :, None])
+        valid = jnp.logical_and(
+            valid, key_pos <= q_positions[:, None, None, :, None]
+        )
     if pad_mask is not None:
-        valid = jnp.logical_and(valid, pad_mask[:, None, None, :])
+        valid = jnp.logical_and(valid, pad_mask[:, None, None, None, :])
     logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, v_cache.astype(jnp.float32))
+    return out.reshape(B, T, H, Dh).astype(q.dtype)
 
 
 # --------------------------------------------------------------------------

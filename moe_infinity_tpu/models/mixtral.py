@@ -20,7 +20,7 @@ import numpy as np
 from moe_infinity_tpu.models.layers import (
     KVCache,
     apply_rope,
-    attend,
+    attend_cache,
     linear,
     rms_norm,
     rope_cos_sin,
@@ -201,7 +201,8 @@ class MixtralModel:
         cos, sin = rope_cos_sin(rope_pos, s.head_dim, s.rope_theta)
         q, k = apply_rope(q, k, cos, sin)
         kv = kv.update(k, v, kv_len)
-        out = attend(q, kv.k, kv.v, positions, kv_len + T, pad_mask=pad_mask)
+        # cache-object dispatch: paged decode reads pool pages in place on TPU
+        out = attend_cache(q, kv, positions, kv_len + T, pad_mask=pad_mask)
         out = linear(out.reshape(B, T, -1), pl["o"])
         return x + out, kv
 

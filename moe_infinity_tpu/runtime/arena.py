@@ -198,6 +198,7 @@ class ExpertArena:
 
         # ---- fetch machinery ---------------------------------------------
         self._lock = threading.Lock()  # protects all residency state
+        self._leases = 0  # active dispatch leases (see locked_tree)
         # serializes EXECUTORS (a continuous batcher's steps vs a direct
         # engine.generate): two clients protecting key sets concurrently
         # could together pin more than num_slots and deadlock acquire —
@@ -247,12 +248,49 @@ class ExpertArena:
 
     @contextmanager
     def locked_tree(self):
-        """Yield the arena pytree with residency updates excluded. Dispatch
-        any computation consuming the arena inside this scope: slot writes
-        donate the arena buffers, so a concurrent worker donation between
-        reading `pytree()` and dispatching would hand jit a deleted array."""
+        """Yield the arena pytree under a DISPATCH LEASE. Dispatch any
+        computation consuming the arena inside this scope: slot writes
+        donate the arena buffers, so a worker donation between reading
+        `pytree()` and dispatching would hand jit a deleted array.
+
+        Leases are reader-style: they exclude only the donated landing
+        writes (deferred until no lease is active), NOT the residency
+        bookkeeping — acquire/prefetch/release and the fetch workers' host
+        reads + H2D device_put copies all proceed concurrently with a long
+        dispatch (round-1 held the residency lock across the whole
+        dispatch, stalling every landing for exactly the window prefetch
+        should be using). INVARIANT: never block on a fetch (acquire/warm)
+        while holding a lease — the landing you would wait for waits for
+        your lease."""
         with self._lock:
-            yield self._arena
+            tree = self._arena
+            self._leases += 1
+        try:
+            yield tree
+        finally:
+            with self._cv:
+                self._leases -= 1
+                if self._leases == 0:
+                    self._cv.notify_all()
+
+    @contextmanager
+    def dispatch_snapshot(self):
+        """locked_tree plus a consistent (slot_rows, resident-set) snapshot
+        taken in the same lock scope — what speculative verification needs:
+        judge the slot state the program actually consumed, not one a
+        concurrently landing prefetch produced."""
+        with self._lock:
+            tree = self._arena
+            slot_rows = self.expert_to_slot.copy()
+            resident = set(self.key_to_slot)
+            self._leases += 1
+        try:
+            yield tree, slot_rows, resident
+        finally:
+            with self._cv:
+                self._leases -= 1
+                if self._leases == 0:
+                    self._cv.notify_all()
 
     def slot_map(self, moe_layer: int) -> np.ndarray:
         """int32 [E] expert→slot row for one layer (host array; caller
@@ -488,7 +526,9 @@ class ExpertArena:
         slot_i = jnp.int32(slot)
         if not chunked:
             dev_new = jax.device_put(new, self.device)
-            with self._lock:
+            with self._cv:
+                while self._leases > 0:  # donation must not race a dispatch
+                    self._cv.wait()
                 self._arena = _write_slot(self._arena, dev_new, slot_i)
             return
 
@@ -510,7 +550,9 @@ class ExpertArena:
                     )
             else:
                 uploads.append((akey, 0, put(a), dq))
-        with self._lock:
+        with self._cv:
+            while self._leases > 0:  # donation must not race a dispatch
+                self._cv.wait()
             arena = dict(self._arena)
             for akey, off, fut, dq in uploads:
                 if dq is not None:

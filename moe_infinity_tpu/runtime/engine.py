@@ -92,17 +92,16 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
     held: set = set()
     try:
         for replay in range(limit):
-            with arena.locked_tree() as tree:
-                slot_rows = jnp.asarray(
-                    np.stack(
-                        [arena.slot_map(m) for m in range(arena.num_layers)]
-                    )
-                )
-                # residency snapshot from the SAME lock scope as the
-                # dispatch: verification must judge the slot state the
-                # program actually consumed — a prefetch completing while
-                # the step runs must not make a stale execution accept
-                resident_at_dispatch = set(arena.key_to_slot)
+            # dispatch under a LEASE, not the residency lock: fetch
+            # workers keep fetching + uploading during the (relay-slow)
+            # dispatch; only donated landings defer to the lease. The
+            # snapshot is consistent with the dispatched slot state, so a
+            # prefetch landing mid-step cannot make a stale execution
+            # accept.
+            with arena.dispatch_snapshot() as (
+                tree, slot_rows_np, resident_at_dispatch
+            ):
+                slot_rows = jnp.asarray(slot_rows_np)
                 *outs, trace = run(tree, slot_rows)
             ids_np = np.asarray(trace)
             keys = {

@@ -267,6 +267,26 @@ class Seq2SeqOffloadEngine:
         self.arena.release(keys)
         return x
 
+    def _prefetch_decoder_tier(self, seq_ids) -> None:
+        """Encode→decode transition prefetch: plan the whole decoder tier
+        from the EAMC prediction (full depth, block-scaled budget) so the
+        first decode steps find their experts resident. The reference has
+        no analogue — its prefetch window never spans the phase boundary."""
+        if not (self.prefetch and seq_ids and self.dec_mlis):
+            return
+        first_dec = self.dec_mlis[0]
+        score = self.predictor.predict_from(seq_ids[0], from_layer=first_dec)
+        self.arena.set_context(
+            first_dec, self.tracer.get_entry_decoder(seq_ids[0]).matrix
+        )
+        orders = plan_prefetch(
+            score, first_dec - 1, lookahead=None,
+            budget=self._current_budget() * max(1, self.spec_block),
+            is_resident=self.arena.is_resident,
+        )
+        if orders:
+            self.arena.prefetch(orders)
+
     def run_encoder(self, input_ids, mask, seq_ids=None):
         """Per-layer (acquire/prefetch) encoder pass + cross K/V. Also the
         join-encode path for the continuous seq2seq batcher in offload
@@ -383,6 +403,11 @@ class Seq2SeqOffloadEngine:
         enc_out, cross = self.run_encoder(
             jnp.asarray(input_ids, jnp.int32), mask, seq_ids
         )
+        # warm the decoder's predicted hot set NOW: these fetches overlap
+        # the decode prelude + first block's dispatch instead of stalling
+        # its first replays (the per-layer lookahead window above only
+        # crosses the encoder→decoder boundary near the encoder's end)
+        self._prefetch_decoder_tier(seq_ids)
 
         # ---- decoder ---------------------------------------------------
         cap = _bucket_len(max_new_tokens + 1)
