@@ -64,6 +64,37 @@ def _register_models():
 _SEQ2SEQ_ARCHS = ("switch", "nllb")
 
 
+def _dense_bytes_estimate(dense, compute_itemsize: int = 2) -> int:
+    """Approximate device bytes of the dense side after load_params'
+    casting rule (>=2-D tensors -> compute dtype, 1-D -> f32)."""
+    total = 0
+    for name in dense.names():
+        shape = dense._entries[name]["shape"]
+        n = 1
+        for d in shape:
+            n *= d
+        total += n * (compute_itemsize if len(shape) >= 2 else 4)
+    return total
+
+
+def _host_load_params(model, dense):
+    """Load the model's param tree as HOST arrays (for dense paging: the
+    layer stack must never materialize on the device). Prefers the CPU
+    backend; when the platform list excludes it (JAX_PLATFORMS=<tpu-only>),
+    falls back to per-tensor device round-trips — peak device usage is one
+    tensor, not the model."""
+    import jax
+    import numpy as np
+
+    to_np = lambda a: np.asarray(a)  # noqa: E731
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return model.load_params(dense, device_put=to_np)
+    with jax.default_device(cpu):
+        return model.load_params(dense, device_put=to_np)
+
+
 class MoE:
     """`MoE(checkpoint, config)` — config is an EngineConfig, a dict of its
     fields, or None (defaults + offload store next to the checkpoint)."""
@@ -130,9 +161,67 @@ class MoE:
             jnp.float32 if config.expert_dtype == "float32" else jnp.bfloat16
         )
         self.model = model_cls(spec_cls.from_hf(hf_config), compute_dtype)
-        self.params = self.model.load_params(dense)
-        if config.fold_mla and hasattr(self.model, "fold_mla_params"):
-            self.params = self.model.fold_mla_params(self.params)
+
+        # ---- dense residency decision (before any device load) ----------
+        budget_all = config.device_memory_bytes
+        if budget_all is None:
+            budget_all = int(16 * 2**30 * config.device_memory_ratio)
+        dense_est = _dense_bytes_estimate(
+            dense, jnp.dtype(compute_dtype).itemsize
+        )
+        # dense share of the budget: everything for dense-only archs, a
+        # fraction otherwise (experts + KV need the rest)
+        dense_share = 1.0 if self.geometry.num_experts == 0 else 0.6
+        page_dense = config.dense_paging == "on" or (
+            config.dense_paging == "auto"
+            and dense_est > budget_all * dense_share
+        )
+        if page_dense and self.arch in _SEQ2SEQ_ARCHS:
+            if config.dense_paging == "on":
+                raise NotImplementedError(
+                    "dense paging is not wired for seq2seq archs yet"
+                )
+            page_dense = False
+        self.dense_arena = None
+        if page_dense:
+            from moe_infinity_tpu.runtime.dense_arena import DenseLayerArena
+
+            params_host = _host_load_params(self.model, dense)
+            layers_host = params_host.pop("layers")
+            self.params = {
+                k: jax.device_put(v) for k, v in params_host.items()
+            }
+            top_bytes = sum(
+                a.size * a.dtype.itemsize
+                for a in jax.tree.leaves(self.params)
+            )
+            layer_bytes = max(
+                1,
+                sum(
+                    np.asarray(a).nbytes
+                    for a in jax.tree.leaves(layers_host[0])
+                ),
+            )
+            avail = max(0, budget_all - top_bytes - budget_all // 10)
+            if self.geometry.num_experts == 0:
+                want = avail // layer_bytes
+            else:
+                want = int(0.45 * avail) // layer_bytes
+            dense_slots = config.dense_slots or max(2, int(want))
+            dense_slots = min(dense_slots, len(layers_host))
+            logger.info(
+                "dense paging: %d layer slots of %d layers (%.2f GB/layer)",
+                dense_slots, len(layers_host), layer_bytes / 2**30,
+            )
+            self.dense_arena = DenseLayerArena(
+                layers_host, dense_slots, num_threads=config.num_threads
+            )
+            # engine stages never read params['layers'] when paging
+            self.params["layers"] = [None] * len(layers_host)
+        else:
+            self.params = self.model.load_params(dense)
+            if config.fold_mla and hasattr(self.model, "fold_mla_params"):
+                self.params = self.model.fold_mla_params(self.params)
 
         self.batcher = None
         self.s2s_batcher = None
@@ -142,9 +231,19 @@ class MoE:
         # ---- dense-only archs (opt): no experts, no residency plan ------
         if self.geometry.num_experts == 0:
             self.engine = None
-            stepper = ResidentStepper(
-                self.model, self.params, {}, lambda experts, mli: experts,
-            )
+            if self.dense_arena is not None:
+                from moe_infinity_tpu.runtime.dense_arena import (
+                    PagedDenseEngine,
+                )
+
+                self.engine = PagedDenseEngine(
+                    self.model, self.params, self.dense_arena
+                )
+                stepper = self.engine
+            else:
+                stepper = ResidentStepper(
+                    self.model, self.params, {}, lambda experts, mli: experts,
+                )
             self.generator = Generator(
                 stepper=stepper, max_seq_len=config.max_seq_len
             )
@@ -153,13 +252,22 @@ class MoE:
         store = ExpertStore(config.offload_path, load_mode=config.load_mode)
         # ---- residency budget ------------------------------------------
         expert_bytes_all = store.stride * store.num_layers * store.num_experts
-        budget_all = config.device_memory_bytes
-        if budget_all is None:
-            budget_all = int(16 * 2**30 * config.device_memory_ratio)
         dense_bytes_all = sum(
             a.size * a.dtype.itemsize for a in jax.tree.leaves(self.params)
         )
+        if self.dense_arena is not None:
+            # the paged layer stack occupies its arena slots, not the
+            # full stack
+            dense_bytes_all += sum(
+                a.size * a.dtype.itemsize
+                for g in self.dense_arena._groups
+                for a in g["arena"]
+            )
         fits = expert_bytes_all <= budget_all - dense_bytes_all
+        # paged dense layers require the engine's per-layer path: the
+        # resident whole-model jit would read the (host-only) layer stack
+        if self.dense_arena is not None:
+            fits = False
 
         # ---- seq2seq archs: enc-dec generator or enc-dec offload engine --
         if self.arch in _SEQ2SEQ_ARCHS:
@@ -380,8 +488,13 @@ class MoE:
                 predictor=ExpertPredictor(tracer),
                 prefetch=config.prefetch,
                 impl=config.moe_impl, prefill_impl=config.prefill_impl,
-                speculative=config.speculative_decode,
+                # dense paging forces the per-layer path (a speculative
+                # whole-step program needs every dense layer resident)
+                speculative=(
+                    config.speculative_decode and self.dense_arena is None
+                ),
                 spec_block=config.speculative_block,
+                dense_arena=self.dense_arena,
             )
             stepper = self.engine
         self.generator = Generator(
@@ -397,6 +510,8 @@ class MoE:
             config.max_batch_size > 1
             and "key_valid" in self.model.forward.__code__.co_varnames
             and (self.engine is None or config.speculative_decode)
+            and self.dense_arena is None  # batched offload steps are
+            # speculative whole-step programs; those need dense resident
         ):
             from moe_infinity_tpu.runtime.continuous import ContinuousBatcher
 
@@ -595,5 +710,7 @@ class MoE:
             self.batcher.shutdown()
         if getattr(self, "s2s_batcher", None) is not None:
             self.s2s_batcher.shutdown()
-        if self.engine:
+        if getattr(self, "dense_arena", None) is not None:
+            self.dense_arena.shutdown()  # idempotent
+        if self.engine and getattr(self.engine, "arena", None) is not None:
             self.engine.arena.shutdown()

@@ -101,37 +101,48 @@ class OPTModel:
         pad_offsets=None,
     ):
         s = self.spec
-        B, T = tokens.shape
-        H, Dh = s.num_heads, s.head_dim
+        x = self.embed_step(params, tokens, positions, pad_offsets)
+        new_kvs = []
+        for li in range(s.num_layers):
+            x, kv = self.dense_layer(
+                params["layers"][li], x, kv_caches[li], positions, kv_len
+            )
+            new_kvs.append(kv)
+        return self.head(params, x), new_kvs, None
+
+    # ---- per-layer stage protocol (dense paging rides these) ---------------
+    def embed_step(self, params, tokens, positions, pad_offsets=None):
         pos = positions
         if pad_offsets is not None:
             pos = positions - pad_offsets[:, None]
         # learned positions, HF's +2 offset
-        x = (
-            params["embed"][tokens]
-            + params["pos"][jnp.clip(pos, 0) + 2]
+        return (
+            params["embed"][tokens] + params["pos"][jnp.clip(pos, 0) + 2]
         ).astype(self.dtype)
+
+    def dense_layer(self, pl, x, kv, positions, kv_len):
+        s = self.spec
+        B, T = x.shape[:2]
+        H, Dh = s.num_heads, s.head_dim
         act = jax.nn.gelu if s.activation.startswith("gelu") else jax.nn.relu
-        new_kvs = []
-        for li in range(s.num_layers):
-            pl = params["layers"][li]
-            h = layer_norm(x, pl["ln0_w"], pl["ln0_b"], _EPS)
-            q = linear(h, pl["q"], pl["qb"]).reshape(B, T, H, Dh)
-            k = linear(h, pl["k"], pl["kb"]).reshape(B, T, H, Dh)
-            v = linear(h, pl["v"], pl["vb"]).reshape(B, T, H, Dh)
-            kv = kv_caches[li].update(k, v, kv_len)
-            a = attend(q, kv.k, kv.v, positions, kv_len + T, causal=True)
-            x = x + linear(a.reshape(B, T, -1), pl["o"], pl["ob"])
-            h = layer_norm(x, pl["lnf_w"], pl["lnf_b"], _EPS)
-            x = x + linear(
-                act(linear(h, pl["fc1"], pl["fc1b"])), pl["fc2"], pl["fc2b"]
-            )
-            new_kvs.append(kv)
+        h = layer_norm(x, pl["ln0_w"], pl["ln0_b"], _EPS)
+        q = linear(h, pl["q"], pl["qb"]).reshape(B, T, H, Dh)
+        k = linear(h, pl["k"], pl["kb"]).reshape(B, T, H, Dh)
+        v = linear(h, pl["v"], pl["vb"]).reshape(B, T, H, Dh)
+        kv = kv.update(k, v, kv_len)
+        a = attend(q, kv.k, kv.v, positions, kv_len + T, causal=True)
+        x = x + linear(a.reshape(B, T, -1), pl["o"], pl["ob"])
+        h = layer_norm(x, pl["lnf_w"], pl["lnf_b"], _EPS)
+        x = x + linear(
+            act(linear(h, pl["fc1"], pl["fc1b"])), pl["fc2"], pl["fc2b"]
+        )
+        return x, kv
+
+    def head(self, params, x):
         x = layer_norm(x, params["final_ln_w"], params["final_ln_b"], _EPS)
-        logits = linear(
+        return linear(
             x.astype(jnp.float32), params["embed"].astype(jnp.float32)
         )
-        return logits, new_kvs, None
 
     # ---- params ------------------------------------------------------------
     def load_params(self, dense, device_put=jax.device_put) -> Dict[str, Any]:

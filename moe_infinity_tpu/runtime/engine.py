@@ -199,7 +199,21 @@ class OffloadEngine:
         speculative: bool = False,
         max_replays: Optional[int] = None,
         spec_block: int = 1,
+        dense_arena=None,
     ):
+        """dense_arena: optional DenseLayerArena paging the dense layer
+        stack (params['layers'] may then be host-resident or absent) — the
+        reference's dense-node paging (model_topology.cpp:518-530). Forces
+        the per-layer path: a speculative whole-step program would need
+        every dense layer resident at once, which is exactly what paging
+        removes."""
+        if dense_arena is not None and speculative:
+            raise ValueError(
+                "speculative decode requires the dense side resident; "
+                "disable speculative_decode when dense paging is active"
+            )
+        self.dense_arena = dense_arena
+        self._paged_jits: dict = {}
         self.model = model
         self.params = params
         self.arena = arena
@@ -396,8 +410,16 @@ class OffloadEngine:
         self._last_layer_t = None  # don't count inter-step host gaps
         for li in range(model.spec.num_layers):
             self._tick_layer_clock()
-            pl = params["layers"][li]
             mli = model.moe_layer_index(li)
+            if self.dense_arena is not None:
+                x, kv_caches[li], step = self._paged_layer(
+                    li, mli, x, kv_caches[li], positions, kv_len, seq_ids
+                )
+                if step is not None:
+                    trace_ids.append(step[0])
+                    trace_w.append(step[1])
+                continue
+            pl = params["layers"][li]
             if mli is None:  # leading dense layer (DeepSeek)
                 x, kv_caches[li] = self._dense(
                     pl, x, kv_caches[li], positions, kv_len
@@ -419,6 +441,76 @@ class OffloadEngine:
             trace_w.append(cw)
         logits = self._head(params, x)
         return logits, kv_caches, (jnp.stack(trace_ids), jnp.stack(trace_w))
+
+    # ---- dense-layer paging --------------------------------------------------
+    def _paged_fn(self, kind: str, gid: int):
+        """Jitted per-layer stages that rebuild the layer pytree from the
+        dense arena (leaf[slot] is an in-place major-axis view): ONE
+        compiled program per (stage, structure-group) serves every layer."""
+        key = (kind, gid)
+        fn = self._paged_jits.get(key)
+        if fn is None:
+            treedef = self.dense_arena.treedef(gid)
+            model, impl = self.model, self._impl
+
+            def unflat(leaves, slot):
+                return jax.tree.unflatten(
+                    treedef, [a[slot] for a in leaves]
+                )
+
+            if kind == "pre":
+                def f(leaves, slot, x, kv, positions, kv_len):
+                    return model.pre_moe(
+                        unflat(leaves, slot), x, kv, positions, kv_len
+                    )
+                fn = jax.jit(f, donate_argnums=(3,))
+            elif kind == "dense":
+                def f(leaves, slot, x, kv, positions, kv_len):
+                    return model.dense_layer(
+                        unflat(leaves, slot), x, kv, positions, kv_len
+                    )
+                fn = jax.jit(f, donate_argnums=(3,))
+            else:  # "apply"
+                def f(leaves, slot, x, h, cw, ids, tree, slot_row):
+                    weights, biases = _split_arena_tree(tree)
+                    return model.apply_moe(
+                        unflat(leaves, slot), x, h, cw, ids, weights,
+                        slot_row, biases, impl,
+                    )
+                fn = jax.jit(f)
+            self._paged_jits[key] = fn
+        return fn
+
+    def _paged_layer(self, li, mli, x, kv, positions, kv_len, seq_ids):
+        """One layer through the dense arena (+ expert arena for its MoE
+        block). Returns (x, kv, (ids, cw) | None)."""
+        da = self.dense_arena
+        dslot = jnp.int32(da.acquire(li))
+        gid = da.group_of(li)
+        try:
+            if mli is None:
+                with da.lease():
+                    x, kv = self._paged_fn("dense", gid)(
+                        da.tree(gid), dslot, x, kv, positions, kv_len
+                    )
+                return x, kv, None
+            with da.lease():
+                x, h, cw, ids, kv = self._paged_fn("pre", gid)(
+                    da.tree(gid), dslot, x, kv, positions, kv_len
+                )
+            ids_np = np.asarray(ids)
+            keys = [(mli, int(e)) for e in np.unique(ids_np)]
+            self._trace_and_prefetch(ids_np, mli, seq_ids)
+            self.arena.acquire(keys, mli)
+            with self.arena.locked_tree() as tree, da.lease():
+                slot_row = jnp.asarray(self.arena.slot_map(mli))
+                x = self._paged_fn("apply", gid)(
+                    da.tree(gid), dslot, x, h, cw, ids, tree, slot_row
+                )
+            self.arena.release(keys)
+            return x, kv, (ids, cw)
+        finally:
+            da.release(li)
 
     # ---- policy glue -------------------------------------------------------
     def _trace_and_prefetch(
@@ -476,6 +568,8 @@ class OffloadEngine:
     def stats(self) -> dict:
         out = self.arena.hit_stats()
         out.update(speculative_stats(self.replay_counts))
+        if self.dense_arena is not None:
+            out.update(self.dense_arena.stats())
         return out
 
     def node_stats(self) -> dict:

@@ -57,6 +57,18 @@ class EngineConfig:
     """Number of expert slots in the HBM arena. Default: derived from the
     device memory budget after dense weights + KV cache are accounted."""
 
+    dense_paging: str = "auto"
+    """Page the DENSE layer stack through a slot arena when it does not fit
+    the HBM budget (the reference pages dense nodes the same way it pages
+    experts, model_topology.cpp:518-530): auto | on | off. `auto` enables
+    paging only when the dense side exceeds the budget's dense share; `on`
+    forces it (tests/benchmarks); `off` requires the dense side resident
+    (raises if it cannot fit)."""
+
+    dense_slots: Optional[int] = None
+    """Number of layer slots in the dense paging arena. Default: derived
+    from the budget share left after expert slots and KV."""
+
     # ---- compute --------------------------------------------------------
     expert_dtype: str = "bfloat16"
     """Storage dtype of offloaded experts: bfloat16 | int8 | int4 | float8_e4m3fn."""

@@ -1,0 +1,201 @@
+"""Dense-layer paging: models whose DENSE side exceeds the HBM budget.
+
+The reference pages dense nodes from SSD→GPU like experts
+(model_topology.cpp:518-530, RemoveCachedDenseNode task_scheduler.cpp:
+319-378) — how it serves OPT-66B on a 24 GB GPU. Round 1 required the
+dense side resident; these tests prove the paged path generates EXACTLY
+what the resident path does, for a dense-only model (OPT) and for an MoE
+model paging dense layers AND streaming experts at once.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from moe_infinity_tpu.entrypoints.api import MoE
+from moe_infinity_tpu.runtime.dense_arena import DenseLayerArena
+
+
+# ---------------------------------------------------------------------------
+# unit: arena mechanics
+# ---------------------------------------------------------------------------
+
+def _layer(i, shape=(8, 16)):
+    rng = np.random.default_rng(i)
+    return {
+        "w": rng.normal(size=shape).astype(np.float32),
+        "b": rng.normal(size=shape[1]).astype(np.float32),
+    }
+
+
+def test_arena_sequential_ring():
+    L = 6
+    arena = DenseLayerArena([_layer(i) for i in range(L)], 3, ahead=1)
+    try:
+        for _round in range(3):
+            for li in range(L):
+                slot = arena.acquire(li)
+                got = np.asarray(arena.tree(arena.group_of(li))[0])[slot]
+                np.testing.assert_array_equal(got, _layer(li)["b"])
+                arena.release(li)
+        st = arena.stats()
+        assert st["dense_misses"] >= L  # cold start
+        assert st["dense_hits"] > 0  # ahead-prefetch landed some
+    finally:
+        arena.shutdown()
+
+
+def test_arena_groups_heterogeneous():
+    layers = [_layer(0, (8, 16)), _layer(1, (4, 4)), _layer(2, (8, 16)),
+              _layer(3, (4, 4))]
+    arena = DenseLayerArena(layers, 4, ahead=1)
+    try:
+        assert arena.group_of(0) == arena.group_of(2)
+        assert arena.group_of(1) == arena.group_of(3)
+        assert arena.group_of(0) != arena.group_of(1)
+        for li in (0, 1, 2, 3, 0, 3):
+            slot = arena.acquire(li)
+            got = np.asarray(arena.tree(arena.group_of(li))[0])[slot]
+            np.testing.assert_array_equal(
+                got, layers[li]["b"]
+            )
+            arena.release(li)
+    finally:
+        arena.shutdown()
+
+
+def test_lease_defers_dense_landings():
+    import time
+
+    arena = DenseLayerArena([_layer(i) for i in range(4)], 2, ahead=0)
+    try:
+        with arena.lease():
+            # enqueue a fetch via another thread's acquire? acquire blocks;
+            # instead check the lease counter path: manually queue layer 0
+            import heapq
+            import threading
+
+            with arena._cv:
+                arena._in_flight[0] = threading.Event()
+                heapq.heappush(arena._queue, (1, 0, 0))
+                arena._cv.notify_all()
+            time.sleep(0.15)
+            assert 0 not in arena.layer_to_slot  # landing deferred
+        deadline = time.time() + 10
+        while 0 not in arena.layer_to_slot and time.time() < deadline:
+            time.sleep(0.01)
+        assert 0 in arena.layer_to_slot
+    finally:
+        arena.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# e2e: OPT with a paged layer stack
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_opt_ckpt(tmp_path_factory):
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=4,
+        num_attention_heads=4, max_position_embeddings=64,
+        do_layer_norm_before=True, torch_dtype=torch.float32,
+        architectures=["OPTForCausalLM"],
+        pad_token_id=1, bos_token_id=2, eos_token_id=2,
+    )
+    torch.manual_seed(11)
+    hf = OPTForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("optpg") / "ckpt"
+    hf.save_pretrained(path, safe_serialization=True)
+    return str(path), hf
+
+
+def test_opt_paged_matches_resident(tiny_opt_ckpt):
+    path, hf = tiny_opt_ckpt
+    prompt = np.array([[5, 9, 33, 7]])
+    want = hf.generate(
+        torch.tensor(prompt), max_new_tokens=8, do_sample=False,
+        eos_token_id=None, pad_token_id=1,
+    ).numpy()
+
+    paged = MoE(path, {
+        "expert_dtype": "float32", "max_seq_len": 64,
+        "dense_paging": "on", "dense_slots": 2,
+    })
+    try:
+        assert paged.dense_arena is not None
+        assert paged.dense_arena.num_slots == 2
+        got = paged.generate(prompt, max_new_tokens=8, eos_token_id=None)
+        np.testing.assert_array_equal(got, want)
+        st = paged.stats()
+        assert st["dense_misses"] > 0
+    finally:
+        paged.shutdown()
+
+
+def test_opt_auto_paging_on_tiny_budget(tiny_opt_ckpt):
+    path, hf = tiny_opt_ckpt
+    # budget smaller than the dense stack -> auto plan must page
+    eng = MoE(path, {
+        "expert_dtype": "float32", "max_seq_len": 64,
+        "device_memory_bytes": 120_000,
+    })
+    try:
+        assert eng.dense_arena is not None
+        prompt = np.array([[3, 14, 15, 9]])
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            eos_token_id=None, pad_token_id=1,
+        ).numpy()
+        got = eng.generate(prompt, max_new_tokens=6, eos_token_id=None)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        eng.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# e2e: MoE model paging dense layers AND streaming experts
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_mixtral_ckpt(tmp_path_factory):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, torch_dtype=torch.float32,
+        architectures=["MixtralForCausalLM"],
+    )
+    torch.manual_seed(13)
+    hf = MixtralForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("mixpg") / "ckpt"
+    hf.save_pretrained(path, safe_serialization=True)
+    return str(path), hf
+
+
+def test_mixtral_dense_paging_plus_expert_offload(tiny_mixtral_ckpt):
+    path, hf = tiny_mixtral_ckpt
+    prompt = np.array([[5, 9, 33, 7, 21]])
+    want = hf.generate(
+        torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+        eos_token_id=None, pad_token_id=0,
+    ).numpy()
+
+    eng = MoE(path, {
+        "expert_dtype": "float32", "max_seq_len": 64,
+        "dense_paging": "on", "dense_slots": 2, "num_slots": 5,
+        "speculative_decode": True,  # must be ignored under paging
+    })
+    try:
+        assert eng.dense_arena is not None
+        assert eng.engine is not None and not eng.engine.speculative
+        got = eng.generate(prompt, max_new_tokens=6, eos_token_id=None)
+        np.testing.assert_array_equal(got, want)
+        st = eng.stats()
+        assert st["dense_misses"] > 0
+        assert "hit_rate" in st  # expert arena live too
+    finally:
+        eng.shutdown()

@@ -406,6 +406,8 @@ def test_moe_facade_speculative_decode(tiny_ckpt):
         path,
         {"expert_dtype": "float32", "max_seq_len": 64,
          "device_memory_bytes": 1, "num_slots": 8,
+         "dense_paging": "off",  # force ONLY expert offload: these tests
+         # exercise speculative decode, which needs dense resident
          "speculative_decode": True, "prefetch": False,
          "max_batch_size": 1},  # pin the engine path (no pooled batcher)
     )
@@ -432,6 +434,8 @@ def test_moe_facade_speculative_block(tiny_ckpt):
         path,
         {"expert_dtype": "float32", "max_seq_len": 64,
          "device_memory_bytes": 1, "num_slots": 8,
+         "dense_paging": "off",  # force ONLY expert offload: these tests
+         # exercise speculative decode, which needs dense resident
          "speculative_decode": True, "speculative_block": 3,
          "prefetch": False, "max_batch_size": 1},
     )
@@ -458,6 +462,8 @@ def test_moe_facade_offload_pooled_batcher(tiny_ckpt):
         path,
         {"expert_dtype": "float32", "max_seq_len": 64,
          "device_memory_bytes": 1, "num_slots": 8,
+         "dense_paging": "off",  # force ONLY expert offload: these tests
+         # exercise speculative decode, which needs dense resident
          "speculative_decode": True, "prefetch": False,
          "max_batch_size": 2},
     )
