@@ -37,10 +37,83 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+_PEAKS = None
+
+
+def _chip_peaks():
+    """Measured (bf16 FLOP/s, HBM bytes/s) for THIS chip via short
+    scan-based probes (a lax.scan keeps the measurement on-device: through
+    the relay, per-call loops are tainted by dispatch overlap and lazy
+    result elision). Utilization fields judge presets against the chip's
+    achievable physics, not a 2024 A5000 (VERDICT.md round-1 item 8)."""
+    global _PEAKS
+    if _PEAKS is not None:
+        return _PEAKS
+    import jax
+    import jax.numpy as jnp
+
+    n = 8
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    def mm_body(x, _):
+        return ((x @ a) * (1.0 / 64.0)).astype(jnp.bfloat16), None
+
+    f = jax.jit(lambda c: jax.lax.scan(mm_body, c, None, length=n)[0])
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(x))
+    flops = 2 * 4096**3 * n / (time.perf_counter() - t0)
+
+    big = jnp.ones((128, 1024, 1024), jnp.bfloat16)  # 256 MB
+    g = jax.jit(
+        lambda s: jax.lax.scan(
+            lambda s, _: (s + big.sum(), None), s, None, length=n
+        )[0]
+    )
+    jax.block_until_ready(g(jnp.float32(0)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(g(jnp.float32(1)))
+    bw = big.nbytes * n / (time.perf_counter() - t0)
+    _PEAKS = (flops, bw)
+    return _PEAKS
+
+
+def _utilization(step_s: float, flops_per_step: float, bytes_per_step: float):
+    """model_flops_util / hbm_bw_util vs this chip's measured peaks."""
+    try:
+        pf, pb = _chip_peaks()
+    except Exception as e:  # noqa: BLE001 — never fail a bench on a probe
+        print(f"[bench] peak probe failed: {e}", file=sys.stderr, flush=True)
+        return {}
+    return {
+        "model_flops_util": round(flops_per_step / step_s / pf, 4),
+        "hbm_bw_util": round(bytes_per_step / step_s / pb, 4),
+        "chip_peak_tflops_bf16": round(pf / 1e12, 1),
+        "chip_peak_gbps": round(pb / 1e9, 0),
+    }
+
+
+def _dense_matmul_params(params, exclude=("embed", "pos")) -> int:
+    """Matmul-participating dense parameter count (>=2-D leaves, token
+    embeddings excluded — they are gathers, not FLOPs)."""
+    import jax
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = jax.tree_util.keystr(path)
+        if any(e in name for e in exclude):
+            continue
+        if getattr(leaf, "ndim", 0) >= 2:
+            total += leaf.size
+    return total
 
 
 def _build_mixtral(spec_kw, dtype=None):
@@ -258,7 +331,14 @@ def bench_mixtral_resident(args):
     dt = time.perf_counter() - t0
     per_tok = dt / n
     baseline = 0.735
+    # utilization (approx): dense matmuls + top-2 experts; the grouped
+    # kernel reads each routed expert's int8 bytes once per layer
+    dense_params = _dense_matmul_params(params)
+    flops_step = 2 * B * (dense_params + L * 2 * 3 * D * F)
+    bytes_step = dense_params * 2 + L * min(B * 2, E) * 3 * D * F
+    util = _utilization(per_tok, flops_step, bytes_step)
     return {
+        **util,
         "metric": "mixtral_8x7b_int8_resident_decode_latency",
         "value": round(per_tok, 5),
         "unit": "s/token",
@@ -494,7 +574,15 @@ def _dsv2_run(args, arena_dtype):
     dt = time.perf_counter() - t0
     per_tok = dt / n
     baseline = 0.155
+    # utilization (approx): dense (incl shared experts) + top-6 routed
+    dense_params = _dense_matmul_params(params)
+    kq = spec.top_k
+    flops_step = 2 * B * (dense_params + Lm_ * kq * 3 * D_ * F_)
+    wbytes = 0.5 if q4 else 1 if quant else 2
+    bytes_step = dense_params * 2 + Lm_ * min(B * kq, E_) * 3 * D_ * F_ * wbytes
+    util = _utilization(per_tok, flops_step, bytes_step)
     return {
+        **util,
         "metric": "deepseek_v2_lite_resident_decode_latency",
         "value": round(per_tok, 5),
         "unit": "s/token",
@@ -685,6 +773,17 @@ def bench_switch_throughput(args):
             "unit": "tokens/s",
             "vs_baseline": round(tput / 69.105, 2),
         }
+    # utilization vs this chip's measured peaks (approx: weight traffic
+    # only — decode is weight-bound; KV/activations excluded)
+    n_dec_moe = n_moe - n_enc_moe
+    # decode touches decoder blocks + the (tied) lm head
+    dense_params = _dense_matmul_params(params["dec_blocks"]) + (
+        spec.vocab_size * D
+    )
+    expert_flops_tok = n_dec_moe * 2 * D * F  # top-1
+    flops_step = 2 * B * (dense_params + expert_flops_tok)
+    expert_bytes = B * n_dec_moe * 2 * D * F * (0.5 if q4 else 1)
+    bytes_step = dense_params * 2 + expert_bytes
     return {
         **head,
         "batch": B,
@@ -698,6 +797,7 @@ def bench_switch_throughput(args):
         "hbm_expert_tier_gb": round(
             (n_moe - n_enc_moe) * E * 2 * D * F * (0.5 if q4 else 1) / 2**30, 1
         ),
+        **_utilization(dt / n, flops_step, bytes_step),
     }
 
 
@@ -853,7 +953,19 @@ def bench_nllb_offload(args):
     tput = B * (n - 2) / dt
     stats = engine.stats()
     baseline = 30.300  # tok/s, MoE-Infinity NLLB-MoE-54B bs=32 (BASELINE.md)
+    # utilization (approx, weight traffic only): decoder dense + routed
+    # top-2 experts per token across the 6 decoder MoE layers
+    n_dec_moe = n_moe - n_enc_moe
+    dense_params = _dense_matmul_params(params["dec_blocks"]) + (
+        spec.vocab_size * D
+    )
+    flops_step = 2 * B * (dense_params + n_dec_moe * 2 * 2 * D * F)
+    bytes_step = dense_params * 2 + B * n_dec_moe * 2 * 2 * D * F * (
+        0.5 if q4 else 1
+    )
+    util = _utilization(dt / (n - 2), flops_step, bytes_step)
     return {
+        **util,
         "metric": "nllb_moe_54b_offload_decode_throughput",
         "value": round(tput, 2),
         "unit": "tokens/s",
@@ -1059,12 +1171,25 @@ def main():
         for k, v in over.items():
             setattr(run_args, k, v)
         try:
+            if preset != "tiny":
+                # probe peaks BEFORE the preset: afterwards, leftover
+                # arena prefetch uploads contend with the probe's
+                # transfers and corrupt the utilization denominators
+                try:
+                    _chip_peaks()
+                except Exception:  # noqa: BLE001
+                    pass
             result = _run_preset(run_args)
             if errors:
                 result["fallback_from"] = args.preset
                 result["errors"] = errors[:3]
-            print(json.dumps(result))
-            return 0
+            print(json.dumps(result), flush=True)
+            # hard exit: daemon fetch threads + the TPU runtime's C++
+            # teardown can abort the process AFTER the result is printed
+            # (observed: 'terminate called after throwing an instance of'
+            # at interpreter exit, rc=134) — the driver must see rc=0
+            # whenever a verified JSON line exists
+            os._exit(0)
         except Exception as e:  # noqa: BLE001
             import traceback
 
@@ -1083,8 +1208,8 @@ def main():
         "unit": "none",
         "vs_baseline": 0.0,
         "errors": errors,
-    }))
-    return 1
+    }), flush=True)
+    os._exit(1)
 
 
 if __name__ == "__main__":

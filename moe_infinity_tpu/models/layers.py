@@ -126,9 +126,12 @@ class KVCache(NamedTuple):
 
 
 # Attention implementation selector. "auto" uses the Pallas flash kernels
-# on TPU and the einsum oracle elsewhere; tests pin it explicitly. Read at
-# TRACE time — set it before building jitted programs.
-_ATTN_IMPL = "auto"  # "auto" | "flash" | "naive"
+# on TPU (above the size gates below) and the einsum oracle elsewhere;
+# tests pin it explicitly. Read at TRACE time — set it before building
+# jitted programs. MOE_TPU_ATTN_IMPL overrides for A/B benchmarking.
+import os as _os
+
+_ATTN_IMPL = _os.environ.get("MOE_TPU_ATTN_IMPL", "auto")
 
 
 def set_attention_impl(impl: str) -> None:
@@ -148,6 +151,25 @@ def _flash_enabled() -> bool:
     if _ATTN_IMPL == "naive":
         return False
     return jax.default_backend() == "tpu"
+
+
+# auto-mode size gates: at tiny shapes XLA's fused einsum attention beats
+# the kernels' launch/DMA setup overhead (measured: NLLB decode S=128
+# regressed 1.8x routed through flash). Explicit impl="flash" bypasses.
+_FLASH_DECODE_MIN_BYTES = 8 << 20   # live K/V bytes worth one kernel
+_FLASH_PREFILL_MIN_SCORES = 32 << 20  # f32 score-tensor bytes the naive
+                                      # path would materialize
+
+
+def _flash_worthwhile(q, k_cache, T: int) -> bool:
+    if _ATTN_IMPL == "flash":
+        return True
+    B, S, Hkv, Dh = k_cache.shape
+    if T == 1:
+        kv_bytes = B * S * Hkv * Dh * k_cache.dtype.itemsize
+        return kv_bytes >= _FLASH_DECODE_MIN_BYTES
+    H = q.shape[2]
+    return 4 * B * H * T * S >= _FLASH_PREFILL_MIN_SCORES
 
 
 def attend(
@@ -172,7 +194,7 @@ def attend(
     numerics oracle everywhere else. The reference relies on optional
     FlashAttention-2 (/root/reference/moe_infinity/entrypoints/
     big_modeling.py:125-148)."""
-    if _flash_enabled():
+    if _flash_enabled() and _flash_worthwhile(q, k_cache, q.shape[1]):
         from moe_infinity_tpu.ops.flash_attention import flash_attend
 
         out = flash_attend(
@@ -211,6 +233,12 @@ def attend_cache(
         and causal
         and bias is None
         and hasattr(kv, "pool_k")
+        # paged pools gate on the POOL gather the naive path would pay
+        and (
+            _ATTN_IMPL == "flash"
+            or kv.pool_k.size * kv.pool_k.dtype.itemsize
+            >= _FLASH_DECODE_MIN_BYTES
+        )
     ):
         from moe_infinity_tpu.ops.flash_attention import paged_flash_decode
 

@@ -22,6 +22,8 @@ from moe_infinity_tpu.runtime.providers import ResidentProvider
 from moe_infinity_tpu.store.blob import DenseArchive, ExpertStore
 from moe_infinity_tpu.store.ingest import ingest_checkpoint
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 L, E = 3, 8
 
 

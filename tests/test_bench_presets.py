@@ -10,6 +10,8 @@ import types
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 
 def _args(**over):
     # Derive defaults from bench.py's own argparse parser so a new preset

@@ -15,6 +15,8 @@ from transformers import (
 
 from moe_infinity_tpu.entrypoints.api import MoE
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_ckpt(tmp_path_factory):

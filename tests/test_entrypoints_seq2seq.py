@@ -10,6 +10,8 @@ from transformers import (
 
 from moe_infinity_tpu.entrypoints.api import MoE
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 
 def test_switch_through_facade(tmp_path):
     cfg = SwitchTransformersConfig(

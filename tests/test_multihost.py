@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from moe_infinity_tpu.entrypoints.api import MoE
 from moe_infinity_tpu.store.quant import dequantize_rowwise, quantize_rowwise
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 
 def test_quant_roundtrip_error_bounds(rng):
     w = rng.standard_normal((64, 32)).astype(np.float32)

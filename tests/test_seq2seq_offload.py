@@ -18,6 +18,8 @@ from moe_infinity_tpu.runtime.providers import ResidentProvider
 from moe_infinity_tpu.store.blob import DenseArchive, ExpertStore
 from moe_infinity_tpu.store.ingest import ingest_checkpoint
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

@@ -12,6 +12,8 @@ from moe_infinity_tpu.runtime.generate import Generator
 from moe_infinity_tpu.runtime.providers import ResidentProvider
 from moe_infinity_tpu.runtime.speculative import SpeculativeDecoder, ngram_draft
 
+pytestmark = pytest.mark.slow  # e2e-heavy; fast path: -m 'not slow'
+
 SPEC = MixtralSpec(
     vocab_size=128, hidden_size=48, intermediate_size=96, num_layers=2,
     num_heads=6, num_kv_heads=2, head_dim=8, num_experts=4, top_k=2,
