@@ -227,7 +227,7 @@ def bench_mixtral_offload(args):
         # 2 jits + 1 host sync per LAYER per token (the per-layer path is
         # dispatch-bound through the measurement relay); spec blocks
         # amortize that one dispatch over k tokens
-        speculative=True, spec_block=args.spec_block,
+        speculative=True, spec_block=args.spec_block or 2,
     )
     gen = Generator(stepper=engine, max_seq_len=256)
 
@@ -924,7 +924,7 @@ def bench_nllb_offload(args):
         tracer=tracer, predictor=ExpertPredictor(tracer),
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
         prefetch_budget=8, impl=args.moe_impl,
-        speculative=True, spec_block=args.spec_block,
+        speculative=True, spec_block=args.spec_block or 4,
     )
 
     T = args.prompt
@@ -1084,11 +1084,12 @@ def build_parser():
     p.add_argument("--no-prefetch", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--moe-impl", default="gather", choices=("gather", "pallas", "ragged"))
-    p.add_argument("--spec-block", type=int, default=2,
+    p.add_argument("--spec-block", type=int, default=0,
                    help="greedy decode steps per speculative program "
-                        "(offload presets; amortizes per-program dispatch — "
-                        "k=2 measured best on the relay: larger blocks lose "
-                        "more to whole-block replays + coarser prefetch)")
+                        "(offload presets; amortizes per-program dispatch). "
+                        "0 = per-preset default: nllb 4 (37.0 tok/s = 1.22x "
+                        "measured, vs 15.3 at k=2 and 31.0 at k=8 — larger "
+                        "blocks lose to whole-block replays), mixtral 2")
     p.add_argument("--fold-mla", action="store_true",
                    help="enable MLA weight folding (dsv2 preset; fewer "
                         "decode ops but +1.3 GB dense HBM — needs headroom "

@@ -320,6 +320,7 @@ class MoE:
                     store, num_slots,
                     compute_dtype=compute_dtype,
                     num_threads=config.num_threads,
+                    reserve_zero_slot=config.host_fallback,
                 )
                 tracer = ExpertTracer(
                     config.trace_capacity, store.num_layers,
@@ -335,6 +336,8 @@ class MoE:
                     impl=config.moe_impl, prefill_impl=config.prefill_impl,
                     speculative=config.speculative_decode,
                     spec_block=config.speculative_block,
+                    host_fallback=config.host_fallback,
+                    host_fallback_timeout=config.host_fallback_timeout_s,
                 )
                 self.generator = self.engine  # same generate() surface
                 # concurrent offload serving: joins encode through the
@@ -475,6 +478,7 @@ class MoE:
                 compute_dtype=compute_dtype,
                 num_threads=config.num_threads,
                 dequant_on_write=config.dequant_on_write,
+                reserve_zero_slot=config.host_fallback,
             )
             tracer = ExpertTracer(
                 config.trace_capacity, store.num_layers, store.num_experts,
@@ -495,6 +499,8 @@ class MoE:
                 ),
                 spec_block=config.speculative_block,
                 dense_arena=self.dense_arena,
+                host_fallback=config.host_fallback,
+                host_fallback_timeout=config.host_fallback_timeout_s,
             )
             stepper = self.engine
         self.generator = Generator(

@@ -114,6 +114,7 @@ class ExpertArena:
         dequant_on_write: bool = False,
         upload_chunk_bytes: int = 16 << 20,
         upload_threads: int = 4,
+        reserve_zero_slot: bool = False,
     ):
         """dequant_on_write: upload quantized bytes but store compute-dtype
         slots (no per-step dequant on the jnp path; the Pallas kernel path
@@ -130,6 +131,11 @@ class ExpertArena:
             raise ValueError("num_slots must be >= 1")
         self.store = store
         self.num_slots = num_slots
+        # reserved all-zeros row past the allocatable slots: the engine's
+        # run-on-host escape hatch points missing experts here so the
+        # device program contributes exactly 0 for them (host_exec.py)
+        self.zero_slot: Optional[int] = num_slots if reserve_zero_slot else None
+        rows = num_slots + (1 if reserve_zero_slot else 0)
         self.num_layers = store.num_layers
         self.num_experts = store.num_experts
         self.dtype = compute_dtype
@@ -170,7 +176,7 @@ class ExpertArena:
                 key = key + "4"
             self._role_to_tail[key] = tail
             self._arena_np_dtype[key] = np_dtype(f.dtype)
-            arena[key] = jnp.zeros((num_slots,) + shape, dtype=adt)
+            arena[key] = jnp.zeros((rows,) + shape, dtype=adt)
             base = key[:-1] if key.endswith("4") else key
             if tail + ".scale" in field_names:
                 fs = store._field_by_name[tail + ".scale"]
@@ -178,14 +184,14 @@ class ExpertArena:
                 self._arena_np_dtype[base + "_scale"] = np_dtype(fs.dtype)
                 if not dequant_on_write:
                     arena[base + "_scale"] = jnp.zeros(
-                        (num_slots,) + fs.shape, dtype=jnp.float32
+                        (rows,) + fs.shape, dtype=jnp.float32
                     )
         for tail, key in _BIAS_TAILS.items():
             if tail in field_names:
                 f = store._field_by_name[tail]
                 self._role_to_tail[key] = tail
                 self._arena_np_dtype[key] = np_dtype(f.dtype)
-                arena[key] = jnp.zeros((num_slots,) + f.shape, dtype=jnp.float32)
+                arena[key] = jnp.zeros((rows,) + f.shape, dtype=jnp.float32)
         self._arena = jax.device_put(arena, self.device)
 
         # ---- residency state (host) --------------------------------------
@@ -374,6 +380,56 @@ class ExpertArena:
                     )
                 if not nxt.wait(timeout=300.0):
                     raise TimeoutError(f"expert fetch timed out for {key}")
+
+    def try_acquire(
+        self, keys: Sequence[Key], layer: int, timeout: float
+    ) -> Tuple[List[Key], List[Key]]:
+        """acquire() with a deadline: returns (resident, missing). Missing
+        keys are unprotected and NOT resident — their fetches continue in
+        the background for future steps. The caller must release() only
+        the resident list. Powers the run-on-host escape hatch
+        (runtime/host_exec.py): a miss bounds the step's latency at
+        `timeout` + a small host GEMM instead of a full fetch."""
+        events = []
+        with self._cv:
+            self.current_layer = layer
+            for key in keys:
+                self.policy.protect(key)
+                hit = key in self.key_to_slot
+                self.policy.record_visit(key, hit=hit)
+                if hit:
+                    continue
+                self._errors.pop(key, None)
+                ev = self._in_flight.get(key)
+                if ev is None:
+                    ev = threading.Event()
+                    self._in_flight[key] = ev
+                self._escalated.add(key)
+                if key in self._fetching:
+                    esc = getattr(self.store, "escalate", None)
+                    if esc is not None:
+                        esc(*key)
+                heapq.heappush(
+                    self._queue,
+                    (PRIO_ONDEMAND, self._gen, next(self._seq), key),
+                )
+                self._cv.notify_all()
+                events.append((key, ev))
+        deadline = _time.perf_counter() + timeout
+        missing: List[Key] = []
+        for key, ev in events:
+            remaining = deadline - _time.perf_counter()
+            landed = ev.wait(max(0.0, remaining))
+            with self._lock:
+                if landed and key in self.key_to_slot:
+                    continue
+                # timed out or errored (e.g. exhaustion): hand to the host
+                self.policy.unprotect(key)
+                self._escalated.discard(key)
+                self._errors.pop(key, None)
+                missing.append(key)
+        resident = [k for k in keys if k not in set(missing)]
+        return resident, missing
 
     def release(self, keys: Sequence[Key]) -> None:
         with self._lock:

@@ -200,6 +200,8 @@ class OffloadEngine:
         max_replays: Optional[int] = None,
         spec_block: int = 1,
         dense_arena=None,
+        host_fallback: bool = False,
+        host_fallback_timeout: float = 0.25,
     ):
         """dense_arena: optional DenseLayerArena paging the dense layer
         stack (params['layers'] may then be host-resident or absent) — the
@@ -214,6 +216,29 @@ class OffloadEngine:
             )
         self.dense_arena = dense_arena
         self._paged_jits: dict = {}
+        # run-on-host escape hatch: an expert that cannot be made resident
+        # within host_fallback_timeout runs as the arena's zero slot on
+        # device (contributing 0) and its true contribution is computed on
+        # the host from the store record (runtime/host_exec.py) — a miss
+        # bounds step latency instead of stalling it
+        self.host_fallback = host_fallback
+        self.host_fallback_timeout = host_fallback_timeout
+        self.host_exec_count = 0
+        self._host_exec = None
+        if host_fallback:
+            if arena.zero_slot is None:
+                raise ValueError(
+                    "host_fallback requires an arena built with "
+                    "reserve_zero_slot=True"
+                )
+            from moe_infinity_tpu.runtime.host_exec import (
+                HostExpertExecutor,
+                activation_for,
+            )
+
+            self._host_exec = HostExpertExecutor(
+                arena.store, activation_for(arena.store.meta)
+            )
         self.model = model
         self.params = params
         self.arena = arena
@@ -432,11 +457,7 @@ class OffloadEngine:
             ids_np = np.asarray(ids)  # [B, T, K]
             keys = [(mli, int(e)) for e in np.unique(ids_np)]
             self._trace_and_prefetch(ids_np, mli, seq_ids)
-            arena.acquire(keys, mli)
-            with arena.locked_tree() as tree:
-                slot_row = jnp.asarray(arena.slot_map(mli))
-                x = self._apply(pl, x, h, cw, ids, tree, slot_row)
-            arena.release(keys)
+            x = self._moe_apply(pl, x, h, cw, ids, ids_np, keys, mli)
             trace_ids.append(ids)
             trace_w.append(cw)
         logits = self._head(params, x)
@@ -512,6 +533,35 @@ class OffloadEngine:
         finally:
             da.release(li)
 
+    def _moe_apply(self, pl, x, h, cw, ids, ids_np, keys, mli):
+        """Acquire + grouped-FFN apply for one MoE layer, with the optional
+        run-on-host escape hatch for experts that miss the deadline."""
+        arena = self.arena
+        if self.host_fallback:
+            resident, missing = arena.try_acquire(
+                keys, mli, self.host_fallback_timeout
+            )
+        else:
+            arena.acquire(keys, mli)
+            resident, missing = keys, []
+        with arena.locked_tree() as tree:
+            slot_row = arena.slot_map(mli)
+            if missing:
+                slot_row = slot_row.copy()
+                slot_row[[e for (_, e) in missing]] = arena.zero_slot
+            x = self._apply(pl, x, h, cw, ids, tree, jnp.asarray(slot_row))
+        if missing:
+            from moe_infinity_tpu.runtime.host_exec import host_moe_delta
+
+            self.host_exec_count += len(missing)
+            delta = host_moe_delta(
+                self._host_exec, mli, missing,
+                np.asarray(h), np.asarray(cw), ids_np,
+            )
+            x = x + jnp.asarray(delta).astype(x.dtype)
+        arena.release(resident)
+        return x
+
     # ---- policy glue -------------------------------------------------------
     def _trace_and_prefetch(
         self, ids_np: np.ndarray, mli: int, seq_ids: Optional[Sequence[str]]
@@ -570,6 +620,8 @@ class OffloadEngine:
         out.update(speculative_stats(self.replay_counts))
         if self.dense_arena is not None:
             out.update(self.dense_arena.stats())
+        if self.host_fallback:
+            out["host_exec_count"] = self.host_exec_count
         return out
 
     def node_stats(self) -> dict:

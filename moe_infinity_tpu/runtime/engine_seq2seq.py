@@ -62,7 +62,27 @@ class Seq2SeqOffloadEngine:
         speculative: bool = False,
         max_replays: Optional[int] = None,
         spec_block: int = 1,
+        host_fallback: bool = False,
+        host_fallback_timeout: float = 0.25,
     ):
+        self.host_fallback = host_fallback
+        self.host_fallback_timeout = host_fallback_timeout
+        self.host_exec_count = 0
+        self._host_exec = None
+        if host_fallback:
+            if arena.zero_slot is None:
+                raise ValueError(
+                    "host_fallback requires an arena built with "
+                    "reserve_zero_slot=True"
+                )
+            from moe_infinity_tpu.runtime.host_exec import (
+                HostExpertExecutor,
+                activation_for,
+            )
+
+            self._host_exec = HostExpertExecutor(
+                arena.store, activation_for(arena.store.meta)
+            )
         self.model = model
         self.params = params
         self.arena = arena
@@ -260,11 +280,29 @@ class Seq2SeqOffloadEngine:
             else:
                 for b, sid in enumerate(seq_ids):
                     self.tracer.update_entry(sid, ids_np[b], mli)
-        self.arena.acquire(keys, mli)
+        if self.host_fallback:
+            resident, missing = self.arena.try_acquire(
+                keys, mli, self.host_fallback_timeout
+            )
+        else:
+            self.arena.acquire(keys, mli)
+            resident, missing = keys, []
         with self.arena.locked_tree() as tree:
-            slot_row = jnp.asarray(self.arena.slot_map(mli))
-            x = self._apply(x, h, cw, ids, tree, slot_row)
-        self.arena.release(keys)
+            slot_row = self.arena.slot_map(mli)
+            if missing:
+                slot_row = slot_row.copy()
+                slot_row[[e for (_, e) in missing]] = self.arena.zero_slot
+            x = self._apply(x, h, cw, ids, tree, jnp.asarray(slot_row))
+        if missing:
+            from moe_infinity_tpu.runtime.host_exec import host_moe_delta
+
+            self.host_exec_count += len(missing)
+            delta = host_moe_delta(
+                self._host_exec, mli, missing,
+                np.asarray(h), np.asarray(cw), ids_np,
+            )
+            x = x + jnp.asarray(delta).astype(x.dtype)
+        self.arena.release(resident)
         return x
 
     def _prefetch_decoder_tier(self, seq_ids) -> None:
@@ -531,6 +569,8 @@ class Seq2SeqOffloadEngine:
 
         out = self.arena.hit_stats()
         out.update(speculative_stats(self.replay_counts))
+        if self.host_fallback:
+            out["host_exec_count"] = self.host_exec_count
         return out
 
     def node_stats(self) -> dict:

@@ -69,6 +69,18 @@ class EngineConfig:
     """Number of layer slots in the dense paging arena. Default: derived
     from the budget share left after expert slots and KV."""
 
+    host_fallback: bool = False
+    """Run-on-host escape hatch (per-layer offload paths): a routed expert
+    that cannot be made resident within host_fallback_timeout_s executes on
+    the HOST from the store record while the device program contributes 0
+    through a reserved zero slot — a miss bounds step latency instead of
+    stalling it (the reference left CPU execution commented out,
+    task_scheduler.cpp:143-151). Output stays exact."""
+
+    host_fallback_timeout_s: float = 0.25
+    """Deadline for making a routed expert resident before it runs on the
+    host (host_fallback=True only)."""
+
     # ---- compute --------------------------------------------------------
     expert_dtype: str = "bfloat16"
     """Storage dtype of offloaded experts: bfloat16 | int8 | int4 | float8_e4m3fn."""
