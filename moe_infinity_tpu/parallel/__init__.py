@@ -5,6 +5,10 @@ from moe_infinity_tpu.parallel.mesh import (
     expert_shardings,
     shard_params,
 )
+from moe_infinity_tpu.parallel.pod import (
+    PodExpertPlan,
+    PodPrefetchCoordinator,
+)
 from moe_infinity_tpu.parallel.sequence import (
     SPDecoder,
     caches_from_sp,
@@ -18,6 +22,8 @@ __all__ = [
     "mixtral_param_shardings",
     "expert_shardings",
     "shard_params",
+    "PodExpertPlan",
+    "PodPrefetchCoordinator",
     "sp_prefill",
     "sp_encode",
     "SPDecoder",

@@ -139,7 +139,7 @@ class ExpertArena:
         self.num_layers = store.num_layers
         self.num_experts = store.num_experts
         self.dtype = compute_dtype
-        self.device = device or jax.devices()[0]
+        self.device = device or jax.local_devices()[0]  # local: global [0] may be another process's
         self.policy = ExpertCachePolicy(
             self.num_layers,
             self.num_experts,

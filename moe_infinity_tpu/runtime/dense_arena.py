@@ -75,7 +75,7 @@ class DenseLayerArena:
         if num_slots < 2:
             raise ValueError("dense paging needs num_slots >= 2")
         self.L = len(layers_host)
-        self.device = device or jax.devices()[0]
+        self.device = device or jax.local_devices()[0]  # local: global [0] may be another process's
         self.ahead = ahead if ahead is not None else max(1, num_slots - 2)
 
         # ---- group layers by structure signature ------------------------

@@ -130,4 +130,38 @@ else:
     got_keys = hints.fetch(3, timeout_ms=20000)
     assert got_keys == [(1, 5), (2, 7)], got_keys
 
+# pod coordinator: host-affine arenas + step consensus barrier. Each
+# process owns half the expert axis; the leader publishes a step's routed
+# set; every process warms ONLY its shard and joins the barrier — the
+# miss-stalls-the-collective hard part of SURVEY.md §7.
+from moe_infinity_tpu.parallel.pod import (  # noqa: E402
+    PodExpertPlan,
+    PodPrefetchCoordinator,
+)
+from moe_infinity_tpu.runtime.arena import ExpertArena  # noqa: E402
+from moe_infinity_tpu.store.blob import SyntheticStore  # noqa: E402
+
+plan = PodExpertPlan(mesh, E)
+assert len(plan.local_coords) == 4  # 4 local devices on the expert axis
+mine = set(plan.local_experts())
+theirs = set(range(E)) - mine
+assert len(mine) == E // nprocs, (pid, sorted(mine))
+
+store = SyntheticStore(
+    2, E,
+    [("fc1.weight", (16, 32), "float32"), ("fc2.weight", (32, 16), "float32")],
+    meta={"arch": "nllb"},
+)
+arena = ExpertArena(store, num_slots=E, num_threads=2)
+coord = PodPrefetchCoordinator(arena, plan, namespace="mh_pod")
+step_keys = [(0, e) for e in range(E)] + [(1, 1), (1, 6)]
+if pid == 0:
+    coord.lead(0, step_keys)
+warmed = coord.ensure(0)  # every process: fetch + warm own shard + barrier
+assert all(plan.is_local(k) for k in warmed)
+assert all(arena.is_resident(k) for k in warmed), "shard not resident"
+for e in sorted(theirs):
+    assert not arena.is_resident((0, e)), "warmed a remote expert"
+arena.shutdown()
+
 print(f"MH_OK {pid}", flush=True)
