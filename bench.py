@@ -208,12 +208,18 @@ def bench_mixtral_offload(args):
     if args.slots:
         num_slots = args.slots
 
+    tier = None
+    if args.pinned_tier:
+        from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+        tier = PinnedExpertTier(store)
     arena = ExpertArena(
         store, num_slots,
         policy=args.policy,
         compute_dtype=jnp.bfloat16,
         num_threads=args.threads,
         dequant_on_write=(args.arena_dtype == "bf16"),
+        pinned_tier=tier,
     )
     tracer = ExpertTracer(256, L, E)
     engine = OffloadEngine(
@@ -907,11 +913,17 @@ def bench_nllb_offload(args):
     num_slots = args.slots or max(
         E, union, int((budget - dense_bytes - kv_reserve) // store.stride)
     )
+    tier = None
+    if args.pinned_tier:
+        from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+        tier = PinnedExpertTier(store)
     arena = ExpertArena(
         store, num_slots,
         policy=args.policy,
         compute_dtype=jnp.bfloat16,
         num_threads=args.threads,
+        pinned_tier=tier,
     )
     tracer = ExpertTracer(256, n_moe, E, num_encoder_layers=n_enc_moe)
     # speculative whole-step decode: each decode step is ONE compiled
@@ -1097,6 +1109,10 @@ def build_parser():
     p.add_argument("--fuse-gateup", action="store_true",
                    help="enable fused gate+up expert weights (dsv2 preset; "
                         "bigger weight-generation transient)")
+    p.add_argument("--pinned-tier", action="store_true",
+                   help="stage the (synthetic) expert store in pinned_host "
+                        "memory: fetches become device-side DMA programs "
+                        "(offload presets)")
     p.add_argument("--no-fallback", action="store_true",
                    help="fail hard instead of degrading down the preset "
                         "fallback chain")

@@ -250,6 +250,11 @@ class MoE:
             return
 
         store = ExpertStore(config.offload_path, load_mode=config.load_mode)
+        pinned_tier = None
+        if config.pinned_tier:
+            from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+            pinned_tier = PinnedExpertTier(store)
         # ---- residency budget ------------------------------------------
         expert_bytes_all = store.stride * store.num_layers * store.num_experts
         dense_bytes_all = sum(
@@ -321,6 +326,7 @@ class MoE:
                     compute_dtype=compute_dtype,
                     num_threads=config.num_threads,
                     reserve_zero_slot=config.host_fallback,
+                    pinned_tier=pinned_tier,
                 )
                 tracer = ExpertTracer(
                     config.trace_capacity, store.num_layers,
@@ -479,6 +485,7 @@ class MoE:
                 num_threads=config.num_threads,
                 dequant_on_write=config.dequant_on_write,
                 reserve_zero_slot=config.host_fallback,
+                pinned_tier=pinned_tier,
             )
             tracer = ExpertTracer(
                 config.trace_capacity, store.num_layers, store.num_experts,

@@ -115,6 +115,7 @@ class ExpertArena:
         upload_chunk_bytes: int = 16 << 20,
         upload_threads: int = 4,
         reserve_zero_slot: bool = False,
+        pinned_tier=None,
     ):
         """dequant_on_write: upload quantized bytes but store compute-dtype
         slots (no per-step dequant on the jnp path; the Pallas kernel path
@@ -126,7 +127,13 @@ class ExpertArena:
         staging). Measured on the serial-link relay: 4 threads x 16 MB
         sustains ~4.4 GB/s vs ~1.6 GB/s for one whole-record copy, cutting
         the blocking latency of a single on-demand miss ~2.7x.
-        upload_chunk_bytes=0 disables chunking."""
+        upload_chunk_bytes=0 disables chunking.
+
+        pinned_tier: a store.pinned.PinnedExpertTier. Fetches then skip the
+        host read + upload entirely: one jitted program slices the record
+        out of the pinned_host tier and writes the slot as a device-side
+        DMA (~1 ms vs ~100s of ms per record on a relay link), fully
+        overlapping compute."""
         if num_slots < 1:
             raise ValueError("num_slots must be >= 1")
         self.store = store
@@ -193,6 +200,8 @@ class ExpertArena:
                 self._arena_np_dtype[key] = np_dtype(f.dtype)
                 arena[key] = jnp.zeros((rows,) + f.shape, dtype=jnp.float32)
         self._arena = jax.device_put(arena, self.device)
+        self._tier = pinned_tier
+        self._tier_write = self._make_tier_writer() if pinned_tier else None
 
         # ---- residency state (host) --------------------------------------
         self.slot_to_key: List[Optional[Key]] = [None] * num_slots
@@ -472,6 +481,48 @@ class ExpertArena:
     # ------------------------------------------------------------------
     # worker internals
     # ------------------------------------------------------------------
+    def _make_tier_writer(self):
+        """One jitted program: slice a record out of the pinned_host tier
+        and write every role into arena slot `slot` (donated) — the whole
+        fetch is device-side DMA. Mirrors _write_slot's dequant-on-write
+        and int4 semantics."""
+        hbm = self._tier.hbm_sharding()
+        role_to_tail = dict(self._role_to_tail)
+        arena_keys = list(self._arena)
+
+        def write(arena, tier, rec_idx, slot):
+            out = {}
+            for akey in arena_keys:
+                a = arena[akey]
+                rec = jax.lax.dynamic_slice_in_dim(
+                    tier[role_to_tail[akey]], rec_idx, 1, 0
+                )
+                rec = jax.device_put(rec, hbm)
+                base = akey[:-1] if akey.endswith("4") else akey
+                dq_tail = role_to_tail.get(base + "_scale")
+                if dq_tail is not None and (base + "_scale") not in arena:
+                    sc = jax.device_put(
+                        jax.lax.dynamic_slice_in_dim(
+                            tier[dq_tail], rec_idx, 1, 0
+                        ),
+                        hbm,
+                    )
+                    v = rec
+                    if v.ndim == 3 and v.shape[-1] * 2 == a.shape[-1]:
+                        from moe_infinity_tpu.ops.moe import unpack_int4
+
+                        v = unpack_int4(v)
+                    v = (v.astype(jnp.float32) * sc).astype(a.dtype)
+                else:
+                    v = rec.astype(a.dtype)
+                idx = (0,) * a.ndim
+                out[akey] = jax.lax.dynamic_update_slice(
+                    a, v, (slot,) + idx[1:]
+                )
+            return out
+
+        return jax.jit(write, donate_argnums=0)
+
     def _worker(self) -> None:
         while True:
             with self._cv:
@@ -523,11 +574,24 @@ class ExpertArena:
                     continue
                 self._pending_fetches += 1
                 self._fetching.add(key)
+            t_fetch = _time.perf_counter()
+            layer, expert = key
+            if self._tier is not None:
+                # pinned-host tier: the whole fetch is one device-side DMA
+                # program (no host read, no relay crossing)
+                rec_idx = jnp.int32(self._tier.record_index(layer, expert))
+                with self._cv:
+                    while self._leases > 0:  # donation must not race
+                        self._cv.wait()
+                    self._arena = self._tier_write(
+                        self._arena, self._tier.fields, rec_idx,
+                        jnp.int32(slot),
+                    )
+                self._finish_fetch(key, slot, prio, t_fetch)
+                continue
             # host read + cast outside the lock (page-cache fault / RAM
             # copy; sched mode orders reads by priority with block-granular
             # preemption in the native scheduler)
-            t_fetch = _time.perf_counter()
-            layer, expert = key
             record = self.store.get_expert(layer, expert, prio=prio, gen=gen)
             new = {}
             for akey, tail in self._role_to_tail.items():
@@ -546,24 +610,27 @@ class ExpertArena:
             # H2D copies dispatch + proceed outside the lock so concurrent
             # workers' uploads overlap on the interconnect
             self._land_record(new, slot)
-            dt = _time.perf_counter() - t_fetch
-            with self._lock:
-                self.fetch_seconds_ewma = (
-                    dt
-                    if self.fetch_seconds_ewma is None
-                    else 0.8 * self.fetch_seconds_ewma + 0.2 * dt
-                )
-                self.slot_to_key[slot] = key
-                self.key_to_slot[key] = slot
-                self.expert_to_slot[key] = slot
-                self.policy.on_insert(key, prefetched=(prio == PRIO_PREFETCH))
-                self._escalated.discard(key)
-                self._pending_fetches -= 1
-                self._fetching.discard(key)
-                ev = self._in_flight.pop(key, None)
-                self._cv.notify_all()  # wake workers waiting on pending slots
-            if ev is not None:
-                ev.set()
+            self._finish_fetch(key, slot, prio, t_fetch)
+
+    def _finish_fetch(self, key: Key, slot: int, prio: int, t_fetch: float):
+        dt = _time.perf_counter() - t_fetch
+        with self._lock:
+            self.fetch_seconds_ewma = (
+                dt
+                if self.fetch_seconds_ewma is None
+                else 0.8 * self.fetch_seconds_ewma + 0.2 * dt
+            )
+            self.slot_to_key[slot] = key
+            self.key_to_slot[key] = slot
+            self.expert_to_slot[key] = slot
+            self.policy.on_insert(key, prefetched=(prio == PRIO_PREFETCH))
+            self._escalated.discard(key)
+            self._pending_fetches -= 1
+            self._fetching.discard(key)
+            ev = self._in_flight.pop(key, None)
+            self._cv.notify_all()  # wake workers waiting on pending slots
+        if ev is not None:
+            ev.set()
 
     def _land_record(self, new: Dict[str, np.ndarray], slot: int) -> None:
         """Upload one expert record and write it into arena slot `slot`.

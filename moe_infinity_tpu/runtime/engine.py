@@ -52,6 +52,17 @@ def _split_arena_tree(tree: Dict[str, jax.Array]):
     return weights, (biases or None)
 
 
+def is_spec_capacity_error(e: BaseException) -> bool:
+    """True for run_speculative's own failures (arena too small / replays
+    didn't converge) — the only errors that justify degrading to a smaller
+    block or the per-layer path. Anything else (transport hiccups,
+    compile errors) must RETRY or surface, not silently disable the fast
+    path for the rest of the process (a round-2 relay blip cost 3x
+    throughput that way)."""
+    s = str(e)
+    return "did not converge" in s or "arena exhausted" in s
+
+
 def speculative_stats(replay_counts: Sequence[int]) -> dict:
     """The /metrics counter block every speculative executor exposes."""
     if not replay_counts:
@@ -418,14 +429,22 @@ class OffloadEngine:
                     arena, self._moe_lis, run, limit
                 )
             except RuntimeError as e:
-                # arena can't hold this step's expert union (or replays
-                # didn't converge): fall back to the exact per-layer path
-                # permanently rather than failing the request
-                logger.warning(
-                    "speculative decode disabled (%s); falling back to the "
-                    "per-layer path", e,
-                )
-                self.speculative = False
+                if is_spec_capacity_error(e):
+                    # arena can't hold this step's expert union (or
+                    # replays didn't converge): fall back to the exact
+                    # per-layer path permanently
+                    logger.warning(
+                        "speculative decode disabled (%s); falling back "
+                        "to the per-layer path", e,
+                    )
+                    self.speculative = False
+                else:
+                    # transient: the per-layer path below makes this
+                    # step's progress; the next step retries speculative
+                    logger.warning(
+                        "speculative step transient error (%s); "
+                        "per-layer for this step", e,
+                    )
             else:
                 self.replay_counts.append(execs)
                 spec_trace_and_prefetch(self, ids_np, self._moe_lis, seq_ids)

@@ -474,16 +474,28 @@ class Seq2SeqOffloadEngine:
                         dec_mlis, seq_ids, k,
                     )
                 except RuntimeError as e:
-                    # the arena can't hold a k-step union of routed
-                    # experts (or the block didn't converge): drop to the
-                    # single-step speculative path, which has the tight
-                    # per-step union and convergence bound
-                    _log.warning(
-                        "speculative block decode disabled (%s); dropping "
-                        "to single-step speculative decode", e,
+                    from moe_infinity_tpu.runtime.engine import (
+                        is_spec_capacity_error,
                     )
-                    self.spec_block = 1
-                    continue
+
+                    if is_spec_capacity_error(e):
+                        # the arena can't hold a k-step union of routed
+                        # experts (or the block didn't converge): drop to
+                        # the single-step speculative path, which has the
+                        # tight per-step union and convergence bound
+                        _log.warning(
+                            "speculative block decode disabled (%s); "
+                            "dropping to single-step speculative decode", e,
+                        )
+                        self.spec_block = 1
+                        continue
+                    # transient (transport/compile hiccup): make this
+                    # step's progress single-step below and retry blocks
+                    # next iteration
+                    _log.warning(
+                        "block decode transient error (%s); "
+                        "single-stepping this token", e,
+                    )
                 for jj in range(toks.shape[1]):
                     nxt = toks[:, jj].astype(np.int64)
                     out[~finished, step + jj + 1] = nxt[~finished]
@@ -506,14 +518,24 @@ class Seq2SeqOffloadEngine:
                         dec_mlis, seq_ids,
                     )
                 except RuntimeError as e:
-                    # arena can't hold the step's expert union (or replays
-                    # didn't converge): permanent fallback to the exact
-                    # per-layer path below
-                    _log.warning(
-                        "speculative decode disabled (%s); falling back to "
-                        "the per-layer path", e,
+                    from moe_infinity_tpu.runtime.engine import (
+                        is_spec_capacity_error,
                     )
-                    self.speculative = False
+
+                    if is_spec_capacity_error(e):
+                        # arena can't hold the step's expert union (or
+                        # replays didn't converge): permanent fallback to
+                        # the exact per-layer path below
+                        _log.warning(
+                            "speculative decode disabled (%s); falling "
+                            "back to the per-layer path", e,
+                        )
+                        self.speculative = False
+                    else:
+                        _log.warning(
+                            "speculative step transient error (%s); "
+                            "per-layer for this step", e,
+                        )
             if logits is None:  # per-layer path
                 bias, cross_bias = self._dec_prelude(
                     params, positions, cap, mask

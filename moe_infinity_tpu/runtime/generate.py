@@ -538,14 +538,27 @@ class Generator:
                             cur, kv, k, seq_ids=seq_ids,
                         )
                     except RuntimeError as e:
-                        # arena can't hold a k-step union (or the block
-                        # didn't converge): single-step speculative decode
-                        # still has the tight per-step bound
-                        logger.warning(
-                            "speculative block decode disabled (%s); "
-                            "dropping to single-step decode", e,
+                        from moe_infinity_tpu.runtime.engine import (
+                            is_spec_capacity_error,
                         )
-                        self.stepper.spec_block = 1
+
+                        if is_spec_capacity_error(e):
+                            # arena can't hold a k-step union (or the
+                            # block didn't converge): single-step decode
+                            # still has the tight per-step bound
+                            logger.warning(
+                                "speculative block decode disabled (%s); "
+                                "dropping to single-step decode", e,
+                            )
+                            self.stepper.spec_block = 1
+                        else:
+                            # transient (transport/compile hiccup): make
+                            # this step's progress single-step below and
+                            # retry blocks next iteration
+                            logger.warning(
+                                "block decode transient error (%s); "
+                                "single-stepping this token", e,
+                            )
                     else:
                         next_tok = toks[:, 0].astype(np.int64)
                         pending = [

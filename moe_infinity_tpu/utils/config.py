@@ -81,6 +81,14 @@ class EngineConfig:
     """Deadline for making a routed expert resident before it runs on the
     host (host_fallback=True only)."""
 
+    pinned_tier: bool = False
+    """Stage the expert store in the device's pinned_host memory at load:
+    every fetch becomes a single device-side DMA program (record sliced
+    out of the tier straight into its arena slot) instead of a host read +
+    H2D upload — ~100x lower fetch latency, fully overlapping compute.
+    Costs one bulk staging pass and host RAM for the full expert table
+    (the reference's pinned HostMemoryPool, memory_pool.cpp:62-76)."""
+
     # ---- compute --------------------------------------------------------
     expert_dtype: str = "bfloat16"
     """Storage dtype of offloaded experts: bfloat16 | int8 | int4 | float8_e4m3fn."""

@@ -1,0 +1,154 @@
+"""Pinned-host expert tier: fetches as device-side DMA programs.
+
+The tier stages the store's record table in the device's pinned_host
+memory; arena fetches slice the record straight into their slot inside
+ONE jitted program — no host read, no per-fetch upload. These tests prove
+slot contents and end-to-end generation are identical to the host-read
+path, across f32 / int8 / packed-int4 / dequant-on-write layouts.
+"""
+
+import numpy as np
+import pytest
+import torch
+from transformers import MixtralConfig, MixtralForCausalLM
+
+import jax.numpy as jnp
+
+from moe_infinity_tpu.models.mixtral import MixtralModel, MixtralSpec
+from moe_infinity_tpu.runtime.arena import ExpertArena
+from moe_infinity_tpu.runtime.engine import OffloadEngine
+from moe_infinity_tpu.runtime.generate import Generator
+from moe_infinity_tpu.store.blob import DenseArchive, ExpertStore, SyntheticStore
+from moe_infinity_tpu.store.ingest import ingest_checkpoint
+from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+L, E = 2, 4
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    cfg = MixtralConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=L,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=E,
+        num_experts_per_tok=2, vocab_size=128, max_position_embeddings=64,
+        torch_dtype=torch.float32, architectures=["MixtralForCausalLM"],
+    )
+    torch.manual_seed(21)
+    hf = MixtralForCausalLM(cfg).eval()
+    ckpt = tmp_path_factory.mktemp("pt") / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    return cfg, hf, str(ckpt)
+
+
+def _stores(tmp_path_factory, ckpt, cfg, dtype):
+    store_dir = str(tmp_path_factory.mktemp("pts") / f"store_{dtype}")
+    ingest_checkpoint(
+        ckpt, store_dir, cfg, expert_dtype=dtype, dense_dtype="float32"
+    )
+    return store_dir
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
+def test_tier_slots_match_host_path(tiny, tmp_path_factory, dtype):
+    cfg, _, ckpt = tiny
+    store_dir = _stores(tmp_path_factory, ckpt, cfg, dtype)
+    store = ExpertStore(store_dir)
+    cdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+
+    host_arena = ExpertArena(store, E, compute_dtype=cdt, num_threads=1)
+    tier = PinnedExpertTier(store)
+    tier_arena = ExpertArena(
+        store, E, compute_dtype=cdt, num_threads=1, pinned_tier=tier
+    )
+    try:
+        keys = [(l, e) for l in range(L) for e in (0, 3)]
+        for a in (host_arena, tier_arena):
+            a.warm(keys)
+        for key in keys:
+            hs = host_arena.key_to_slot[key]
+            ts = tier_arena.key_to_slot[key]
+            for akey in host_arena.pytree():
+                hv = np.asarray(host_arena.pytree()[akey][hs], np.float32)
+                tv = np.asarray(tier_arena.pytree()[akey][ts], np.float32)
+                np.testing.assert_array_equal(hv, tv, err_msg=f"{key}/{akey}")
+    finally:
+        host_arena.shutdown()
+        tier_arena.shutdown()
+
+
+def test_tier_dequant_on_write_matches(tiny, tmp_path_factory):
+    cfg, _, ckpt = tiny
+    store_dir = _stores(tmp_path_factory, ckpt, cfg, "int4")
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(store)
+    host_arena = ExpertArena(
+        store, E, compute_dtype=jnp.bfloat16, num_threads=1,
+        dequant_on_write=True,
+    )
+    tier_arena = ExpertArena(
+        store, E, compute_dtype=jnp.bfloat16, num_threads=1,
+        dequant_on_write=True, pinned_tier=tier,
+    )
+    try:
+        key = (1, 2)
+        host_arena.warm([key])
+        tier_arena.warm([key])
+        hs, ts = host_arena.key_to_slot[key], tier_arena.key_to_slot[key]
+        for akey in host_arena.pytree():
+            np.testing.assert_array_equal(
+                np.asarray(host_arena.pytree()[akey][hs], np.float32),
+                np.asarray(tier_arena.pytree()[akey][ts], np.float32),
+                err_msg=akey,
+            )
+    finally:
+        host_arena.shutdown()
+        tier_arena.shutdown()
+
+
+def test_tier_e2e_generate_matches_hf(tiny, tmp_path_factory):
+    cfg, hf, ckpt = tiny
+    store_dir = _stores(tmp_path_factory, ckpt, cfg, "float32")
+    store = ExpertStore(store_dir)
+    model = MixtralModel(MixtralSpec.from_hf(cfg), compute_dtype=jnp.float32)
+    params = model.load_params(DenseArchive(store_dir))
+    tier = PinnedExpertTier(store)
+    arena = ExpertArena(
+        store, E, compute_dtype=jnp.float32, num_threads=2, pinned_tier=tier
+    )
+    eng = OffloadEngine(model, params, arena, prefetch=False)
+    try:
+        prompt = np.array([[5, 9, 33, 7]])
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        ).numpy()
+        got = Generator(stepper=eng, max_seq_len=64).generate(
+            prompt, max_new_tokens=6
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+    finally:
+        arena.shutdown()
+
+
+def test_tier_synthetic_shared_record():
+    fields = [
+        ("fc1.weight", (16, 32), "float32"),
+        ("fc2.weight", (32, 16), "float32"),
+    ]
+    store = SyntheticStore(3, 4, fields, meta={"arch": "nllb"})
+    tier = PinnedExpertTier(store)
+    assert tier.shared
+    assert tier.record_index(2, 3) == 0
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1, pinned_tier=tier
+    )
+    try:
+        arena.warm([(0, 1), (2, 2)])
+        rec = store.get_expert(0, 1)
+        s = arena.key_to_slot[(0, 1)]
+        np.testing.assert_allclose(
+            np.asarray(arena.pytree()["gate"][s], np.float32),
+            rec["fc1.weight"].astype(np.float32), atol=1e-6,
+        )
+    finally:
+        arena.shutdown()
