@@ -283,29 +283,57 @@ class DeepseekV2ModelJax:
                 q_nope.astype(jnp.float32),
                 pl["w_uk"].astype(jnp.float32),
             )
-        logits = (
-            jnp.einsum("bthr,bsr->bhts", q_lat, c_cache.astype(jnp.float32))
-            + jnp.einsum(
-                "bthp,bsp->bhts",
-                q_pe.astype(jnp.float32),
-                kpe_cache.astype(jnp.float32),
-            )
-        )
-        if not folded:
-            logits = logits * (s.qk_head_dim**-0.5)
 
-        S = c_cache.shape[1]
-        key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
-        valid = (key_pos < kv_len + T) & (key_pos <= positions[:, None, :, None])
-        if key_valid is not None:
-            valid = jnp.logical_and(valid, key_valid[:, None, None, :])
-        elif pad_offsets is not None:
-            valid = jnp.logical_and(
-                valid, key_pos >= pad_offsets[:, None, None, None]
+        # decode fast path: the MLA flash kernel streams the live latent +
+        # rope caches once for all H heads (models/layers.py gates)
+        out_lat = None
+        if T == 1 and self._mla_flash_ok(c_cache):
+            from moe_infinity_tpu.ops.flash_attention import mla_flash_decode
+
+            mask = key_valid
+            if mask is None and pad_offsets is not None:
+                cols = jnp.arange(c_cache.shape[1], dtype=jnp.int32)[None, :]
+                mask = cols >= pad_offsets[:, None]
+            o1 = mla_flash_decode(
+                q_lat[:, 0].astype(jnp.float32),
+                q_pe[:, 0].astype(jnp.float32),
+                c_cache, kpe_cache,
+                positions[:, 0], kv_len + T,
+                scale=1.0 if folded else s.qk_head_dim ** -0.5,
+                pad_mask=mask,
             )
-        logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits, axis=-1)
-        out_lat = jnp.einsum("bhts,bsr->bthr", probs, c_cache.astype(jnp.float32))
+            if o1 is not None:
+                out_lat = o1[:, None]  # [B, 1, H, R]
+        if out_lat is None:
+            logits = (
+                jnp.einsum(
+                    "bthr,bsr->bhts", q_lat, c_cache.astype(jnp.float32)
+                )
+                + jnp.einsum(
+                    "bthp,bsp->bhts",
+                    q_pe.astype(jnp.float32),
+                    kpe_cache.astype(jnp.float32),
+                )
+            )
+            if not folded:
+                logits = logits * (s.qk_head_dim**-0.5)
+
+            S = c_cache.shape[1]
+            key_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
+            valid = (key_pos < kv_len + T) & (
+                key_pos <= positions[:, None, :, None]
+            )
+            if key_valid is not None:
+                valid = jnp.logical_and(valid, key_valid[:, None, None, :])
+            elif pad_offsets is not None:
+                valid = jnp.logical_and(
+                    valid, key_pos >= pad_offsets[:, None, None, None]
+                )
+            logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out_lat = jnp.einsum(
+                "bhts,bsr->bthr", probs, c_cache.astype(jnp.float32)
+            )
         if folded:
             out = jnp.einsum(
                 "bthr,dhr->btd", out_lat, pl["o_fold"].astype(jnp.float32)
@@ -318,6 +346,22 @@ class DeepseekV2ModelJax:
                 out.reshape(B, T, H * s.v_head_dim).astype(self.dtype), pl["o"]
             )
         return x + out, kv
+
+    @staticmethod
+    def _mla_flash_ok(c_cache) -> bool:
+        from moe_infinity_tpu.models.layers import (
+            _FLASH_DECODE_MIN_BYTES,
+            _flash_enabled,
+            get_attention_impl,
+        )
+
+        if not _flash_enabled():
+            return False
+        if get_attention_impl() == "flash":
+            return True
+        return (
+            c_cache.size * c_cache.dtype.itemsize >= _FLASH_DECODE_MIN_BYTES
+        )
 
     # ---- routing ---------------------------------------------------------
     def route(self, pl, h: jax.Array):

@@ -497,6 +497,202 @@ def flash_decode(
 
 
 # ---------------------------------------------------------------------------
+# MLA decode: DeepSeek's absorbed-latent attention. Scores sum two dot
+# products over SHARED caches (the 512-dim compressed latent + the 64-dim
+# rope key); values ARE the latent. Effectively MQA with one wide head —
+# one K/V stream serves all H query heads, and the lane axes are full-width
+# (no head slicing), so any latent/rope dims work.
+# ---------------------------------------------------------------------------
+
+def _mla_decode_kernel(
+    rowlen_ref,  # scalar prefetch SMEM [B]
+    qlat_ref,    # (1, H, R)
+    qpe_ref,     # (1, H, P)
+    c_hbm,       # [B, S, R] ANY — compressed latent cache
+    kpe_hbm,     # [B, S, P] ANY — roped shared key cache
+    *rest,       # [mask_hbm], out_ref, cbuf, pbuf, (mbuf), sem
+    H: int,
+    bs: int,
+    R: int,
+    scale: float,
+    has_mask: bool,
+):
+    if has_mask:
+        mask_hbm, out_ref, cbuf, pbuf, mbuf, sem = rest
+    else:
+        mask_hbm, mbuf = None, None
+        out_ref, cbuf, pbuf, sem = rest
+
+    b = pl.program_id(0)
+    row_len = rowlen_ref[b]
+    n = pl.cdiv(row_len, bs)
+
+    def dmas(slot, i):
+        st = i * bs
+        out = [
+            pltpu.make_async_copy(
+                c_hbm.at[b, pl.ds(st, bs), :], cbuf.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                kpe_hbm.at[b, pl.ds(st, bs), :], pbuf.at[slot],
+                sem.at[slot, 1],
+            ),
+        ]
+        if has_mask:
+            out.append(
+                pltpu.make_async_copy(
+                    mask_hbm.at[b, pl.ds(st, bs), :],
+                    mbuf.at[slot], sem.at[slot, 2],
+                )
+            )
+        return out
+
+    def start_dma(slot, i):
+        for d in dmas(slot, i):
+            d.start()
+
+    @pl.when(n > 0)
+    def _warm():
+        start_dma(0, 0)
+
+    q_lat = qlat_ref[0].astype(jnp.float32)  # [H, R]
+    q_pe = qpe_ref[0].astype(jnp.float32)    # [H, P]
+
+    def body(i, carry):
+        m, l, acc = carry  # [1, H], [1, H], [H, R]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _next():
+            start_dma(jax.lax.rem(i + 1, 2), i + 1)
+
+        for d in dmas(slot, i):
+            d.wait()
+        kc = cbuf[slot].astype(jnp.float32)   # [bs, R]
+        kp = pbuf[slot].astype(jnp.float32)   # [bs, P]
+        scores = (
+            jax.lax.dot_general(
+                kc, q_lat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                kp, q_pe, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ) * scale  # [bs, H]
+        kpos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, H), 0)
+        valid = kpos < row_len
+        if has_mask:
+            valid = jnp.logical_and(valid, mbuf[slot] > 0)  # [bs, 1]
+        scores = jnp.where(valid, scores, _NEG)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=0, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # [bs, H]
+        l_new = alpha * l + jnp.sum(p, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, kc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H, R]
+        return m_new, l_new, alpha.reshape(H, 1) * acc + pv
+
+    m0 = jnp.full((1, H), _NEG, jnp.float32)
+    l0 = jnp.zeros((1, H), jnp.float32)
+    a0 = jnp.zeros((H, R), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, a0))
+    lc = l.reshape(H, 1)
+    out = jnp.where(lc > 0, acc / jnp.where(lc > 0, lc, 1.0), 0.0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def mla_flash_decode(
+    q_lat: jax.Array,     # [B, H, R] absorbed latent query
+    q_pe: jax.Array,      # [B, H, P] roped query
+    c_cache: jax.Array,   # [B, S, R] compressed latent cache
+    kpe_cache: jax.Array,  # [B, S, P] roped shared key cache
+    q_positions: jax.Array,  # [B] absolute position of the query
+    kv_len: jax.Array,    # scalar int32 valid cache entries
+    *,
+    scale: float,
+    pad_mask: Optional[jax.Array] = None,  # [B, S]
+    interpret: Optional[bool] = None,
+) -> Optional[jax.Array]:
+    """Online-softmax MLA decode: returns out_lat [B, H, R] (the caller
+    applies w_uv / o_fold). HBM traffic = one pass over the live latent +
+    rope caches shared by all H heads."""
+    B, H, R = q_lat.shape
+    S = c_cache.shape[1]
+    P = q_pe.shape[-1]
+    if S == 0 or R % 128 != 0:
+        return None
+    bs = _pick_bs(S)
+    if bs is None:
+        return None
+    interpret = _INTERPRET if interpret is None else interpret
+    if P % 128 != 0:
+        # Mosaic requires 128-aligned lane extents on DMA'd slices; the
+        # zero-padded rope lanes contribute 0 to the scores
+        pad = _round_up(P, 128) - P
+        q_pe = jnp.pad(q_pe, ((0, 0), (0, 0), (0, pad)))
+        kpe_cache = jnp.pad(kpe_cache, ((0, 0), (0, 0), (0, pad)))
+        P += pad
+
+    row_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    row_len = jnp.minimum(row_len, q_positions.astype(jnp.int32) + 1)
+    row_len = jnp.minimum(row_len, S)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, H, R), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, H, P), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [q_lat, q_pe, c_cache, kpe_cache]
+    scratch = [
+        pltpu.VMEM((2, bs, R), c_cache.dtype),
+        pltpu.VMEM((2, bs, P), kpe_cache.dtype),
+    ]
+    n_sems = 2
+    if pad_mask is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        operands.append(pad_mask.astype(jnp.int8)[:, :, None])
+        scratch.append(pltpu.VMEM((2, bs, 1), jnp.int8))
+        n_sems = 3
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_sems)))
+
+    kernel = functools.partial(
+        _mla_decode_kernel,
+        H=H, bs=bs, R=R, scale=float(scale),
+        has_mask=pad_mask is not None,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, H, R), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, R), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * (R + P // 2),
+            bytes_accessed=B * S * (R + P) * c_cache.dtype.itemsize,
+            transcendentals=B * H * S,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(row_len, *operands)
+
+
+# ---------------------------------------------------------------------------
 # Paged decode: the same live-bounded loop over a page pool, page table in
 # scalar-prefetch SMEM. No pool[page_table] materialization.
 # ---------------------------------------------------------------------------

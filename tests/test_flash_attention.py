@@ -253,3 +253,85 @@ def test_attend_cache_paged_routes(rng):
         layers.set_attention_impl("auto")
     ref = attend_reference(q, kv.k, kv.v, pos, jnp.int32(S))
     _check(out, ref)
+
+
+def test_mla_decode_matches_einsum(rng):
+    """mla_flash_decode == DeepSeek's absorbed-MLA decode einsums."""
+    B, H, R, P, S = 2, 4, 128, 32, 64
+    q_lat = jnp.asarray(rng.normal(size=(B, H, R)), jnp.float32)
+    q_pe = jnp.asarray(rng.normal(size=(B, H, P)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(B, S, R)), jnp.float32)
+    kpe = jnp.asarray(rng.normal(size=(B, S, P)), jnp.float32)
+    pos = jnp.asarray([40, 63], jnp.int32)
+    kv_len = jnp.int32(S)
+    scale = (R + P) ** -0.5
+    holes = jnp.asarray(rng.random((B, S)) > 0.2)
+
+    out = fa.mla_flash_decode(
+        q_lat, q_pe, c, kpe, pos, kv_len, scale=scale, pad_mask=holes
+    )
+
+    # oracle: the model's einsum form (deepseek_v2.py attention core)
+    logits = (
+        jnp.einsum("bhr,bsr->bhs", q_lat, c)
+        + jnp.einsum("bhp,bsp->bhs", q_pe, kpe)
+    ) * scale
+    key_pos = jnp.arange(S)[None, None, :]
+    valid = (key_pos <= pos[:, None, None]) & holes[:, None, :]
+    logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhs,bsr->bhr", probs, c)
+    _check(out, ref)
+
+
+def test_mla_flash_through_model_decode(rng):
+    """DeepSeek decode step with the MLA kernel forced == einsum path."""
+    from moe_infinity_tpu.models import layers
+    from moe_infinity_tpu.models.deepseek_v2 import (
+        DeepseekV2ModelJax,
+        DeepseekV2Spec,
+    )
+    from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+    spec = DeepseekV2Spec(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_layers=2, num_heads=2,
+        q_lora_rank=None, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=8, v_head_dim=8, num_experts=4, top_k=2,
+        n_shared_experts=1, first_k_dense_replace=1, topk_method="greedy",
+        n_group=None, topk_group=None, routed_scaling_factor=1.0,
+        rms_eps=1e-6, rope_theta=10000.0, tie_embeddings=True,
+    )
+    model = DeepseekV2ModelJax(spec, compute_dtype=jnp.float32)
+    params, experts = model.init_random(jax.random.PRNGKey(0))
+    B, T = 2, 6
+    tokens = jnp.asarray(rng.integers(0, 120, (B, T)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    dtok = jnp.asarray(rng.integers(0, 120, (B, 1)), jnp.int32)
+
+    def run():
+        kvs = model.init_cache(B, 32)
+        logits, kvs, _ = model.forward(
+            params, experts, tokens, positions, kvs, jnp.int32(0),
+            for_layer=ResidentProvider.for_layer, impl="gather",
+        )
+        # one decode step at position T
+        dp = jnp.full((B, 1), T, jnp.int32)
+        logits2, _, _ = model.forward(
+            params, experts, dtok, dp, kvs, jnp.int32(T),
+            for_layer=ResidentProvider.for_layer, impl="gather",
+        )
+        return logits2
+
+    layers.set_attention_impl("naive")
+    try:
+        want = run()
+    finally:
+        layers.set_attention_impl("auto")
+    layers.set_attention_impl("flash")
+    fa.set_flash_interpret(True)
+    try:
+        got = run()
+    finally:
+        layers.set_attention_impl("auto")
+    _check(got, want, atol=5e-3)
