@@ -18,9 +18,12 @@ from moe_infinity_tpu.parallel import MeshPlan, make_mesh
 from moe_infinity_tpu.parallel.sequence import caches_from_sp, sp_prefill
 from moe_infinity_tpu.runtime.providers import ResidentProvider
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+    pytest.mark.slow,  # ~5 min of ring-attention sweeps
+]
 
 SPEC = MixtralSpec(
     vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
