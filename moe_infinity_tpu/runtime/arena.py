@@ -576,10 +576,17 @@ class ExpertArena:
                 self._fetching.add(key)
             t_fetch = _time.perf_counter()
             layer, expert = key
-            if self._tier is not None:
+            tier_row = (
+                self._tier.record_index(layer, expert)
+                if self._tier is not None
+                else None
+            )
+            if tier_row is not None:
                 # pinned-host tier: the whole fetch is one device-side DMA
-                # program (no host read, no relay crossing)
-                rec_idx = jnp.int32(self._tier.record_index(layer, expert))
+                # program (no host read, no relay crossing). tier_row is
+                # None for records that didn't fit the tier's byte budget —
+                # those fall through to the host-read store path below.
+                rec_idx = jnp.int32(tier_row)
                 with self._cv:
                     while self._leases > 0:  # donation must not race
                         self._cv.wait()

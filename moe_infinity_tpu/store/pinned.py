@@ -10,6 +10,15 @@ it into an arena slot as a pure device-side DMA program — measured here
 at ~1 ms per 4 MB record versus ~375 ms for a host `device_put` through
 a remote relay, and fully schedulable alongside compute.
 
+The tier is BYTE-BOUNDED, like the reference's host pool
+(host_memory_ratio, /root/reference/core/memory/memory_pool.cpp:62-76):
+`max_bytes` (and a MemAvailable headroom cap) limit staging to the
+hottest prefix of a staging order — decoder-phase records first by
+default, since decode is the steady-state phase — and every record that
+does NOT fit stays on the store path: the arena transparently falls back
+to host-read + upload for unstaged keys, so a tier that cannot hold the
+table degrades instead of dying.
+
 Staging pays one bulk host→pinned transfer per field at construction
 (amortized: it is the same bytes the offload engine would otherwise move
 over the life of the process, moved once at bulk-transfer speed).
@@ -17,7 +26,7 @@ over the life of the process, moved once at bulk-transfer speed).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,15 +37,38 @@ from moe_infinity_tpu.utils.logger import get_logger
 
 logger = get_logger("pinned_tier")
 
+Key = Tuple[int, int]
+
+
+def _host_available_bytes() -> Optional[int]:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):  # non-Linux / parse drift
+        return None
+    return None
+
 
 class PinnedExpertTier:
-    """Per-field [num_records, *shape] arrays in pinned_host memory.
+    """Per-field [num_staged, *shape] arrays in pinned_host memory.
 
-    record index = layer * num_experts + expert (expert-major, matching
-    the store's record order). `shared_record=True` stages a single
-    record that every (layer, expert) maps to — for SyntheticStore
-    benchmarks, where all records alias one buffer; the per-fetch DMA
-    still moves real bytes."""
+    ``record_index(layer, expert)`` returns the staged row for a record,
+    or None when the record did not fit the byte budget — the arena then
+    uses its host-read fetch path for that key. `shared_record=True`
+    stages a single record that every (layer, expert) maps to — for
+    SyntheticStore benchmarks where all records alias one buffer; the
+    per-fetch DMA still moves real bytes. Pass ``shared_record=False``
+    with a SyntheticStore to stage an honestly-sized (multi-GB at
+    production geometry) tier.
+
+    max_bytes: staging byte budget (None = bounded only by host RAM
+    headroom). order: optional sequence of (layer, expert) keys in
+    staging-priority order; default stages decoder-phase records first
+    (store.meta num_encoder_moe_layers marks the phase boundary).
+    host_headroom: fraction of MemAvailable the tier may claim.
+    """
 
     def __init__(
         self,
@@ -44,6 +76,9 @@ class PinnedExpertTier:
         *,
         device: Optional[jax.Device] = None,
         shared_record: Optional[bool] = None,
+        max_bytes: Optional[int] = None,
+        order: Optional[Sequence[Key]] = None,
+        host_headroom: float = 0.5,
     ):
         self.store = store
         self.device = device or jax.local_devices()[0]
@@ -51,6 +86,7 @@ class PinnedExpertTier:
             shared_record = store.__class__.__name__ == "SyntheticStore"
         self.shared = shared_record
         self.num_experts = store.num_experts
+        self.num_layers = store.num_layers
         kinds = {m.kind for m in self.device.addressable_memories()}
         host_kind = (
             "pinned_host" if "pinned_host" in kinds
@@ -62,29 +98,92 @@ class PinnedExpertTier:
         self._hbm = jax.sharding.SingleDeviceSharding(
             self.device, memory_kind=self.device.default_memory().kind
         )
-        n_rec = 1 if shared_record else store.num_layers * store.num_experts
+
+        rec_bytes = sum(
+            int(np.prod(f.shape)) * np_dtype(f.dtype).itemsize
+            for f in store.fields
+        )
+        self.record_bytes = rec_bytes
+        n_total = store.num_layers * store.num_experts
+
+        if shared_record:
+            staged_keys = [(0, 0)]
+        else:
+            if order is None:
+                # decoder-phase records first: decode is the steady-state
+                # phase, so under a budget the decoder tier is the hot set
+                n_enc = int(store.meta.get("num_encoder_moe_layers", 0))
+                order = sorted(
+                    ((layer, e)
+                     for layer in range(store.num_layers)
+                     for e in range(store.num_experts)),
+                    key=lambda k: (0 if k[0] >= n_enc else 1, k[0], k[1]),
+                )
+            budget = max_bytes if max_bytes is not None else float("inf")
+            avail = _host_available_bytes()
+            if avail is not None:
+                cap = int(avail * host_headroom)
+                if cap < budget:
+                    budget = cap
+            n_budget = int(budget // rec_bytes) if rec_bytes else n_total
+            staged_keys = list(order)[: max(0, min(n_total, n_budget))]
+            if len(staged_keys) < n_total:
+                logger.warning(
+                    "pinned tier: staging %d/%d records (%.2f/%.2f GB; "
+                    "budget %s, host headroom %.0f%%) — unstaged records "
+                    "fall back to the store fetch path",
+                    len(staged_keys), n_total,
+                    len(staged_keys) * rec_bytes / 2**30,
+                    n_total * rec_bytes / 2**30,
+                    f"{max_bytes / 2**30:.2f} GB" if max_bytes else "none",
+                    host_headroom * 100,
+                )
+
+        n_rec = len(staged_keys)
+        self.num_staged = n_rec
+        self.total_records = 1 if shared_record else n_total
+        self._rec_row = np.full(
+            store.num_layers * store.num_experts, -1, np.int32
+        )
+        for row, (layer, e) in enumerate(staged_keys):
+            self._rec_row[layer * store.num_experts + e] = row
+
         self.fields: Dict[str, jax.Array] = {}
         total = 0
-        for f in store.fields:
-            dt = np_dtype(f.dtype)
-            buf = np.empty((n_rec,) + tuple(f.shape), dtype=dt)
-            for r in range(n_rec):
-                layer, expert = divmod(r, store.num_experts)
-                rec = store.get_expert(layer, expert)
-                buf[r] = rec[f.name]
-            self.fields[f.name] = jax.device_put(buf, pinned)
-            total += buf.nbytes
-            del buf
-        jax.block_until_ready(list(self.fields.values()))
+        if n_rec > 0:
+            bufs = {
+                f.name: np.empty((n_rec,) + tuple(f.shape), np_dtype(f.dtype))
+                for f in store.fields
+            }
+            for row, (layer, e) in enumerate(staged_keys):
+                rec = store.get_expert(layer, e)
+                for f in store.fields:
+                    bufs[f.name][row] = rec[f.name]
+            for name, buf in bufs.items():
+                self.fields[name] = jax.device_put(buf, pinned)
+                total += buf.nbytes
+                bufs[name] = None  # free the host copy before the next put
+            jax.block_until_ready(list(self.fields.values()))
+        self.staged_bytes = total
         logger.info(
             "pinned tier staged: %d records x %d fields, %.2f GB",
             n_rec, len(self.fields), total / 2**30,
         )
 
-    def record_index(self, layer: int, expert: int) -> int:
+    def record_index(self, layer: int, expert: int) -> Optional[int]:
+        """Staged row for (layer, expert), or None if it must come from
+        the store path (didn't fit the byte budget)."""
         if self.shared:
             return 0
-        return layer * self.num_experts + expert
+        row = self._rec_row[layer * self.num_experts + expert]
+        return None if row < 0 else int(row)
 
     def hbm_sharding(self):
         return self._hbm
+
+    def stats(self) -> dict:
+        return {
+            "pinned_tier_staged_records": self.num_staged,
+            "pinned_tier_total_records": self.total_records,
+            "pinned_tier_gb": round(self.staged_bytes / 2**30, 3),
+        }

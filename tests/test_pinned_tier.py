@@ -152,3 +152,95 @@ def test_tier_synthetic_shared_record():
         )
     finally:
         arena.shutdown()
+
+
+def test_tier_byte_budget_partial_staging(tiny, tmp_path_factory):
+    """A max_bytes budget stages only the hottest prefix; unstaged keys
+    transparently fall back to the store fetch path with exact contents
+    (VERDICT r2 item 4: bounded tier + graceful degrade)."""
+    cfg, _, ckpt = tiny
+    store_dir = _stores(tmp_path_factory, ckpt, cfg, "float32")
+    store = ExpertStore(store_dir)
+    # budget for exactly 3 of the L*E=8 records
+    rec_bytes = sum(
+        int(np.prod(f.shape)) * np.dtype("float32").itemsize
+        if f.dtype == "float32" else int(np.prod(f.shape))
+        for f in store.fields
+    )
+    tier = PinnedExpertTier(store, max_bytes=3 * rec_bytes + 1)
+    assert tier.num_staged == 3
+    assert tier.stats()["pinned_tier_staged_records"] == 3
+    staged = [
+        (l, e) for l in range(L) for e in range(E)
+        if tier.record_index(l, e) is not None
+    ]
+    assert len(staged) == 3
+    unstaged = [
+        (l, e) for l in range(L) for e in range(E)
+        if tier.record_index(l, e) is None
+    ]
+    assert len(unstaged) == L * E - 3
+
+    host_arena = ExpertArena(store, L * E, compute_dtype=jnp.float32,
+                             num_threads=1)
+    tier_arena = ExpertArena(store, L * E, compute_dtype=jnp.float32,
+                             num_threads=1, pinned_tier=tier)
+    try:
+        keys = staged[:2] + unstaged[:2]
+        for a in (host_arena, tier_arena):
+            a.warm(keys)
+        for key in keys:
+            hs = host_arena.key_to_slot[key]
+            ts = tier_arena.key_to_slot[key]
+            for akey in host_arena.pytree():
+                np.testing.assert_array_equal(
+                    np.asarray(host_arena.pytree()[akey][hs], np.float32),
+                    np.asarray(tier_arena.pytree()[akey][ts], np.float32),
+                    err_msg=f"{key}/{akey}",
+                )
+    finally:
+        host_arena.shutdown()
+        tier_arena.shutdown()
+
+
+def test_tier_decoder_first_staging_order():
+    """Under a budget, decoder-phase records are staged before encoder
+    records (decode is the steady-state phase)."""
+    fields = [("fc1.weight", (8, 16), "float32"),
+              ("fc2.weight", (16, 8), "float32")]
+    # 4 MoE layers, first 2 are encoder-phase
+    store = SyntheticStore(
+        4, 2, fields, meta={"arch": "nllb", "num_encoder_moe_layers": 2}
+    )
+    rec_bytes = (8 * 16 + 16 * 8) * 4
+    tier = PinnedExpertTier(
+        store, shared_record=False, max_bytes=4 * rec_bytes
+    )
+    assert tier.num_staged == 4
+    # all 4 decoder records (layers 2, 3) staged; encoder none
+    for layer in (2, 3):
+        for e in range(2):
+            assert tier.record_index(layer, e) is not None
+    for layer in (0, 1):
+        for e in range(2):
+            assert tier.record_index(layer, e) is None
+
+
+def test_tier_zero_budget_degrades_to_store_path():
+    fields = [("fc1.weight", (8, 16), "float32"),
+              ("fc2.weight", (16, 8), "float32")]
+    store = SyntheticStore(2, 2, fields, meta={"arch": "nllb"})
+    tier = PinnedExpertTier(store, shared_record=False, max_bytes=1)
+    assert tier.num_staged == 0
+    arena = ExpertArena(store, 4, compute_dtype=jnp.float32,
+                        num_threads=1, pinned_tier=tier)
+    try:
+        arena.warm([(0, 1)])
+        rec = store.get_expert(0, 1)
+        s = arena.key_to_slot[(0, 1)]
+        np.testing.assert_allclose(
+            np.asarray(arena.pytree()["gate"][s], np.float32),
+            rec["fc1.weight"].astype(np.float32), atol=1e-6,
+        )
+    finally:
+        arena.shutdown()
