@@ -176,31 +176,50 @@ class MoE:
             config.dense_paging == "auto"
             and dense_est > budget_all * dense_share
         )
-        if page_dense and self.arch in _SEQ2SEQ_ARCHS:
-            if config.dense_paging == "on":
-                raise NotImplementedError(
-                    "dense paging is not wired for seq2seq archs yet"
-                )
-            page_dense = False
         self.dense_arena = None
         if page_dense:
             from moe_infinity_tpu.runtime.dense_arena import DenseLayerArena
 
             params_host = _host_load_params(self.model, dense)
-            layers_host = params_host.pop("layers")
-            self.params = {
-                k: jax.device_put(v) for k, v in params_host.items()
-            }
+            if self.arch in _SEQ2SEQ_ARCHS:
+                # combined enc+dec stack: global layer index i (encoder),
+                # n_enc + i (decoder) — Seq2SeqOffloadEngine's contract.
+                # The preludes read only block 0's rel_bias (T5); keep it
+                # resident as a 1-element stub list
+                enc_host = params_host.pop("enc_blocks")
+                dec_host = params_host.pop("dec_blocks")
+                layers_host = list(enc_host) + list(dec_host)
+                self.params = {
+                    k: jax.device_put(v) for k, v in params_host.items()
+                }
+
+                def _stub(blk0):
+                    return [
+                        {"rel_bias": jax.device_put(np.asarray(blk0["rel_bias"]))}
+                        if "rel_bias" in blk0
+                        else {}
+                    ]
+
+                self.params["enc_blocks"] = _stub(enc_host[0])
+                self.params["dec_blocks"] = _stub(dec_host[0])
+            else:
+                layers_host = params_host.pop("layers")
+                self.params = {
+                    k: jax.device_put(v) for k, v in params_host.items()
+                }
             top_bytes = sum(
                 a.size * a.dtype.itemsize
                 for a in jax.tree.leaves(self.params)
             )
             layer_bytes = max(
                 1,
-                sum(
-                    np.asarray(a).nbytes
-                    for a in jax.tree.leaves(layers_host[0])
-                ),
+                int(np.mean([
+                    sum(
+                        np.asarray(a).nbytes
+                        for a in jax.tree.leaves(lt)
+                    )
+                    for lt in layers_host
+                ])),
             )
             avail = max(0, budget_all - top_bytes - budget_all // 10)
             if self.geometry.num_experts == 0:
@@ -216,8 +235,9 @@ class MoE:
             self.dense_arena = DenseLayerArena(
                 layers_host, dense_slots, num_threads=config.num_threads
             )
-            # engine stages never read params['layers'] when paging
-            self.params["layers"] = [None] * len(layers_host)
+            if self.arch not in _SEQ2SEQ_ARCHS:
+                # engine stages never read params['layers'] when paging
+                self.params["layers"] = [None] * len(layers_host)
         else:
             self.params = self.model.load_params(dense)
             if config.fold_mla and hasattr(self.model, "fold_mla_params"):
@@ -340,8 +360,13 @@ class MoE:
                     tracer=tracer, predictor=ExpertPredictor(tracer),
                     prefetch=config.prefetch,
                     impl=config.moe_impl, prefill_impl=config.prefill_impl,
-                    speculative=config.speculative_decode,
+                    # dense paging forces the per-layer path (a speculative
+                    # whole-step program needs every dense layer resident)
+                    speculative=(
+                        config.speculative_decode and self.dense_arena is None
+                    ),
                     spec_block=config.speculative_block,
+                    dense_arena=self.dense_arena,
                     host_fallback=config.host_fallback,
                     host_fallback_timeout=config.host_fallback_timeout_s,
                 )
@@ -352,6 +377,7 @@ class MoE:
                 if config.max_batch_size > 1:
                     if (
                         config.speculative_decode
+                        and self.dense_arena is None
                         and config.s2s_batcher == "continuous"
                     ):
                         from moe_infinity_tpu.runtime.continuous_s2s import (

@@ -426,9 +426,14 @@ class NllbModel:
             for _ in range(s.decoder_layers)
         ]
 
+    def cross_kv_block(self, b, enc_out):
+        """One decoder block's cross-attention K/V (dense paging computes
+        these per paged block instead of over the whole stack)."""
+        return self._kv(b["cross_attn"], enc_out)
+
     def cross_kv(self, params, enc_out):
         return [
-            self._kv(b["cross_attn"], enc_out) for b in params["dec_blocks"]
+            self.cross_kv_block(b, enc_out) for b in params["dec_blocks"]
         ]
 
     def decode_step(

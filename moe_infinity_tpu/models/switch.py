@@ -447,16 +447,20 @@ class SwitchModel:
             for _ in range(s.num_decoder_layers)
         ]
 
+    def cross_kv_block(self, b, enc_out):
+        """One decoder block's cross-attention K/V (dense paging computes
+        these per paged block instead of over the whole stack)."""
+        s = self.spec
+        B, Te, _ = enc_out.shape
+        k = linear(enc_out, b["ck"]).reshape(B, Te, s.num_heads, s.d_kv)
+        v = linear(enc_out, b["cv"]).reshape(B, Te, s.num_heads, s.d_kv)
+        return k, v
+
     def cross_kv(self, params, enc_out):
         """Precompute decoder cross-attention K/V from the encoder output."""
-        s = self.spec
-        B, Te, D = enc_out.shape
-        out = []
-        for b in params["dec_blocks"]:
-            k = linear(enc_out, b["ck"]).reshape(B, Te, s.num_heads, s.d_kv)
-            v = linear(enc_out, b["cv"]).reshape(B, Te, s.num_heads, s.d_kv)
-            out.append((k, v))
-        return out
+        return [
+            self.cross_kv_block(b, enc_out) for b in params["dec_blocks"]
+        ]
 
     def decode_step(
         self, params, experts, dec_tokens, positions, kvs, kv_len,

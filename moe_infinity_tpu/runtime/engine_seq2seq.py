@@ -62,9 +62,26 @@ class Seq2SeqOffloadEngine:
         speculative: bool = False,
         max_replays: Optional[int] = None,
         spec_block: int = 1,
+        dense_arena=None,
         host_fallback: bool = False,
         host_fallback_timeout: float = 0.25,
     ):
+        """dense_arena: optional DenseLayerArena paging the COMBINED
+        encoder+decoder block stack (global layer index = encoder block i
+        -> i, decoder block i -> n_enc + i; params['enc_blocks'] /
+        ['dec_blocks'] may then be 1-element stubs holding only what the
+        preludes read). The reference pages dense nodes uniformly for every
+        architecture (/root/reference/core/model/model_topology.cpp:518-530,
+        task_scheduler.cpp:319-378); this closes that gap for the seq2seq
+        engines. Forces the per-layer path: a speculative whole-step
+        program needs every dense layer resident at once."""
+        if dense_arena is not None and speculative:
+            raise ValueError(
+                "speculative decode requires the dense side resident; "
+                "disable speculative_decode when dense paging is active"
+            )
+        self.dense_arena = dense_arena
+        self._paged_jits: dict = {}
         self.host_fallback = host_fallback
         self.host_fallback_timeout = host_fallback_timeout
         self.host_exec_count = 0
@@ -102,6 +119,14 @@ class Seq2SeqOffloadEngine:
         if arena.num_slots < model.spec.num_experts:
             raise ValueError("arena must fit one full MoE layer of experts")
         s = model.spec
+        self._n_enc = (
+            getattr(s, "encoder_layers", 0)
+            or getattr(s, "num_encoder_layers", 0)
+        )
+        self._n_dec = (
+            getattr(s, "decoder_layers", 0)
+            or getattr(s, "num_decoder_layers", 0)
+        )
         # decoder sparse-layer ids, the rows of every speculative trace
         # (shared with the continuous batcher's offload mode)
         self.dec_mlis = [
@@ -325,13 +350,138 @@ class Seq2SeqOffloadEngine:
         if orders:
             self.arena.prefetch(orders)
 
+    # ---- dense-layer paging ----------------------------------------------
+    def _paged_fn(self, kind: str, gid: int):
+        """Jitted per-block stages that rebuild the block pytree from the
+        dense arena (leaf[slot] is an in-place major-axis view): ONE
+        compiled program per (stage, structure-group) serves every block
+        of that group at any residency state."""
+        key = (kind, gid)
+        fn = self._paged_jits.get(key)
+        if fn is None:
+            treedef = self.dense_arena.treedef(gid)
+            m = self.model
+
+            def unflat(leaves, slot):
+                return jax.tree.unflatten(
+                    treedef, [a[slot] for a in leaves]
+                )
+
+            if kind == "enc_sparse":
+                def f(leaves, slot, x, bias, q_pos):
+                    return m.enc_block_sparse_pre(
+                        unflat(leaves, slot), x, bias, q_pos
+                    )
+                fn = jax.jit(f)
+            elif kind == "enc_dense":
+                def f(leaves, slot, x, bias, q_pos):
+                    return m.enc_block_dense(
+                        unflat(leaves, slot), x, bias, q_pos
+                    )
+                fn = jax.jit(f)
+            elif kind == "dec_sparse":
+                def f(leaves, slot, x, kv, positions, kv_len, bias, ck, cv,
+                      cross_bias):
+                    return m.dec_block_sparse_pre(
+                        unflat(leaves, slot), x, kv, positions, kv_len,
+                        bias, ck, cv, cross_bias,
+                    )
+                fn = jax.jit(f, donate_argnums=(3,))
+            elif kind == "dec_dense":
+                def f(leaves, slot, x, kv, positions, kv_len, bias, ck, cv,
+                      cross_bias):
+                    return m.dec_block_dense(
+                        unflat(leaves, slot), x, kv, positions, kv_len,
+                        bias, ck, cv, cross_bias,
+                    )
+                fn = jax.jit(f, donate_argnums=(3,))
+            else:  # "cross"
+                def f(leaves, slot, enc_out):
+                    return m.cross_kv_block(unflat(leaves, slot), enc_out)
+                fn = jax.jit(f)
+            self._paged_jits[key] = fn
+        return fn
+
+    def _enc_block_paged(self, i, x, bias, q_pos, seq_ids):
+        da, s = self.dense_arena, self.model.spec
+        slot = jnp.int32(da.acquire(i))
+        gid = da.group_of(i)
+        try:
+            if s.is_sparse(i, False):
+                with da.lease():
+                    x, h, cw, ids = self._paged_fn("enc_sparse", gid)(
+                        da.tree(gid), slot, x, bias, q_pos
+                    )
+                # _moe blocks on expert-arena acquire OUTSIDE the dense
+                # lease (the lease invariant), but inside the dense
+                # protection — the block cannot be evicted mid-layer
+                return self._moe(
+                    x, h, cw, ids, s.moe_layer_id(i, False), seq_ids
+                )
+            with da.lease():
+                return self._paged_fn("enc_dense", gid)(
+                    da.tree(gid), slot, x, bias, q_pos
+                )
+        finally:
+            da.release(i)
+
+    def _dec_block_paged(
+        self, i, x, kv, positions, step, bias, ck, cv, cross_bias, seq_ids
+    ):
+        da, s = self.dense_arena, self.model.spec
+        li = self._n_enc + i
+        slot = jnp.int32(da.acquire(li))
+        gid = da.group_of(li)
+        try:
+            if s.is_sparse(i, True):
+                with da.lease():
+                    x, h, cw, ids, kv = self._paged_fn("dec_sparse", gid)(
+                        da.tree(gid), slot, x, kv, positions,
+                        jnp.int32(step), bias, ck, cv, cross_bias,
+                    )
+                x = self._moe(
+                    x, h, cw, ids, s.moe_layer_id(i, True), seq_ids
+                )
+                return x, kv
+            with da.lease():
+                return self._paged_fn("dec_dense", gid)(
+                    da.tree(gid), slot, x, kv, positions, jnp.int32(step),
+                    bias, ck, cv, cross_bias,
+                )
+        finally:
+            da.release(li)
+
+    def _cross_paged(self, enc_out):
+        """Cross-attention K/V computed per paged decoder block (the
+        resident path computes the whole stack in one jit)."""
+        da = self.dense_arena
+        out = []
+        for i in range(self._n_dec):
+            li = self._n_enc + i
+            slot = jnp.int32(da.acquire(li))
+            gid = da.group_of(li)
+            try:
+                with da.lease():
+                    out.append(
+                        self._paged_fn("cross", gid)(
+                            da.tree(gid), slot, enc_out
+                        )
+                    )
+            finally:
+                da.release(li)
+        return out
+
     def run_encoder(self, input_ids, mask, seq_ids=None):
         """Per-layer (acquire/prefetch) encoder pass + cross K/V. Also the
         join-encode path for the continuous seq2seq batcher in offload
         mode."""
         params, s = self.params, self.model.spec
         x, bias, q_pos = self._enc_prelude(params, input_ids, mask)
-        for i, b in enumerate(params["enc_blocks"]):
+        for i in range(self._n_enc):
+            if self.dense_arena is not None:
+                x = self._enc_block_paged(i, x, bias, q_pos, seq_ids)
+                continue
+            b = params["enc_blocks"][i]
             if s.is_sparse(i, False):
                 x, h, cw, ids = self._enc_sparse(b, x, bias, q_pos)
                 x = self._moe(
@@ -340,6 +490,8 @@ class Seq2SeqOffloadEngine:
             else:
                 x = self._enc_dense(b, x, bias, q_pos)
         enc_out = self._enc_final(params, x)
+        if self.dense_arena is not None:
+            return enc_out, self._cross_paged(enc_out)
         return enc_out, self._cross(params, enc_out)
 
     # ---- speculative whole-step decode -------------------------------------
@@ -541,8 +693,15 @@ class Seq2SeqOffloadEngine:
                     params, positions, cap, mask
                 )
                 x = self._dec_embed(params, cur_tok, jnp.int32(step))
-                for i, b in enumerate(params["dec_blocks"]):
+                for i in range(self._n_dec):
                     ck, cv = cross[i]
+                    if self.dense_arena is not None:
+                        x, kvs[i] = self._dec_block_paged(
+                            i, x, kvs[i], positions, step, bias, ck, cv,
+                            cross_bias, seq_ids,
+                        )
+                        continue
+                    b = params["dec_blocks"][i]
                     if s.is_sparse(i, True):
                         x, h, cw, ids, kvs[i] = self._dec_sparse(
                             b, x, kvs[i], positions, jnp.int32(step), bias,
@@ -591,6 +750,8 @@ class Seq2SeqOffloadEngine:
 
         out = self.arena.hit_stats()
         out.update(speculative_stats(self.replay_counts))
+        if self.dense_arena is not None:
+            out.update(self.dense_arena.stats())
         if self.host_fallback:
             out["host_exec_count"] = self.host_exec_count
         return out
