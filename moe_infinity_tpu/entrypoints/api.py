@@ -119,6 +119,18 @@ class MoE:
         elif isinstance(config, dict):
             config = EngineConfig.load_from_json(config)
         self.config = config
+        if config.multihost and config.coordinator_address:
+            # must precede ANY backend touch (device_put below initializes
+            # the local backend, after which jax.distributed cannot join)
+            from moe_infinity_tpu.parallel.multihost import init_multihost
+
+            init_multihost(
+                config.coordinator_address,
+                num_processes=config.num_processes or None,
+                process_id=(
+                    None if config.process_id < 0 else config.process_id
+                ),
+            )
         checkpoint = str(model_name_or_path)
         if not config.offload_path:
             config.offload_path = os.path.join(
@@ -411,6 +423,66 @@ class MoE:
             expert_bytes_all, budget_all, dense_bytes_all
         )
         self.engine = None
+        if config.multihost:
+            # pod-scale offload serving: host-affine per-coordinate arenas
+            # + prefetch consensus + slot-row exchange + shard_map EP
+            # dispatch, composed by the facade (the reference's cross-node
+            # EP is dormant torch RPC, README.md:18)
+            from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
+            from moe_infinity_tpu.parallel import MeshPlan
+            from moe_infinity_tpu.parallel.multihost import global_mesh
+            from moe_infinity_tpu.parallel.pod import PodOffloadExecutor
+            from moe_infinity_tpu.runtime.pod_engine import PodOffloadEngine
+
+            ep = config.expert_parallel
+            if ep <= 1:
+                raise ValueError(
+                    "multihost serving needs expert_parallel > 1 (the "
+                    "expert axis spans every addressable device)"
+                )
+            if config.data_parallel != 1 or config.tensor_parallel != 1:
+                raise NotImplementedError(
+                    "multihost offload serving is pure expert-parallel "
+                    "for now (data/tensor_parallel must be 1)"
+                )
+            if self.dense_arena is not None:
+                raise NotImplementedError(
+                    "multihost serving requires the dense side resident"
+                )
+            self.mesh = global_mesh(MeshPlan(data=1, model=1, expert=ep))
+            self.model = model_cls(
+                spec_cls.from_hf(hf_config), compute_dtype, mesh=self.mesh
+            )
+            per_coord = config.num_slots or max(
+                -(-store.num_experts // ep),
+                int((budget - dense_bytes) // store.stride),
+            )
+            logger.info(
+                "pod offload plan: expert axis %d, %d slots/coordinate",
+                ep, per_coord,
+            )
+            executor = PodOffloadExecutor(
+                self.mesh, store, per_coord,
+                compute_dtype=compute_dtype,
+                num_threads=config.num_threads,
+                host_fallback=config.host_fallback,
+                host_fallback_timeout=config.host_fallback_timeout_s,
+            )
+            tracer = ExpertTracer(
+                config.trace_capacity, store.num_layers, store.num_experts,
+                store.meta.get("num_encoder_moe_layers", 0),
+            )
+            if config.trace_path and os.path.exists(config.trace_path):
+                tracer.load_trace(config.trace_path)
+            self.engine = PodOffloadEngine(
+                self.model, self.params, executor,
+                tracer=tracer, predictor=ExpertPredictor(tracer),
+                prefetch=config.prefetch, impl=config.moe_impl,
+            )
+            self.generator = Generator(
+                stepper=self.engine, max_seq_len=config.max_seq_len
+            )
+            return
         if fits:
             logger.info(
                 "experts fit in HBM (%.1f GB <= %.1f GB budget): resident plan",
@@ -751,5 +823,7 @@ class MoE:
             self.s2s_batcher.shutdown()
         if getattr(self, "dense_arena", None) is not None:
             self.dense_arena.shutdown()  # idempotent
-        if self.engine and getattr(self.engine, "arena", None) is not None:
+        if self.engine and getattr(self.engine, "executor", None) is not None:
+            self.engine.executor.shutdown()  # pod: every coord's arena
+        elif self.engine and getattr(self.engine, "arena", None) is not None:
             self.engine.arena.shutdown()

@@ -135,3 +135,251 @@ class PodPrefetchCoordinator:
         self._client.wait_at_barrier(
             f"{self.namespace}/step/{step}", self.barrier_timeout_ms
         )
+
+
+class PodOffloadExecutor:
+    """Arena-backed expert-parallel dispatch over an `expert`-axis mesh —
+    the serving path that composes the pod pieces (host-affine arenas +
+    consensus + barrier + SPMD dispatch) the reference's dormant RPC EP
+    never had (/root/reference/moe_infinity/distributed/
+    expert_executor.py:60-136).
+
+    One ExpertArena per LOCAL expert-coordinate, each on that coordinate's
+    device, all with the same slot count (shard_map needs uniform shard
+    shapes). Per MoE layer application:
+
+      1. routing ids are SPMD-replicated, so every process derives the
+         same key set; the leader still publishes it through the KV store
+         (PrefetchHints) so the protocol tolerates divergence and drives
+         prefetch for followers;
+      2. every process warms ITS coordinates' shards, publishes its
+         coords' (expert -> global slot) fragment, merges everyone
+         else's, and joins the step barrier — a miss is discovered
+         host-locally, never inside the collective;
+      3. the global [ep*S, ...] expert-weights view is assembled
+         ZERO-COPY from the per-coordinate arena arrays
+         (make_array_from_single_device_arrays) under dispatch leases,
+         and the model's grouped_ffn_ep shard_map program computes +
+         psum-combines over the mesh.
+
+    Requires data/model mesh axes of size 1 (pure EP); num_experts must
+    divide over the expert axis.
+    """
+
+    def __init__(
+        self,
+        mesh,
+        store,
+        num_slots_per_coord: int,
+        *,
+        policy: str = "priority",
+        compute_dtype=None,
+        num_threads: int = 2,
+        host_fallback: bool = False,
+        host_fallback_timeout: float = 0.25,
+        namespace: str = "moe_pod_exec",
+    ):
+        import itertools
+
+        import jax
+        import jax.numpy as jnp
+
+        from moe_infinity_tpu.runtime.arena import ExpertArena
+
+        for axis in ("data", "model"):
+            if mesh.shape.get(axis, 1) != 1:
+                raise NotImplementedError(
+                    "PodOffloadExecutor currently supports pure expert-"
+                    f"parallel meshes (axis {axis!r} must be 1)"
+                )
+        self.mesh = mesh
+        self.store = store
+        self.plan = PodExpertPlan(mesh, store.num_experts)
+        self.ep = mesh.shape["expert"]
+        self.s_local = num_slots_per_coord
+        self.num_experts = store.num_experts
+        self.host_fallback = host_fallback
+        self.host_fallback_timeout = host_fallback_timeout
+        self.host_exec_count = 0
+        self._host_exec = None
+        if host_fallback:
+            from moe_infinity_tpu.runtime.host_exec import (
+                HostExpertExecutor,
+                activation_for,
+            )
+
+            self._host_exec = HostExpertExecutor(
+                store, activation_for(store.meta)
+            )
+
+        # device of each expert coordinate: the mesh position along the
+        # expert axis (data/model are size 1, so the grid flattens to it)
+        axis = list(mesh.axis_names).index("expert")
+        grid = np.moveaxis(np.asarray(mesh.devices), axis, 0).reshape(
+            self.ep, -1
+        )
+        local_ids = {d.id for d in mesh.local_devices}
+        self.coord_device = {c: grid[c, 0] for c in range(self.ep)}
+        self.arenas = {
+            c: ExpertArena(
+                store, num_slots_per_coord,
+                policy=policy,
+                compute_dtype=compute_dtype or jnp.bfloat16,
+                device=self.coord_device[c],
+                num_threads=num_threads,
+                reserve_zero_slot=False,
+            )
+            for c in range(self.ep)
+            if self.coord_device[c].id in local_ids
+        }
+        self.hints = PrefetchHints(namespace=f"{namespace}/keys")
+        self._slot_hints = PrefetchHints(namespace=f"{namespace}/slots")
+        self.coordinators = {
+            c: PodPrefetchCoordinator(
+                a, self.plan, hints=self.hints,
+                namespace=f"{namespace}/c{c}",
+            )
+            for c, a in self.arenas.items()
+        }
+        self._barrier = PodPrefetchCoordinator(
+            next(iter(self.arenas.values())), self.plan, hints=self.hints,
+            namespace=namespace,
+        )
+        self._step = itertools.count()
+        self._jax = jax
+
+    # ------------------------------------------------------------------
+    def _owner(self, e: int) -> int:
+        return self.plan.owner_coord(e)
+
+    def global_slot_row(self, layer: int, step: int, keys) -> np.ndarray:
+        """Exchange per-coordinate slot fragments; -1 marks not-resident
+        (masked to a zero contribution by the shard_map program)."""
+        mine = {}
+        for c, arena in self.arenas.items():
+            for (layer_, e) in keys:
+                if self._owner(e) == c:
+                    s = arena.key_to_slot.get((layer_, e))
+                    if s is not None:
+                        mine[int(e)] = c * self.s_local + int(s)
+        pid = self._jax.process_index()
+        self._slot_hints.publish(f"{step}/{pid}", sorted(mine.items()))
+        row = np.full(self.num_experts, -1, np.int32)
+        for p in range(self._jax.process_count()):
+            frag = (
+                mine.items()
+                if p == pid
+                else self._slot_hints.fetch(f"{step}/{p}", timeout_ms=60_000)
+            )
+            for e, g in frag:
+                row[int(e)] = int(g)
+        return row
+
+    def ensure_step(self, layer: int, keys) -> Tuple[np.ndarray, List[Key]]:
+        """Warm this host's shards of `keys`, exchange slot rows, join the
+        barrier. Returns (global slot row [E], missing keys — empty unless
+        host_fallback). Every non-missing routed expert is resident AND
+        protected on its owner when this returns; the caller must
+        release_step(keys) after dispatching."""
+        step = next(self._step)
+        if self._jax.process_index() == 0:
+            self.hints.publish(step, list(keys))
+        missing: List[Key] = []
+        for c, arena in self.arenas.items():
+            mine = [k for k in keys if self._owner(k[1]) == c]
+            if not mine:
+                continue
+            if self.host_fallback:
+                _resident, miss = arena.try_acquire(
+                    mine, layer, self.host_fallback_timeout
+                )
+                missing.extend(miss)
+            else:
+                arena.acquire(mine, layer)
+        row = self.global_slot_row(layer, step, keys)
+        self._barrier.barrier(step)
+        return row, missing
+
+    def release_step(self, keys) -> None:
+        for c, arena in self.arenas.items():
+            mine = [k for k in keys if self._owner(k[1]) == c]
+            if mine:
+                arena.release(mine)
+
+    def weights_view(self):
+        """Zero-copy global [ep*S, ...] view over the per-coordinate arena
+        arrays, sharded on the expert axis. MUST be consumed under
+        `dispatch_leases()` — slot landings donate the underlying buffers."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = {}
+        coords = sorted(self.arenas)
+        trees = {c: self.arenas[c].pytree() for c in coords}
+        for key, a0 in trees[coords[0]].items():
+            shape = (self.ep * a0.shape[0],) + a0.shape[1:]
+            sharding = NamedSharding(
+                self.mesh, P("expert", *([None] * (a0.ndim - 1)))
+            )
+            out[key] = self._jax.make_array_from_single_device_arrays(
+                shape, sharding, [trees[c][key] for c in coords]
+            )
+        return out
+
+    def dispatch_leases(self):
+        """Context manager holding a dispatch lease on every local arena
+        (landings defer until the program consuming the view is
+        dispatched)."""
+        from contextlib import ExitStack, contextmanager
+
+        @contextmanager
+        def leases():
+            with ExitStack() as stack:
+                for a in self.arenas.values():
+                    stack.enter_context(a.locked_tree())
+                yield
+
+        return leases()
+
+    def host_delta(self, layer: int, missing, h_np, cw_np, ids_np):
+        """Exact contribution of missing experts, computed on the host.
+        EVERY process computes ALL missing deltas (not just the owner) so
+        the SPMD-replicated activations stay identical across processes."""
+        from moe_infinity_tpu.runtime.host_exec import host_moe_delta
+
+        self.host_exec_count += len(missing)
+        return host_moe_delta(
+            self._host_exec, layer, missing, h_np, cw_np, ids_np
+        )
+
+    def prefetch(self, orders) -> None:
+        for c, arena in self.arenas.items():
+            mine = [k for k in orders if self._owner(k[1]) == c]
+            if mine:
+                arena.prefetch(mine)
+
+    def set_context(self, layer: int, decoder_matrix=None) -> None:
+        for arena in self.arenas.values():
+            arena.set_context(layer, decoder_matrix)
+
+    def is_resident(self, key: Key) -> bool:
+        c = self._owner(key[1])
+        arena = self.arenas.get(c)
+        # non-local experts: treat as resident (their owner prefetches
+        # them; planning more fetches here would be wasted orders)
+        return True if arena is None else arena.is_resident(key)
+
+    def stats(self) -> dict:
+        out = {"visits": 0, "hits": 0, "misses": 0, "evictions": 0}
+        for arena in self.arenas.values():
+            st = arena.hit_stats()
+            for k in out:
+                out[k] += st.get(k, 0)
+        out["hit_rate"] = out["hits"] / out["visits"] if out["visits"] else 0.0
+        out["pod_coords"] = sorted(self.arenas)
+        if self.host_fallback:
+            out["host_exec_count"] = self.host_exec_count
+        return out
+
+    def shutdown(self) -> None:
+        for arena in self.arenas.values():
+            arena.shutdown()

@@ -445,6 +445,26 @@ class ExpertArena:
             for key in keys:
                 self.policy.unprotect(key)
 
+    def reset_policy(self, policy: str) -> None:
+        """Swap the eviction policy in place: fresh stats/counters, same
+        residency (resident keys re-registered in the new policy). For
+        A/B policy comparisons on one engine — the jitted programs and the
+        warmed slots carry over, so the second leg measures the POLICY,
+        not a recompile. Call only between steps (no active protections
+        or in-flight fetches the caller still waits on)."""
+        with self._lock:
+            new = ExpertCachePolicy(
+                self.num_layers,
+                self.num_experts,
+                num_encoder_layers=self.store.meta.get(
+                    "num_encoder_moe_layers", 0
+                ),
+                policy=policy,
+            )
+            for key in self.key_to_slot:
+                new.on_insert(key, prefetched=False)
+            self.policy = new
+
     def prefetch(self, orders: Sequence[Key]) -> None:
         """Replace the prefetch plan: new candidate protection set, stale
         queued prefetches dropped (reference ReplaceCacheCandidates +

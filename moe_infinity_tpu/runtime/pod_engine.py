@@ -1,0 +1,235 @@
+"""Pod-scale offload serving engine: per-layer EP dispatch over a mesh.
+
+The product path that composes the pod pieces — host-affine arenas, the
+prefetch-consensus coordinator, the slot-row exchange, and the run-on-host
+escape hatch — into one Stepper the facade can serve with
+(entrypoints/api.py multihost config). Round 2 assembled these only in
+tests/mh_worker.py; the reference's equivalent is its dormant torch-RPC
+cross-node dispatch (/root/reference/moe_infinity/distributed/
+expert_executor.py:60-136 + devicemap_manager.py:38-73).
+
+Execution model: the whole pod runs this SAME program (SPMD). Dense stages
+are jitted over replicated params; each MoE layer's routed ids come back
+to every host identically, each host warms its expert-coordinates' arena
+shards, hosts exchange (expert -> global slot) fragments and join the step
+barrier, and ONE shard_map grouped-FFN program (the model's moe_block via
+grouped_ffn_ep) computes and psum-combines over the expert axis. A miss is
+discovered host-locally before the collective — with host_fallback on, it
+contributes zero on device and every host adds the exact host-computed
+delta (all hosts compute all deltas so SPMD-replicated activations stay
+identical).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moe_infinity_tpu.memory.predictor import ExpertPredictor
+from moe_infinity_tpu.memory.prefetch_plan import (
+    adaptive_prefetch_budget,
+    plan_prefetch,
+)
+from moe_infinity_tpu.memory.tracer import ExpertTracer
+from moe_infinity_tpu.parallel.pod import PodOffloadExecutor
+from moe_infinity_tpu.runtime.engine import _split_arena_tree
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("pod_engine")
+
+
+class PodOffloadEngine:
+    """Decoder-only per-layer offload Stepper over an `expert`-axis mesh.
+
+    `model` must be constructed with `mesh=...` so its moe_block routes
+    through grouped_ffn_ep (global-slot indirection, psum combine)."""
+
+    speculative = False
+
+    def __init__(
+        self,
+        model,
+        params,
+        executor: PodOffloadExecutor,
+        *,
+        tracer: Optional[ExpertTracer] = None,
+        predictor: Optional[ExpertPredictor] = None,
+        prefetch: bool = True,
+        lookahead: int = 3,
+        prefetch_budget: Optional[int] = None,
+        adaptive_budget: bool = True,
+        impl: str = "ragged",
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if model.mesh is None or model.mesh.shape.get("expert", 1) < 2:
+            raise ValueError(
+                "PodOffloadEngine needs a model built with an expert-axis "
+                "mesh (model.mesh)"
+            )
+        self.model = model
+        self.executor = executor
+        self.tracer = tracer
+        self.predictor = predictor
+        self.prefetch = prefetch and predictor is not None
+        self.lookahead = lookahead
+        per_coord = executor.s_local
+        self.prefetch_budget = prefetch_budget or max(1, per_coord // 2)
+        self.adaptive_budget = adaptive_budget
+        self._impl = impl
+        self._layer_seconds: Optional[float] = None
+        self._last_layer_t: Optional[float] = None
+        self.arena = next(iter(executor.arenas.values()))  # budget probes
+
+        self._rep = NamedSharding(model.mesh, P())
+        self.params = jax.tree.map(
+            lambda a: jax.device_put(a, self._rep), params
+        )
+        self._embed = jax.jit(model.embed)
+        self._pre = jax.jit(model.pre_moe, donate_argnums=(2,))
+        self._head = jax.jit(model.head)
+        self._dense = (
+            jax.jit(model.dense_layer, donate_argnums=(2,))
+            if hasattr(model, "dense_layer")
+            else None
+        )
+
+        def apply(pl, x, h, cw, ids, tree, slot_row):
+            weights, biases = _split_arena_tree(tree)
+            return model.apply_moe(
+                pl, x, h, cw, ids, weights, slot_row, biases, impl
+            )
+
+        self._apply = jax.jit(apply)
+
+    # ---- Stepper protocol ------------------------------------------------
+    def init_cache(self, batch: int, max_len: int):
+        kvs = self.model.init_cache(batch, max_len)
+        return [
+            type(kv)(
+                jax.device_put(kv.k, self._rep),
+                jax.device_put(kv.v, self._rep),
+            )
+            for kv in kvs
+        ]
+
+    def begin_sequences(self, batch: int) -> Optional[List[str]]:
+        if self.tracer is None:
+            return None
+        return [self.tracer.create_entry() for _ in range(batch)]
+
+    def end_sequences(self, seq_ids: Optional[Sequence[str]]) -> None:
+        if self.tracer is None or not seq_ids:
+            return
+        for sid in seq_ids:
+            self.tracer.finish_entry(sid)
+
+    def forward(
+        self,
+        tokens,
+        positions,
+        kv_caches: List,
+        kv_len,
+        seq_ids: Optional[Sequence[str]] = None,
+    ):
+        model, ex = self.model, self.executor
+        tokens = jax.device_put(jnp.asarray(tokens, jnp.int32), self._rep)
+        positions = jax.device_put(
+            jnp.asarray(positions, jnp.int32), self._rep
+        )
+        x = self._embed(self.params, tokens)
+        trace_ids, trace_w = [], []
+        self._last_layer_t = None
+        for li in range(model.spec.num_layers):
+            self._tick_layer_clock()
+            mli = model.moe_layer_index(li)
+            pl = self.params["layers"][li]
+            if mli is None:
+                x, kv_caches[li] = self._dense(
+                    pl, x, kv_caches[li], positions, kv_len
+                )
+                continue
+            x, h, cw, ids, kv_caches[li] = self._pre(
+                pl, x, kv_caches[li], positions, kv_len
+            )
+            ids_np = np.asarray(ids)  # replicated: identical on every host
+            keys = [(mli, int(e)) for e in np.unique(ids_np)]
+            self._trace_and_prefetch(ids_np, mli, seq_ids)
+            slot_row, missing = ex.ensure_step(mli, keys)
+            row_dev = jax.device_put(
+                jnp.asarray(slot_row, jnp.int32), self._rep
+            )
+            with ex.dispatch_leases():
+                tree = ex.weights_view()
+                x = self._apply(pl, x, h, cw, ids, tree, row_dev)
+            if missing:
+                delta = ex.host_delta(
+                    mli, missing, np.asarray(h), np.asarray(cw), ids_np
+                )
+                x = x + jax.device_put(
+                    jnp.asarray(delta).astype(x.dtype), self._rep
+                )
+            ex.release_step(keys)
+            trace_ids.append(ids)
+            trace_w.append(cw)
+        logits = self._head(self.params, x)
+        return logits, kv_caches, (jnp.stack(trace_ids), jnp.stack(trace_w))
+
+    # ---- policy glue -----------------------------------------------------
+    def _trace_and_prefetch(self, ids_np, mli, seq_ids) -> None:
+        if self.tracer is None or not seq_ids:
+            return
+        if self.prefetch:
+            score = None
+            for b, sid in enumerate(seq_ids):
+                score = self.predictor.predict(sid, ids_np[b], mli)
+            self.executor.set_context(
+                mli, self.tracer.get_entry_decoder(seq_ids[0]).matrix
+            )
+            orders = plan_prefetch(
+                score, mli,
+                lookahead=self.lookahead,
+                budget=self._current_budget(),
+                is_resident=self.executor.is_resident,
+            )
+            if orders:
+                self.executor.prefetch(orders)
+        else:
+            for b, sid in enumerate(seq_ids):
+                self.tracer.update_entry(sid, ids_np[b], mli)
+
+    def _tick_layer_clock(self) -> None:
+        t = _time.perf_counter()
+        if self._last_layer_t is not None:
+            dt = t - self._last_layer_t
+            self._layer_seconds = (
+                dt
+                if self._layer_seconds is None
+                else 0.8 * self._layer_seconds + 0.2 * dt
+            )
+        self._last_layer_t = t
+
+    def _current_budget(self) -> int:
+        if not self.adaptive_budget:
+            return self.prefetch_budget
+        return adaptive_prefetch_budget(
+            self._layer_seconds,
+            self.arena.fetch_seconds_ewma,
+            self.arena.num_workers,
+            self.lookahead,
+            self.prefetch_budget,
+        )
+
+    # ---- metrics ---------------------------------------------------------
+    def hit_rate(self) -> float:
+        return self.executor.stats()["hit_rate"]
+
+    def stats(self) -> dict:
+        return self.executor.stats()
+
+    def node_stats(self) -> dict:
+        return {c: a.node_stats() for c, a in self.executor.arenas.items()}

@@ -176,6 +176,26 @@ class EngineConfig:
     greedy requests with prompts >= the ring size ride it; currently
     exclusive with tensor/expert_parallel."""
 
+    multihost: bool = False
+    """Pod-scale OFFLOAD serving: the facade composes host-affine
+    per-coordinate arenas + the prefetch-consensus coordinator + the
+    slot-row exchange into a PodOffloadEngine over an `expert`-axis mesh
+    spanning every addressable device (all hosts). Requires
+    expert_parallel > 1 (pure EP mesh: data/tensor parallel must stay 1)
+    and an offload-regime plan (experts not HBM-resident). Each process
+    either pre-initializes jax.distributed itself or sets
+    coordinator_address/num_processes/process_id below. The reference's
+    cross-node story is dormant torch RPC (README.md:18)."""
+
+    coordinator_address: str = ""
+    """jax.distributed coordinator (host:port). Empty: assume
+    single-process or already initialized (TPU pods auto-detect)."""
+
+    num_processes: int = 0
+    process_id: int = -1
+    """Explicit process topology for CPU multi-process tests; ignored when
+    coordinator_address is empty."""
+
     # ---- misc -----------------------------------------------------------
     seed: int = 0
     log_level: str = "INFO"

@@ -68,3 +68,46 @@ def test_mixtral_offload_preset_smoke(bench):
     assert out["metric"] == "mixtral_8x7b_int8_offload_decode_latency"
     assert out["value"] > 0
     assert out["hit_rate"] > 0
+
+
+def test_nllb_pressure_preset_smoke(bench, monkeypatch):
+    """Policy A/B plumbing: same engine, arena.reset_policy between legs,
+    per-leg decode stats deltas."""
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "vocab_size", 512)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "d_model", 64)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_heads", 4)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "encoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "decoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_experts", 8)
+    args = _args(moe_impl="ragged", pressure_tokens=4)
+    out = bench.bench_nllb_pressure(args)
+    out.pop("_build", None)
+    assert out["metric"] == "nllb_moe_54b_pressure_decode_throughput"
+    assert set(out["policy_legs"]) == {"lru", "priority"}
+    for leg in out["policy_legs"].values():
+        assert leg["tokens_per_s"] > 0
+        assert leg["decode_hit_rate"] is None or 0 <= leg["decode_hit_rate"] <= 1
+    import json
+    json.dumps(out)  # payload must be JSON-serializable
+
+
+def test_switch_servable_preset_smoke(bench, monkeypatch):
+    monkeypatch.setitem(bench.SWITCH_LARGE_128_SPEC, "vocab_size", 512)
+    monkeypatch.setitem(bench.SWITCH_LARGE_128_SPEC, "d_model", 64)
+    monkeypatch.setitem(bench.SWITCH_LARGE_128_SPEC, "d_kv", 16)
+    monkeypatch.setitem(bench.SWITCH_LARGE_128_SPEC, "d_ff", 128)
+    monkeypatch.setitem(bench.SWITCH_LARGE_128_SPEC, "num_heads", 4)
+    monkeypatch.setitem(bench.SWITCH_LARGE_128_SPEC, "num_experts", 8)
+    args = _args(slots=16, moe_impl="ragged")
+    out = bench.bench_switch_servable(args)
+    out.pop("_build", None)
+    assert out["metric"] == "switch_large_128_servable_decode_throughput"
+    assert out["value"] > 0
+    assert out["hit_rate"] > 0
+    assert out["records"] > out["num_slots"] or out["records"] >= 8
+    import json
+    json.dumps(out)
+
+
+def test_default_preset_is_offload(bench):
+    assert bench.build_parser().parse_args([]).preset == "nllb-offload"
