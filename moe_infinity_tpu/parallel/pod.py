@@ -28,6 +28,9 @@ from typing import Callable, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from moe_infinity_tpu.parallel.multihost import PrefetchHints
+from moe_infinity_tpu.utils.logger import get_logger
+
+logger = get_logger("pod")
 
 Key = Tuple[int, int]
 
@@ -115,17 +118,39 @@ class PodPrefetchCoordinator:
         """Warm this host's shard of the step's expert set, then join the
         step barrier. Returns the local keys that were warmed. on_miss:
         called with keys that could not be made resident (the caller wires
-        them into the host-exec escape hatch instead of failing)."""
-        keys = self.hints.fetch(step)
+        them into the host-exec escape hatch instead of failing).
+
+        A leader crash leaves followers in hints.fetch (bounded by its
+        timeout) — the RuntimeError below is the recovery signal: the
+        serving loop surfaces it instead of silently hanging at the
+        barrier."""
+        try:
+            keys = self.hints.fetch(step)
+        except Exception as e:  # noqa: BLE001 — surfaced, not swallowed
+            raise RuntimeError(
+                f"pod step {step}: no published expert set (leader crashed "
+                f"or fell behind): {e}"
+            ) from e
         mine = self.plan.filter_local(keys)
         if mine:
             try:
                 self.arena.warm(mine)
-            except Exception:  # noqa: BLE001 — degraded is not fatal here
-                pass  # residency re-checked below
+            except Exception as e:  # noqa: BLE001 — degraded is not fatal
+                # residency re-checked below; persistent store failures
+                # must be VISIBLE (round-2 weak #5: silent all-misses)
+                logger.warning(
+                    "pod step %d: warm failed for %d keys (%s: %s); "
+                    "falling back to miss handling", step, len(mine),
+                    type(e).__name__, e,
+                )
         failed = [k for k in mine if not self.arena.is_resident(k)]
-        if failed and on_miss is not None:
-            on_miss(failed)
+        if failed:
+            logger.warning(
+                "pod step %d: %d local shard keys not resident after warm",
+                step, len(failed),
+            )
+            if on_miss is not None:
+                on_miss(failed)
         self.barrier(step)
         return mine
 

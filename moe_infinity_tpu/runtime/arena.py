@@ -606,12 +606,12 @@ class ExpertArena:
                 # program (no host read, no relay crossing). tier_row is
                 # None for records that didn't fit the tier's byte budget —
                 # those fall through to the host-read store path below.
-                rec_idx = jnp.int32(tier_row)
+                seg_fields, local_idx = self._tier.segment_for(tier_row)
                 with self._cv:
                     while self._leases > 0:  # donation must not race
                         self._cv.wait()
                     self._arena = self._tier_write(
-                        self._arena, self._tier.fields, rec_idx,
+                        self._arena, seg_fields, jnp.int32(local_idx),
                         jnp.int32(slot),
                     )
                 self._finish_fetch(key, slot, prio, t_fetch)

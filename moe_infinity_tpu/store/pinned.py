@@ -68,6 +68,14 @@ class PinnedExpertTier:
     staging-priority order; default stages decoder-phase records first
     (store.meta num_encoder_moe_layers marks the phase boundary).
     host_headroom: fraction of MemAvailable the tier may claim.
+
+    Staging is SEGMENTED and PARALLEL: each field is staged as a list of
+    ~seg_bytes row-chunks transferred by stage_threads concurrent
+    device_puts (a single multi-GB put through a relay link is
+    latency-serialized; parallel streams recover the link bandwidth —
+    same lesson as the arena's chunked uploads). Fetches address
+    (segment, local row) via segment_for(), so the per-fetch DMA program
+    is unchanged in cost.
     """
 
     def __init__(
@@ -79,6 +87,8 @@ class PinnedExpertTier:
         max_bytes: Optional[int] = None,
         order: Optional[Sequence[Key]] = None,
         host_headroom: float = 0.5,
+        seg_bytes: int = 256 << 20,
+        stage_threads: int = 4,
     ):
         self.store = store
         self.device = device or jax.local_devices()[0]
@@ -148,27 +158,74 @@ class PinnedExpertTier:
         for row, (layer, e) in enumerate(staged_keys):
             self._rec_row[layer * store.num_experts + e] = row
 
-        self.fields: Dict[str, jax.Array] = {}
+        # segment row count set by the LARGEST field so no single chunk
+        # exceeds ~seg_bytes
+        max_field_rec = max(
+            (int(np.prod(f.shape)) * np_dtype(f.dtype).itemsize
+             for f in store.fields),
+            default=1,
+        )
+        self._seg_rows = max(1, seg_bytes // max(1, max_field_rec))
+        self.fields: Dict[str, list] = {}  # name -> [segment arrays]
         total = 0
         if n_rec > 0:
-            bufs = {
-                f.name: np.empty((n_rec,) + tuple(f.shape), np_dtype(f.dtype))
-                for f in store.fields
+            import collections
+            import concurrent.futures as cf
+            import time as _time
+
+            n_seg = -(-n_rec // self._seg_rows)
+            results: Dict[str, list] = {
+                f.name: [None] * n_seg for f in store.fields
             }
-            for row, (layer, e) in enumerate(staged_keys):
-                rec = store.get_expert(layer, e)
-                for f in store.fields:
-                    bufs[f.name][row] = rec[f.name]
-            for name, buf in bufs.items():
-                self.fields[name] = jax.device_put(buf, pinned)
-                total += buf.nbytes
-                bufs[name] = None  # free the host copy before the next put
-            jax.block_until_ready(list(self.fields.values()))
+            t0 = _time.perf_counter()
+            with cf.ThreadPoolExecutor(max(1, stage_threads)) as pool:
+                pending = collections.deque()  # bound host buffers in flight
+                for s in range(n_seg):
+                    lo = s * self._seg_rows
+                    hi = min(n_rec, lo + self._seg_rows)
+                    bufs = {
+                        f.name: np.empty(
+                            (hi - lo,) + tuple(f.shape), np_dtype(f.dtype)
+                        )
+                        for f in store.fields
+                    }
+                    for row in range(lo, hi):
+                        layer, e = staged_keys[row]
+                        rec = store.get_expert(layer, e)
+                        for f in store.fields:
+                            bufs[f.name][row - lo] = rec[f.name]
+                    for name, buf in bufs.items():
+                        total += buf.nbytes
+                        pending.append(
+                            (name, s, pool.submit(jax.device_put, buf, pinned))
+                        )
+                    while len(pending) > 4 * stage_threads:
+                        name, si, fut = pending.popleft()
+                        results[name][si] = fut.result()
+                for name, si, fut in pending:
+                    results[name][si] = fut.result()
+            self.fields = results
+            jax.block_until_ready(
+                [a for segs in results.values() for a in segs]
+            )
+            logger.info(
+                "pinned tier staged in %.0fs (%.0f MB/s)",
+                _time.perf_counter() - t0,
+                total / 2**20 / max(1e-9, _time.perf_counter() - t0),
+            )
         self.staged_bytes = total
         logger.info(
             "pinned tier staged: %d records x %d fields, %.2f GB",
             n_rec, len(self.fields), total / 2**30,
         )
+
+    def segment_for(self, row: int):
+        """(per-field segment arrays, local row) for a staged record —
+        what the arena's jitted tier-write program consumes. At most two
+        distinct segment shapes exist (full + tail), so the program
+        compiles at most twice."""
+        s, local = divmod(row, self._seg_rows)
+        return {n: segs[s] for n, segs in self.fields.items()}, local
 
     def record_index(self, layer: int, expert: int) -> Optional[int]:
         """Staged row for (layer, expert), or None if it must come from
