@@ -89,7 +89,15 @@ class PinnedExpertTier:
         host_headroom: float = 0.5,
         seg_bytes: int = 256 << 20,
         stage_threads: int = 4,
+        synth_on_device: Optional[bool] = None,
     ):
+        """synth_on_device (SyntheticStore only; auto-on for non-shared
+        synthetic staging): materialize tier segments ON the device
+        (random bits at the right shapes/dtypes, then a device→pinned
+        copy local to the TPU host) instead of pushing the bytes through
+        the host link — a synthetic tier's VALUES are already arbitrary;
+        what must be honest are its size and DMA behavior. Measured ~10x
+        faster than host staging through a relay link (~32 MB/s)."""
         self.store = store
         self.device = device or jax.local_devices()[0]
         if shared_record is None:
@@ -168,7 +176,15 @@ class PinnedExpertTier:
         self._seg_rows = max(1, seg_bytes // max(1, max_field_rec))
         self.fields: Dict[str, list] = {}  # name -> [segment arrays]
         total = 0
-        if n_rec > 0:
+        if synth_on_device is None:
+            synth_on_device = (
+                store.__class__.__name__ == "SyntheticStore"
+                and not shared_record
+                and n_rec > 8
+            )
+        if n_rec > 0 and synth_on_device:
+            total = self._stage_synth_on_device(store, staged_keys, pinned)
+        elif n_rec > 0:
             import collections
             import concurrent.futures as cf
             import time as _time
@@ -218,6 +234,51 @@ class PinnedExpertTier:
             "pinned tier staged: %d records x %d fields, %.2f GB",
             n_rec, len(self.fields), total / 2**30,
         )
+
+    def _stage_synth_on_device(self, store, staged_keys, pinned) -> int:
+        """Synthetic tier segments generated on the device and copied
+        device→pinned on the TPU host (no bytes over the host link)."""
+        import time as _time
+
+        n_rec = len(staged_keys)
+        n_seg = -(-n_rec // self._seg_rows)
+        t0 = _time.perf_counter()
+        total = 0
+
+        def gen(key, shape, dtype):
+            dt = np.dtype(dtype)
+            if dt.kind == "i":
+                n = int(np.prod(shape))
+                bits = jax.random.bits(key, ((n + 3) // 4,), jnp.uint32)
+                return jax.lax.bitcast_convert_type(bits, jnp.int8).reshape(
+                    -1
+                )[:n].reshape(shape)
+            # float scales/biases: small positive values so downstream
+            # dequant stays finite
+            return jax.random.uniform(
+                key, shape, jnp.float32, 1.6e-2, 3.2e-2
+            ).astype(dt)
+
+        gen = jax.jit(gen, static_argnums=(1, 2))
+        results: Dict[str, list] = {f.name: [None] * n_seg for f in store.fields}
+        for s in range(n_seg):
+            lo = s * self._seg_rows
+            hi = min(n_rec, lo + self._seg_rows)
+            for fi, f in enumerate(store.fields):
+                key = jax.random.PRNGKey(s * 131 + fi)
+                shape = (hi - lo,) + tuple(f.shape)
+                seg = gen(key, shape, np_dtype(f.dtype).name)
+                seg = jax.device_put(seg, pinned)
+                seg.block_until_ready()
+                results[f.name][s] = seg
+                total += seg.nbytes
+        self.fields = results
+        logger.info(
+            "pinned tier synth-staged on device in %.0fs (%.0f MB/s)",
+            _time.perf_counter() - t0,
+            total / 2**20 / max(1e-9, _time.perf_counter() - t0),
+        )
+        return total
 
     def segment_for(self, row: int):
         """(per-field segment arrays, local row) for a staged record —
