@@ -1114,10 +1114,41 @@ def bench_nllb_pressure(args, shared=None):
     E = spec0.num_experts
     hot = n_dec_moe * min(E, B * 2)
     num_slots = args.slots or max(E, int(args.pressure_frac * hot))
-    b = _nllb_build(
-        args, num_slots=num_slots, policy="lru", speculative=False,
-        shared=shared,
-    )
+    if shared is not None and shared.get("engine") is not None:
+        # reuse the headline engine's jitted programs: swap in a fresh
+        # constrained arena + tracer (only arena-shaped programs retrace —
+        # recompiling the whole per-layer stack through the relay took
+        # 855 s and starved the remaining secondaries)
+        import jax.numpy as jnp
+
+        from moe_infinity_tpu.memory import ExpertPredictor, ExpertTracer
+        from moe_infinity_tpu.runtime.arena import ExpertArena
+
+        store = shared["store"]
+        old = shared.get("arena")
+        if old is not None:
+            old.shutdown()
+        arena = ExpertArena(
+            store, num_slots, policy="lru", compute_dtype=jnp.bfloat16,
+            num_threads=args.threads, pinned_tier=shared.get("tier"),
+        )
+        n_enc_moe = store.meta.get("num_encoder_moe_layers", 0)
+        tracer = ExpertTracer(
+            256, store.num_layers, store.num_experts,
+            num_encoder_layers=n_enc_moe,
+        )
+        engine = shared["engine"]
+        engine.reset_arena(
+            arena, speculative=False, tracer=tracer,
+            predictor=ExpertPredictor(tracer),
+        )
+        shared["arena"] = arena
+        b = shared
+    else:
+        b = _nllb_build(
+            args, num_slots=num_slots, policy="lru", speculative=False,
+            shared=shared,
+        )
     engine, arena, spec = b["engine"], b["arena"], b["spec"]
     T, n = args.prompt, max(4, args.pressure_tokens)
     prompt = (np.arange(T, dtype=np.int64)[None].repeat(B, 0) * 131 + 7) % (
@@ -1443,7 +1474,7 @@ def build_parser():
                    help="emit only the headline metric; skip the "
                         "cache-pressure / servable-switch / dtype-sibling "
                         "secondary measurements")
-    p.add_argument("--budget-s", type=float, default=1800.0,
+    p.add_argument("--budget-s", type=float, default=2400.0,
                    help="soft wall-clock budget: secondaries are skipped "
                         "once elapsed time exceeds this")
     return p
@@ -1495,22 +1526,21 @@ def _run_secondaries(args, result, build, t_start) -> None:
             )
 
     def pressure():
-        # reuse params/store/tier from the headline build; the headline
-        # arena is shut down first so the constrained arena has HBM room
-        shared = None
-        if build and "params" in build:
-            arena = build.pop("arena", None)
-            if arena is not None:
-                arena.shutdown()
-            build.pop("engine", None)
-            gc.collect()
-            shared = build
+        # reuse the headline build WHOLE (engine incl.): the pressure leg
+        # swaps in a constrained arena via engine.reset_arena, keeping the
+        # compiled per-layer stack (a fresh engine's recompile through the
+        # relay took 855 s and starved the remaining secondaries)
+        shared = build if build and build.get("engine") is not None else None
         pargs = argparse.Namespace(**vars(args))
         pargs.slots = 0
         out = bench_nllb_pressure(pargs, shared=shared)
-        _free_build(out.pop("_build", None))
-        out.pop("metric", None), out.pop("unit", None)
+        pb = out.pop("_build", None)
+        if pb is not None and pb is not build:
+            _free_build(pb)
+        out.pop("metric", None)
+        out.pop("unit", None)
         result["cache_pressure"] = out
+        gc.collect()
 
     def dtype_sibling():
         _free_build(build)

@@ -260,6 +260,27 @@ class Seq2SeqOffloadEngine:
         )
         return np.asarray(toks), new_kvs
 
+    def reset_arena(
+        self, arena: ExpertArena, *, speculative: Optional[bool] = None,
+        tracer: Optional[ExpertTracer] = None,
+        predictor: Optional[ExpertPredictor] = None,
+    ) -> None:
+        """Swap the expert arena (and optionally tracer/predictor and the
+        speculative mode) in place. The dense-stage jitted programs
+        survive; only arena-shaped programs retrace on next use. For A/B
+        benches (cache pressure vs the headline arena) where recompiling
+        the whole per-layer stack through a relay link would dominate the
+        measurement."""
+        self.arena = arena
+        if speculative is not None:
+            self.speculative = speculative
+        if tracer is not None:
+            self.tracer = tracer
+            self.predictor = predictor
+            self.prefetch = self.prefetch and predictor is not None
+        self._layer_seconds = None
+        self._last_layer_t = None
+
     # ---- shared expert acquire/apply --------------------------------------
     def _tick_layer_clock(self):
         t = _time.perf_counter()

@@ -111,3 +111,24 @@ def test_switch_servable_preset_smoke(bench, monkeypatch):
 
 def test_default_preset_is_offload(bench):
     assert bench.build_parser().parse_args([]).preset == "nllb-offload"
+
+
+def test_nllb_pressure_reuses_headline_engine(bench, monkeypatch):
+    """The secondary path swaps a constrained arena into the HEADLINE
+    engine (reset_arena) instead of recompiling a fresh per-layer stack."""
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "vocab_size", 512)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "d_model", 64)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_heads", 4)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "encoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "decoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_experts", 8)
+    args = _args(moe_impl="ragged", pressure_tokens=4)
+    build = bench._nllb_build(args)
+    engine_before = build["engine"]
+    out = bench.bench_nllb_pressure(args, shared=build)
+    b = out.pop("_build", None)
+    assert b is build  # reused, not rebuilt
+    assert build["engine"] is engine_before
+    assert not engine_before.speculative  # pressure runs per-layer
+    assert set(out["policy_legs"]) == {"lru", "priority"}
+    build["arena"].shutdown()
