@@ -1372,6 +1372,49 @@ def bench_switch_servable(args):
     return result
 
 
+def _teacher_nll_ours(moe, ids_np) -> float:
+    """Mean next-token NLL of `ids_np` [1, T] under the served engine
+    (teacher-forced single forward through the facade's stepper)."""
+    import jax
+    import jax.numpy as jnp
+
+    st = moe.generator.stepper
+    T = ids_np.shape[1]
+    kv = st.init_cache(1, max(16, T + 1))
+    tokens = jnp.asarray(ids_np, jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (1, T))
+    logits, _, _ = st.forward(tokens, positions, kv, jnp.int32(0))
+    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    nxt = jnp.take_along_axis(
+        lp[0, :-1], jnp.asarray(ids_np[0, 1:])[:, None], axis=-1
+    )
+    return float(-jnp.mean(nxt))
+
+
+def _hf_teacher_nll(ckpt, ids_np):
+    """fp32 HF reference NLL, or None when the model is too large to
+    evaluate on this host (the gate then reports only the served NLL)."""
+    try:
+        import torch
+        from transformers import AutoModelForCausalLM
+
+        hf = AutoModelForCausalLM.from_pretrained(
+            ckpt, torch_dtype=torch.float32
+        ).eval()
+        n_params = sum(p.numel() for p in hf.parameters())
+        if n_params > 3e9:
+            return None
+        with torch.no_grad():
+            out = hf(torch.tensor(ids_np))
+        lp = torch.log_softmax(out.logits.float(), dim=-1)
+        nxt = lp[0, :-1].gather(-1, torch.tensor(ids_np[0, 1:])[:, None])
+        return float(-nxt.mean())
+    except Exception as e:  # noqa: BLE001 — the gate is best-effort
+        print(f"[bench] HF NLL reference unavailable: {e}",
+              file=sys.stderr, flush=True)
+        return None
+
+
 def bench_real_ckpt(args):
     """End-to-end real-checkpoint serving: HF checkpoint dir ->
     ingest -> expert store -> facade plan (resident or offload) ->
@@ -1434,6 +1477,22 @@ def bench_real_ckpt(args):
         "plan": "offload" if moe.engine is not None else "resident",
         "degenerate_output": degenerate,
     }
+    # perplexity-Δ gate (BASELINE.md matched-accuracy bar): teacher-forced
+    # NLL of the generated sequence under the SERVED config vs an fp32 HF
+    # reference (skipped for models too large to evaluate on this host)
+    try:
+        ids = np.asarray(out)[:1, : min(64, np.asarray(out).shape[1])]
+        if ids.shape[1] >= 4:
+            nll = _teacher_nll_ours(moe, ids)
+            result["nll"] = round(nll, 4)
+            hf_nll = _hf_teacher_nll(args.real_ckpt, ids)
+            if hf_nll is not None:
+                result["nll_fp32_hf"] = round(hf_nll, 4)
+                result["ppl_delta"] = round(
+                    float(np.exp(nll) - np.exp(hf_nll)), 4
+                )
+    except Exception as e:  # noqa: BLE001 — the gate must not kill e2e
+        result["nll_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     if tok is not None:
         result["sample"] = tok.decode(
             new_tokens[0].tolist(), skip_special_tokens=True

@@ -132,3 +132,32 @@ def test_nllb_pressure_reuses_headline_engine(bench, monkeypatch):
     assert not engine_before.speculative  # pressure runs per-layer
     assert set(out["policy_legs"]) == {"lru", "priority"}
     build["arena"].shutdown()
+
+
+def test_real_ckpt_ppl_gate(bench, tmp_path):
+    """--real-ckpt computes a teacher-forced NLL under the served config
+    and a ppl-delta vs the fp32 HF reference (the matched-accuracy gate,
+    exercised here on a tiny checkpoint; ~0 delta at float32)."""
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, vocab_size=128, max_position_embeddings=64,
+        torch_dtype=torch.float32, architectures=["MixtralForCausalLM"],
+    )
+    torch.manual_seed(3)
+    hf = MixtralForCausalLM(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    args = _args(real_ckpt=str(ckpt), tokens=6)
+    # facade defaults to bfloat16; float32 keeps the gate's delta ~0
+    import moe_infinity_tpu.entrypoints.api  # noqa: F401
+
+    out = bench.bench_real_ckpt(args)
+    assert out["metric"] == "real_ckpt_e2e"
+    assert out["value"] > 0
+    assert "nll" in out, out
+    if "ppl_delta" in out:
+        assert abs(out["ppl_delta"]) < 5.0  # bf16-vs-f32 drift bound
