@@ -1055,7 +1055,10 @@ def bench_nllb_offload(args, shared=None, _build=None):
     print(f"[bench] nllb dense ready; arena {num_slots} slots, warming",
           file=sys.stderr, flush=True)
     t_w = time.perf_counter()
-    engine.generate(prompt, max_new_tokens=2, eos_token_id=None)  # warm
+    # warm depth 2k-1 compiles EVERY halving-chain block size (k, k/2, 1)
+    # so no block program compiles inside the timed region
+    warm_k = max(2, 2 * engine.spec_block - 1)
+    engine.generate(prompt, max_new_tokens=warm_k, eos_token_id=None)
     warm_s = time.perf_counter() - t_w
     print(f"[bench] warm done in {warm_s:.0f}s; timing", file=sys.stderr,
           flush=True)
@@ -1334,7 +1337,10 @@ def bench_switch_servable(args):
     print(f"[bench] switch-servable arena {num_slots} slots of "
           f"{n_moe * E} records; warming", file=sys.stderr, flush=True)
     t_w = time.perf_counter()
-    engine.generate(prompt, max_new_tokens=2, eos_token_id=None)
+    engine.generate(
+        prompt, max_new_tokens=max(2, 2 * engine.spec_block - 1),
+        eos_token_id=None,
+    )
     warm_s = time.perf_counter() - t_w
     t0 = time.perf_counter()
     engine.generate(prompt, max_new_tokens=2, eos_token_id=None)

@@ -143,6 +143,115 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
             arena.release(sorted(held))
 
 
+def quantize_block(remaining: int, block: int) -> int:
+    """Largest size from the halving chain {block, block/2, ..., 1} that
+    fits `remaining` — call sites use this so only log2(block)+1 block
+    programs ever compile (a fresh size mid-measurement costs a full
+    relay compile)."""
+    k = max(1, block)
+    while k > remaining:
+        k //= 2
+    return max(1, k)
+
+
+def run_speculative_block(
+    arena: ExpertArena,
+    mlis,
+    dispatch,
+    k: int,
+    limit: int,
+    tok0,
+    kvs,
+):
+    """Speculative k-step decode with PARTIAL PREFIX ACCEPTANCE.
+
+    dispatch(tree, slot_rows, cur_tok, j0, kk, kvs) runs a kk-step greedy
+    block from token `cur_tok` at step offset j0 and returns
+    (toks [B, kk], new_kvs, ids [L_moe, B, kk, K']) — per-step routed ids.
+
+    A step whose routed experts were ALL resident at dispatch — and whose
+    predecessors were too — is exact: its tokens and its KV writes were
+    computed from exact inputs. So instead of replaying the whole block on
+    any miss (which under routing drift costs ~k executions per block),
+    the verified prefix is ACCEPTED and only the suffix re-dispatches: the
+    suffix's garbage KV columns are rewritten by the re-executed steps
+    (a column write is a full overwrite, and columns past the current
+    step are never read). The reference has no analogue — its per-miss
+    cv.wait serializes every layer (archer_prefetch_handle.cpp:83-121).
+
+    Returns (tokens [B, k], final_kvs, executions, accepted_ids
+    [L_moe, B, k, K']).
+    """
+    accepted_toks = []
+    accepted_ids = []
+    cur = tok0
+    held: set = set()
+    execs = 0
+    j0 = 0
+    try:
+        while j0 < k:
+            if execs >= limit:
+                raise RuntimeError(
+                    f"speculative execution did not converge in {limit} "
+                    f"replays; the arena ({arena.num_slots} slots) likely "
+                    "cannot hold one step's union of routed experts — "
+                    "raise num_slots or disable speculative decode"
+                )
+            # suffix sizes quantized to the halving chain {k, k/2, ..., 1}
+            # so at most log2(k)+1 block programs ever compile (a fresh
+            # size mid-measurement costs a full relay compile)
+            kk = k
+            while kk > k - j0:
+                kk //= 2
+            kk = max(1, kk)
+            with arena.dispatch_snapshot() as (tree, rows_np, resident):
+                toks, kvs_new, ids = dispatch(
+                    tree, jnp.asarray(rows_np), cur, j0, kk, kvs
+                )
+            execs += 1
+            ids_np = np.asarray(ids)  # [L, B, kk, K']
+            step_keys = [
+                {
+                    (mlis[layer], int(e))
+                    for layer in range(ids_np.shape[0])
+                    for e in np.unique(ids_np[layer, :, jj])
+                }
+                for jj in range(kk)
+            ]
+            good = kk
+            for jj in range(kk):
+                if any(key not in resident for key in step_keys[jj]):
+                    good = jj
+                    break
+            # suffix KV columns are garbage but get rewritten on the next
+            # dispatch of the same positions; prefix columns are exact
+            kvs = kvs_new
+            if good > 0:
+                toks_np = np.asarray(toks)
+                accepted_toks.append(toks_np[:, :good])
+                accepted_ids.append(ids_np[:, :, :good])
+                cur = jnp.asarray(toks_np[:, good - 1:good], jnp.int32)
+                j0 += good
+            if good < kk:
+                # make the whole observed union resident before the next
+                # dispatch (protect it so loading the first bad step's
+                # misses cannot evict the accepted prefix's hot set)
+                union = set().union(*step_keys)
+                if held:
+                    arena.release(sorted(held))
+                held = union
+                arena.acquire(sorted(union), mlis[-1] if mlis else 0)
+        return (
+            np.concatenate(accepted_toks, axis=1),
+            kvs,
+            execs,
+            np.concatenate(accepted_ids, axis=2),
+        )
+    finally:
+        if held:
+            arena.release(sorted(held))
+
+
 def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
                             n_feed=None, budget_scale=1):
     """After an accepted speculative step: record the realized routing in
@@ -354,10 +463,10 @@ class OffloadEngine:
             (_, _, kvs), (toks, tids) = jax.lax.scan(
                 body, (tok0, jnp.int32(pos0), kvs), None, length=k
             )
-            # tids [k, L_moe, B, 1, K] -> layer-major, batch at dim 1
-            tr = jnp.moveaxis(tids, 0, 2).reshape(
-                tids.shape[1], tids.shape[2], -1
-            )
+            # tids [k, L_moe, B, 1, K] -> per-step [L_moe, B, k, K]
+            # (partial prefix acceptance judges each step separately)
+            tr = jnp.moveaxis(tids, 0, 2)
+            tr = tr.reshape(tr.shape[0], tr.shape[1], k, -1)
             return toks.T, kvs, tr  # toks [B, k]
 
         fn = jax.jit(spec_block)
@@ -365,25 +474,26 @@ class OffloadEngine:
         return fn
 
     def decode_block(self, tok, pos: int, kv_caches, k: int, seq_ids=None):
-        """Run k greedy decode steps as one verified speculative program
-        (the whole block replays after loading any step's misses; the
-        accepted execution had every routed expert of every step
-        resident, so all k tokens are exact). Raises RuntimeError when
-        the arena cannot hold the block's expert union — callers drop to
+        """Run k greedy decode steps speculatively with PARTIAL PREFIX
+        ACCEPTANCE (run_speculative_block): a step whose routed experts —
+        and all predecessors' — were resident at dispatch is exact; a
+        miss re-dispatches only the suffix. Raises RuntimeError when the
+        arena cannot hold a step's expert union — callers drop to
         single-step decode."""
-        fn = self._spec_block_fn(k)
         params = self.params
 
-        def run(tree, slot_rows):
-            return fn(params, tree, slot_rows, tok, jnp.int32(pos), kv_caches)
+        def dispatch(tree, slot_rows, cur, j0, kk, kvs_):
+            fn = self._spec_block_fn(kk)
+            return fn(params, tree, slot_rows, cur, jnp.int32(pos + j0), kvs_)
 
-        limit = self.max_replays or (len(self._moe_lis) + 2 + k)
-        (toks, new_kvs), ids_np, execs = run_speculative(
-            self.arena, self._moe_lis, run, limit
+        limit = self.max_replays or (len(self._moe_lis) + 2) * k
+        toks, new_kvs, execs, acc_ids = run_speculative_block(
+            self.arena, self._moe_lis, dispatch, k, limit, tok, kv_caches,
         )
         self.replay_counts.append(execs)
+        ids_flat = acc_ids.reshape(acc_ids.shape[0], acc_ids.shape[1], -1)
         spec_trace_and_prefetch(
-            self, ids_np, self._moe_lis, seq_ids, budget_scale=k
+            self, ids_flat, self._moe_lis, seq_ids, budget_scale=k
         )
         return np.asarray(toks), new_kvs
 

@@ -215,13 +215,12 @@ class Seq2SeqOffloadEngine:
             # decode_step's trace is either a list of per-layer [B, ...]
             # id arrays (Switch) or one stacked [L, B, ...] array (NLLB);
             # after the scan both carry a leading step axis k. Verification
-            # and the tracer want [L_moe, B, ...] — layer-major, batch at
-            # dim 1, steps folded into the trailing id row
+            # wants PER-STEP ids [L_moe, B, k, K'] (partial prefix
+            # acceptance judges each step separately)
             if isinstance(traces, (list, tuple)):
                 traces = jnp.stack(traces, axis=1)  # [k, L, B, ...]
-            tr = jnp.moveaxis(traces, 0, 2).reshape(
-                traces.shape[1], traces.shape[2], -1
-            )
+            tr = jnp.moveaxis(traces, 0, 2)
+            tr = tr.reshape(tr.shape[0], tr.shape[1], k, -1)
             return toks.T, kvs, tr  # toks [B, k]
 
         fn = jax.jit(spec_block)
@@ -232,29 +231,30 @@ class Seq2SeqOffloadEngine:
         self, params, cur_tok, step, kvs, mask, cross, dec_mlis, seq_ids,
         k: int,
     ):
-        """Run k greedy decode steps as one verified speculative program.
-        The whole block replays after loading misses; the accepted
-        execution had every routed expert of every step resident, so all
-        k tokens are exact. Convergence: step 1 stabilizes like the
-        single-step case (its routing depends only on correct inputs),
-        and each stable step pins the next one's inputs."""
-        from moe_infinity_tpu.runtime.engine import run_speculative
+        """Run k greedy decode steps speculatively with PARTIAL PREFIX
+        ACCEPTANCE (run_speculative_block): a step whose routed experts —
+        and all predecessors' — were resident at dispatch is exact, so a
+        miss only re-dispatches the suffix. Under routing drift (distinct
+        expert weights, cold cache) whole-block replay cost ~k executions
+        per block; prefix acceptance makes each execution commit its
+        verified tokens."""
+        from moe_infinity_tpu.runtime.engine import run_speculative_block
 
-        fn = self._spec_block_fn(k)
-
-        def run(tree, slot_rows):
+        def dispatch(tree, slot_rows, cur, j0, kk, kvs_):
+            fn = self._spec_block_fn(kk)
             return fn(
-                params, tree, slot_rows, cur_tok, jnp.int32(step), kvs,
+                params, tree, slot_rows, cur, jnp.int32(step + j0), kvs_,
                 mask, cross,
             )
 
-        limit = self.max_replays or (len(dec_mlis) + 2 + k)
-        (toks, new_kvs), ids_np, execs = run_speculative(
-            self.arena, dec_mlis, run, limit
+        limit = self.max_replays or (len(dec_mlis) + 2) * k
+        toks, new_kvs, execs, acc_ids = run_speculative_block(
+            self.arena, dec_mlis, dispatch, k, limit, cur_tok, kvs,
         )
         self.replay_counts.append(execs)
+        ids_flat = acc_ids.reshape(acc_ids.shape[0], acc_ids.shape[1], -1)
         spec_trace_and_prefetch(
-            self, ids_np, dec_mlis, seq_ids,
+            self, ids_flat, dec_mlis, seq_ids,
             plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
             budget_scale=k,
         )
@@ -640,7 +640,9 @@ class Seq2SeqOffloadEngine:
                 and sp.trivial
                 and sp.logprobs == 0
             ):
-                k = min(self.spec_block, max_new_tokens - step)
+                from moe_infinity_tpu.runtime.engine import quantize_block
+
+                k = quantize_block(max_new_tokens - step, self.spec_block)
                 try:
                     toks, kvs = self._speculative_block(
                         params, cur_tok, step, kvs, mask, cross,

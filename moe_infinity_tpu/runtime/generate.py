@@ -530,7 +530,11 @@ class Generator:
                 cur += 1
                 continue
             if use_blocks and self.stepper.spec_block > 1:
-                k = min(self.stepper.spec_block, max_new_tokens - 1 - step)
+                from moe_infinity_tpu.runtime.engine import quantize_block
+
+                k = quantize_block(
+                    max_new_tokens - 1 - step, self.stepper.spec_block
+                )
                 if k >= 2:
                     try:
                         toks, kv = self.stepper.decode_block(

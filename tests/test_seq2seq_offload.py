@@ -211,10 +211,10 @@ def test_switch_speculative_decode_matches_resident(setup):
 
 def test_switch_speculative_block_decode_matches_resident(setup):
     """Multi-step speculative blocks: k greedy decode steps run as ONE
-    compiled lax.scan program, verified as a unit (the whole block
-    replays after loading any step's misses). Exact vs the resident
-    path under eviction pressure, including a ragged tail block
-    (8 tokens with k=3 -> blocks of 3, 3, 2)."""
+    compiled lax.scan program with partial prefix acceptance. Exact vs
+    the resident path under eviction pressure, including the quantized
+    tail (8 tokens with k=3 -> halving-chain blocks of 3, 3, 1, 1 — only
+    sizes {3, 1} ever compile)."""
     model, params, store_dir, gen_res = setup
     arena = ExpertArena(
         ExpertStore(store_dir), 8, compute_dtype=jnp.float32, num_threads=2
@@ -234,8 +234,9 @@ def test_switch_speculative_block_decode_matches_resident(setup):
         np.testing.assert_array_equal(got, want)
         assert engine.spec_block == 3  # never downgraded
         assert engine.replay_counts and max(engine.replay_counts) > 1
-        # 3 blocks per request (3+3+2), not 8 per-step programs
-        assert len(engine.replay_counts) == 3
+        # 4 quantized blocks per request (3+3+1+1), not 8 per-step
+        # programs; tail sizes come from the halving chain {3, 1}
+        assert len(engine.replay_counts) == 4
     finally:
         arena.shutdown()
 
