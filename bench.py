@@ -975,6 +975,7 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
         store = SyntheticStore(
             n_moe, E, fields,
             meta={"arch": "nllb", "num_encoder_moe_layers": n_enc_moe},
+            distinct_records=True,
         )
         # pinned tier default ON: fetches as device-side DMA programs
         # measured 47.2 tok/s = 1.56x vs 37.0 without (and 30s -> 0.7s
@@ -1299,6 +1300,7 @@ def bench_switch_servable(args):
     store = SyntheticStore(
         n_moe, E, fields,
         meta={"arch": "switch", "num_encoder_moe_layers": n_enc_moe},
+        distinct_records=True,
     )
     tier = _make_nllb_tier(store, args)
 
@@ -1654,8 +1656,8 @@ def _run_secondaries(args, result, build, t_start) -> None:
         sargs = argparse.Namespace(**vars(args))
         sargs.arena_dtype = "int8"
         sargs.tokens = min(16, args.tokens)
-        sargs.aliased_tier = True  # tier honesty is the headline's job
-        sargs.slots = 0
+        sargs.tier_gb = min(4.0, args.tier_gb)  # bounded: stacked pinned
+        sargs.slots = 0                         # tiers wedged the remote
         out = bench_nllb_offload(sargs)
         _free_build(out.pop("_build", None))
         result["dtype_siblings"] = {
@@ -1670,8 +1672,8 @@ def _run_secondaries(args, result, build, t_start) -> None:
         _free_build(build)
         sargs = argparse.Namespace(**vars(args))
         sargs.tokens = min(32, args.tokens)
-        sargs.aliased_tier = True  # tier honesty is the headline's job;
-        sargs.slots = 0           # this stage proves SERVABILITY
+        sargs.tier_gb = min(4.0, args.tier_gb)  # bounded: stacked pinned
+        sargs.slots = 0                         # tiers wedged the remote
         out = bench_switch_servable(sargs)
         _free_build(out.pop("_build", None))
         result["switch_servable"] = {

@@ -307,12 +307,19 @@ class DenseArchive:
 
 
 class SyntheticStore:
-    """ExpertStore-protocol store with one shared in-RAM record.
+    """ExpertStore-protocol store with in-RAM pseudo-random records.
 
-    For synthetic benchmarks at production geometry: every (layer, expert)
-    returns views of the same record buffer, so host→HBM traffic, arena
-    behavior, and kernel shapes are identical to a real store without
-    materializing hundreds of GB. Values are pseudo-random (timing-neutral).
+    For synthetic benchmarks at production geometry: host→HBM traffic,
+    arena behavior, and kernel shapes are identical to a real store
+    without materializing hundreds of GB on disk.
+
+    distinct_records=False (default): every (layer, expert) returns views
+    of ONE shared record buffer — cheapest, but all experts compute
+    identical outputs, which makes routing degenerate-stable and flatters
+    cache hit rates. distinct_records=True generates a deterministic
+    per-(layer, expert) record on read (seeded, LRU-cached) so expert
+    outputs — and therefore routing dynamics and cache pressure — behave
+    like a real model's. The offload benches opt in.
     """
 
     def __init__(
@@ -322,33 +329,59 @@ class SyntheticStore:
         fields: Sequence[Tuple[str, Tuple[int, ...], str]],
         meta: Optional[dict] = None,
         seed: int = 0,
+        distinct_records: bool = False,
+        cache_records: int = 64,
     ):
         self.num_layers = num_layers
         self.num_experts = num_experts
         self.fields, self.stride = build_record_layout(fields)
         self._field_by_name = {f.name: f for f in self.fields}
         self.meta = dict(meta or {})
+        self.seed = seed
+        self.distinct = bool(distinct_records)
+        self._cache_cap = max(1, cache_records)
+        self._cache: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
         rng = np.random.default_rng(seed)
         self._tensors: Dict[str, np.ndarray] = {}
         for f in self.fields:
-            dt = np_dtype(f.dtype)
-            if dt.kind == "i":
-                a = rng.integers(-64, 64, size=f.shape, dtype=np.int8)
-            else:
-                a = (rng.standard_normal(f.shape) * 0.02).astype(dt)
-            self._tensors[f.name] = a
+            self._tensors[f.name] = self._gen_field(rng, f)
+
+    @staticmethod
+    def _gen_field(rng, f) -> np.ndarray:
+        dt = np_dtype(f.dtype)
+        n = int(np.prod(f.shape))
+        if dt.kind == "i":
+            # raw bytes ARE valid int8/packed-int4 content; ~50x faster
+            # than rng.integers at multi-MB field sizes
+            return np.frombuffer(rng.bytes(n), dtype=np.int8).reshape(f.shape)
+        return (rng.standard_normal(f.shape) * 0.02).astype(dt)
 
     @property
     def field_names(self) -> List[str]:
         return [f.name for f in self.fields]
 
+    def _record(self, layer: int, expert: int) -> Dict[str, np.ndarray]:
+        if not self.distinct:
+            return self._tensors
+        key = (layer, expert)
+        rec = self._cache.get(key)
+        if rec is None:
+            rng = np.random.default_rng(
+                self.seed + 1 + layer * self.num_experts + expert
+            )
+            rec = {f.name: self._gen_field(rng, f) for f in self.fields}
+            if len(self._cache) >= self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = rec
+        return rec
+
     def get_tensor(self, layer: int, expert: int, name: str) -> np.ndarray:
-        return self._tensors[name]
+        return self._record(layer, expert)[name]
 
     def get_expert(
         self, layer: int, expert: int, *, prio: int = 0, gen: int = 0
     ) -> Dict[str, np.ndarray]:
-        return dict(self._tensors)
+        return dict(self._record(layer, expert))
 
 
 def store_exists(path: str) -> bool:
