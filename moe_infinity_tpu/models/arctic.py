@@ -248,11 +248,20 @@ class ArcticModel:
     def apply_moe(self, pl, x, h, cw, ids, weights, slot_map, biases, impl):
         B, T, D = h.shape
         K = ids.shape[-1]
-        y = grouped_ffn(
-            h.reshape(B * T, D), ids.reshape(B * T, K),
-            cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
-            "silu", biases=biases, impl=impl,
-        )
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            from moe_infinity_tpu.ops.moe import grouped_ffn_ep
+
+            y = grouped_ffn_ep(
+                h.reshape(B * T, D), ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
+                "silu", mesh=self.mesh, biases=biases, impl=impl,
+            )
+        else:
+            y = grouped_ffn(
+                h.reshape(B * T, D), ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
+                "silu", biases=biases, impl=impl,
+            )
         return x + y.reshape(B, T, D)
 
     def head(self, params, x):

@@ -205,11 +205,20 @@ class GrokModel:
         s = self.spec
         B, T, D = h.shape
         K = ids.shape[-1]
-        y = grouped_ffn(
-            h.reshape(B * T, D), ids.reshape(B * T, K),
-            cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
-            "gelu", biases=biases, impl=impl,
-        )
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            from moe_infinity_tpu.ops.moe import grouped_ffn_ep
+
+            y = grouped_ffn_ep(
+                h.reshape(B * T, D), ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
+                "gelu", mesh=self.mesh, biases=biases, impl=impl,
+            )
+        else:
+            y = grouped_ffn(
+                h.reshape(B * T, D), ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
+                "gelu", biases=biases, impl=impl,
+            )
         return x + rms_norm(y.reshape(B, T, D), pl["post_moe"], s.rms_eps)
 
     def head(self, params, x: jax.Array) -> jax.Array:

@@ -216,3 +216,76 @@ def _ckpt_path(tiny):
         if os.path.isfile(os.path.join(cand, "config.json")):
             return cand
     raise AssertionError("tiny checkpoint dir not found")
+
+
+def test_pod_engine_deepseek_facade(tmp_path):
+    """Pod serving covers the other decoder-only families: DeepSeek-V2
+    (leading dense layer via first_k_dense_replace + shared experts
+    computed densely alongside the EP-dispatched routed experts),
+    greedy-exact vs HF through the facade's multihost config."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    from moe_infinity_tpu.entrypoints.api import MoE
+    from moe_infinity_tpu.runtime.pod_engine import PodOffloadEngine
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4, q_lora_rank=None,
+        kv_lora_rank=32, qk_nope_head_dim=32, qk_rope_head_dim=16,
+        v_head_dim=32, head_dim=16, n_routed_experts=8,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        topk_method="greedy", n_group=None, topk_group=None,
+        routed_scaling_factor=1.0, norm_topk_prob=False, aux_loss_alpha=0.0,
+        seq_aux=False, max_position_embeddings=128,
+        torch_dtype=torch.float32, architectures=["DeepseekV2ForCausalLM"],
+        attention_bias=False,
+    )
+    torch.manual_seed(23)
+    hf = DeepseekV2ForCausalLM(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    moe = MoE(str(ckpt), {
+        "offload_path": str(tmp_path / "store"), "expert_dtype": "float32",
+        "multihost": True, "expert_parallel": 4, "num_slots": 3,
+        "max_seq_len": 64, "prefetch": True,
+    })
+    try:
+        assert isinstance(moe.engine, PodOffloadEngine)
+        prompt = np.array([[5, 9, 33, 7]])
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        ).numpy()
+        got = moe.generate(prompt, max_new_tokens=6, eos_token_id=None)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        moe.shutdown()
+
+
+def test_pod_engine_grok_ep_dispatch(tmp_path):
+    """Grok's apply_moe routes through grouped_ffn_ep under an expert
+    mesh (softcap attention + post-MoE norm preserved), greedy-exact."""
+    pytest.importorskip("transformers")
+    from moe_infinity_tpu.models.grok import GrokModel, GrokSpec
+    from moe_infinity_tpu.runtime.providers import ResidentProvider
+
+    spec = GrokSpec(
+        vocab_size=96, hidden_size=48, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=12, num_experts=4, top_k=2,
+        rms_eps=1e-5, attn_output_multiplier=0.5, max_attn_value=30.0,
+        embedding_multiplier_scale=1.0, output_multiplier_scale=1.0,
+    )
+    mesh = make_mesh(MeshPlan(data=1, model=1, expert=4))
+    ref = GrokModel(spec, compute_dtype=jnp.float32)
+    params, experts = ref.init_random(jax.random.PRNGKey(2))
+    want = Generator(
+        ref, params, experts, ResidentProvider.for_layer, max_seq_len=32
+    ).generate(np.array([[3, 7, 11]]), max_new_tokens=5).sequences
+
+    ep_model = GrokModel(spec, compute_dtype=jnp.float32, mesh=mesh)
+    got = Generator(
+        ep_model, params, experts, ResidentProvider.for_layer, max_seq_len=32
+    ).generate(np.array([[3, 7, 11]]), max_new_tokens=5).sequences
+    np.testing.assert_array_equal(got, want)
