@@ -214,6 +214,13 @@ class ExpertArena:
         # ---- fetch machinery ---------------------------------------------
         self._lock = threading.Lock()  # protects all residency state
         self._leases = 0  # active dispatch leases (see locked_tree)
+        # dispatch priority: a landing's donated write holds _lock across
+        # a (relay-slow) program dispatch; when the ENGINE wants to
+        # dispatch a step, queued landings yield first — otherwise a
+        # prefetch storm serializes ahead of every step dispatch
+        # (measured: multi-second step stalls on a congested relay)
+        self._intent_lock = threading.Lock()
+        self._dispatch_intent = 0
         # serializes EXECUTORS (a continuous batcher's steps vs a direct
         # engine.generate): two clients protecting key sets concurrently
         # could together pin more than num_slots and deadlock acquire —
@@ -277,9 +284,15 @@ class ExpertArena:
         should be using). INVARIANT: never block on a fetch (acquire/warm)
         while holding a lease — the landing you would wait for waits for
         your lease."""
-        with self._lock:
-            tree = self._arena
-            self._leases += 1
+        with self._intent_lock:
+            self._dispatch_intent += 1
+        try:
+            with self._lock:
+                tree = self._arena
+                self._leases += 1
+        finally:
+            with self._intent_lock:
+                self._dispatch_intent -= 1
         try:
             yield tree
         finally:
@@ -294,11 +307,17 @@ class ExpertArena:
         taken in the same lock scope — what speculative verification needs:
         judge the slot state the program actually consumed, not one a
         concurrently landing prefetch produced."""
-        with self._lock:
-            tree = self._arena
-            slot_rows = self.expert_to_slot.copy()
-            resident = set(self.key_to_slot)
-            self._leases += 1
+        with self._intent_lock:
+            self._dispatch_intent += 1
+        try:
+            with self._lock:
+                tree = self._arena
+                slot_rows = self.expert_to_slot.copy()
+                resident = set(self.key_to_slot)
+                self._leases += 1
+        finally:
+            with self._intent_lock:
+                self._dispatch_intent -= 1
         try:
             yield tree, slot_rows, resident
         finally:
@@ -543,6 +562,18 @@ class ExpertArena:
 
         return jax.jit(write, donate_argnums=0)
 
+    def _yield_to_dispatch(self) -> None:
+        """Landings defer while an engine dispatch is waiting for the
+        residency lock (the landing's donated write holds it across a
+        relay program dispatch; the engine's step must not queue behind a
+        prefetch storm). Bounded: intent is held only while ACQUIRING the
+        lock, never across the engine's own dispatch."""
+        while True:
+            with self._intent_lock:
+                if self._dispatch_intent == 0:
+                    return
+            _time.sleep(0.001)
+
     def _worker(self) -> None:
         while True:
             with self._cv:
@@ -607,6 +638,7 @@ class ExpertArena:
                 # None for records that didn't fit the tier's byte budget —
                 # those fall through to the host-read store path below.
                 seg_fields, local_idx = self._tier.segment_for(tier_row)
+                self._yield_to_dispatch()
                 with self._cv:
                     while self._leases > 0:  # donation must not race
                         self._cv.wait()
@@ -676,6 +708,7 @@ class ExpertArena:
         slot_i = jnp.int32(slot)
         if not chunked:
             dev_new = jax.device_put(new, self.device)
+            self._yield_to_dispatch()
             with self._cv:
                 while self._leases > 0:  # donation must not race a dispatch
                     self._cv.wait()
@@ -700,6 +733,7 @@ class ExpertArena:
                     )
             else:
                 uploads.append((akey, 0, put(a), dq))
+        self._yield_to_dispatch()
         with self._cv:
             while self._leases > 0:  # donation must not race a dispatch
                 self._cv.wait()

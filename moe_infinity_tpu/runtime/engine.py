@@ -204,12 +204,25 @@ def run_speculative_block(
             while kk > k - j0:
                 kk //= 2
             kk = max(1, kk)
+            import os as _os
+            import time as _t
+
+            dbg = _os.environ.get("MOE_SPEC_DEBUG")
+            t0 = _t.perf_counter()
             with arena.dispatch_snapshot() as (tree, rows_np, resident):
                 toks, kvs_new, ids = dispatch(
                     tree, jnp.asarray(rows_np), cur, j0, kk, kvs
                 )
+            t1 = _t.perf_counter()
             execs += 1
             ids_np = np.asarray(ids)  # [L, B, kk, K']
+            t2 = _t.perf_counter()
+            if dbg:
+                print(
+                    f"[specblk] j0={j0} kk={kk} dispatch={1e3*(t1-t0):.0f}ms "
+                    f"sync={1e3*(t2-t1):.0f}ms",
+                    flush=True,
+                )
             step_keys = [
                 {
                     (mlis[layer], int(e))
@@ -232,15 +245,21 @@ def run_speculative_block(
                 accepted_ids.append(ids_np[:, :, :good])
                 cur = jnp.asarray(toks_np[:, good - 1:good], jnp.int32)
                 j0 += good
-            if good < kk:
-                # make the whole observed union resident before the next
-                # dispatch (protect it so loading the first bad step's
-                # misses cannot evict the accepted prefix's hot set)
-                union = set().union(*step_keys)
-                if held:
-                    arena.release(sorted(held))
-                held = union
-                arena.acquire(sorted(union), mlis[-1] if mlis else 0)
+            # acquire the observed union either way: on a miss it loads +
+            # protects before the next dispatch; on full acceptance it
+            # records the hits (stats parity with the per-step path) and
+            # keeps the hot set protected until the block returns
+            union = set().union(*step_keys) if step_keys else set()
+            if held:
+                arena.release(sorted(held))
+            held = union
+            arena.acquire(sorted(union), mlis[-1] if mlis else 0)
+            if dbg:
+                print(
+                    f"[specblk]   good={good} union={len(union)} "
+                    f"acquire={1e3*(_t.perf_counter()-t2):.0f}ms",
+                    flush=True,
+                )
         return (
             np.concatenate(accepted_toks, axis=1),
             kvs,
@@ -480,10 +499,37 @@ class OffloadEngine:
         miss re-dispatches only the suffix. Raises RuntimeError when the
         arena cannot hold a step's expert union — callers drop to
         single-step decode."""
+        import os
+
         params = self.params
+        dev = self.arena.device
+        if os.environ.get("MOE_SPEC_BLOCK_MODE", "whole") == "whole":
+            # DEFAULT: whole-block replay (see engine_seq2seq for the
+            # measured A/B; prefix acceptance via MOE_SPEC_BLOCK_MODE)
+            fn = self._spec_block_fn(k)
+
+            def run(tree, slot_rows):
+                toks, kvs2, tr = fn(
+                    params, tree, slot_rows, tok, jnp.int32(pos), kv_caches
+                )
+                return toks, kvs2, tr.reshape(tr.shape[0], tr.shape[1], -1)
+
+            limit = self.max_replays or (len(self._moe_lis) + 2 + k)
+            (toks, new_kvs), ids_np, execs = run_speculative(
+                self.arena, self._moe_lis, run, limit
+            )
+            self.replay_counts.append(execs)
+            spec_trace_and_prefetch(
+                self, ids_np, self._moe_lis, seq_ids, budget_scale=k
+            )
+            return np.asarray(toks), new_kvs
 
         def dispatch(tree, slot_rows, cur, j0, kk, kvs_):
             fn = self._spec_block_fn(kk)
+            # canonical placements: committed-vs-uncommitted inputs are
+            # DIFFERENT jit cache entries (~8 s relay recompile each)
+            cur = jax.device_put(cur, dev)
+            kvs_ = jax.device_put(kvs_, dev)
             return fn(params, tree, slot_rows, cur, jnp.int32(pos + j0), kvs_)
 
         limit = self.max_replays or (len(self._moe_lis) + 2) * k

@@ -238,19 +238,63 @@ class Seq2SeqOffloadEngine:
         expert weights, cold cache) whole-block replay cost ~k executions
         per block; prefix acceptance makes each execution commit its
         verified tokens."""
-        from moe_infinity_tpu.runtime.engine import run_speculative_block
+        import os
+
+        from moe_infinity_tpu.runtime.engine import (
+            run_speculative,
+            run_speculative_block,
+        )
+
+        if os.environ.get("MOE_SPEC_BLOCK_MODE", "whole") == "whole":
+            # DEFAULT: whole-block replay. Measured A/B on the relay chip
+            # (12-layer NLLB, steady state): whole 756 tok/s vs prefix 257
+            # — at high hit rates a replay is ONE k-step dispatch, while
+            # prefix acceptance pays per-suffix dispatch + host-sync round
+            # trips. Prefix acceptance (MOE_SPEC_BLOCK_MODE=prefix) wins
+            # when replays are expensive relative to dispatch overhead
+            # (cold caches / routing drift / directly-attached chips).
+            fn = self._spec_block_fn(k)
+
+            def run(tree, slot_rows):
+                toks, kvs2, tr = fn(
+                    params, tree, slot_rows, cur_tok, jnp.int32(step), kvs,
+                    mask, cross,
+                )
+                return toks, kvs2, tr.reshape(tr.shape[0], tr.shape[1], -1)
+
+            limit = self.max_replays or (len(dec_mlis) + 2 + k)
+            (toks, new_kvs), ids_np, execs = run_speculative(
+                self.arena, dec_mlis, run, limit
+            )
+            self.replay_counts.append(execs)
+            spec_trace_and_prefetch(
+                self, ids_np, dec_mlis, seq_ids,
+                plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
+                budget_scale=k,
+            )
+            return np.asarray(toks), new_kvs
+
+        dev = self.arena.device
 
         def dispatch(tree, slot_rows, cur, j0, kk, kvs_):
             fn = self._spec_block_fn(kk)
+            # canonicalize placements: a committed-vs-uncommitted input
+            # mismatch is a DIFFERENT jit cache entry — each ~8 s relay
+            # recompile of an already-compiled block size (observed via
+            # JAX_LOG_COMPILES; device_put here is metadata-only)
+            cur = jax.device_put(cur, dev)
+            kvs_ = jax.device_put(kvs_, dev)
             return fn(
                 params, tree, slot_rows, cur, jnp.int32(step + j0), kvs_,
                 mask, cross,
             )
 
         limit = self.max_replays or (len(dec_mlis) + 2) * k
+        t0 = _time.perf_counter()
         toks, new_kvs, execs, acc_ids = run_speculative_block(
             self.arena, dec_mlis, dispatch, k, limit, cur_tok, kvs,
         )
+        t1 = _time.perf_counter()
         self.replay_counts.append(execs)
         ids_flat = acc_ids.reshape(acc_ids.shape[0], acc_ids.shape[1], -1)
         spec_trace_and_prefetch(
@@ -258,6 +302,12 @@ class Seq2SeqOffloadEngine:
             plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
             budget_scale=k,
         )
+        if os.environ.get("MOE_SPEC_DEBUG"):
+            print(
+                f"[specblk] block k={k} loop={1e3*(t1-t0):.0f}ms "
+                f"trace+prefetch={1e3*(_time.perf_counter()-t1):.0f}ms",
+                flush=True,
+            )
         return np.asarray(toks), new_kvs
 
     def reset_arena(
@@ -576,7 +626,13 @@ class Seq2SeqOffloadEngine:
         logprobs: int = 0,
         logit_bias=None,
         seed: int = 0,
+        cache_len: Optional[int] = None,
     ) -> GenerationResult:
+        """cache_len: override the decoder KV capacity (default: bucketed
+        from max_new_tokens). Callers timing DIFFERENCED runs must pin the
+        same cache_len for both — a different capacity bucket is a
+        different compiled program for every block size (measured: ~8 s
+        relay recompiles inside the timed region)."""
         from moe_infinity_tpu.runtime.sampling import Sampler, params_from_kwargs
 
         sp = params_from_kwargs(
@@ -621,7 +677,7 @@ class Seq2SeqOffloadEngine:
         self._prefetch_decoder_tier(seq_ids)
 
         # ---- decoder ---------------------------------------------------
-        cap = _bucket_len(max_new_tokens + 1)
+        cap = cache_len or _bucket_len(max_new_tokens + 1)
         kvs = model.init_cache(B, cap)
         out = np.full((B, max_new_tokens + 1), pad_token_id, dtype=np.int64)
         out[:, 0] = start
@@ -632,7 +688,12 @@ class Seq2SeqOffloadEngine:
         lp_tok, lp_top, lp_ids = [], [], []
         dec_mlis = self.dec_mlis
         step = 0
+        # per-iteration decode timing (tokens_committed, seconds): lets
+        # callers separate the post-encode re-warm cliff from steady-state
+        # decode without fragile whole-call differencing
+        self.step_times = []
         while step < max_new_tokens:
+            _it_t0 = _time.perf_counter()
             # ---- k-step speculative block (greedy-only fast path) -------
             if (
                 self.speculative
@@ -679,6 +740,9 @@ class Seq2SeqOffloadEngine:
                         finished |= eos_hit(nxt, eos_token_id)
                         if finished.all():
                             break
+                self.step_times.append(
+                    (k, _time.perf_counter() - _it_t0)
+                )
                 if finished.all():
                     break
                 cur_tok = jnp.asarray(toks[:, -1:], jnp.int32)
@@ -752,6 +816,7 @@ class Seq2SeqOffloadEngine:
             nxt = np.asarray(sout.token).astype(np.int64)
             out[~finished, step + 1] = nxt[~finished]
             num_gen[~finished] += 1
+            self.step_times.append((1, _time.perf_counter() - _it_t0))
             if eos_token_id is not None:
                 finished |= eos_hit(nxt, eos_token_id)
                 if finished.all():
