@@ -284,14 +284,18 @@ def bench_mixtral_offload(args):
     )
     gen = Generator(stepper=engine, max_seq_len=256)
 
+    from moe_infinity_tpu.runtime.generate import _bucket_len
+
     prompt = (np.arange(args.prompt, dtype=np.int64)[None] * 37) % 31999
+    n = args.tokens
+    cap = min(256, _bucket_len(args.prompt + n))
     t_start = time.perf_counter()
-    gen.generate(prompt, max_new_tokens=2)  # compile + warm cache
+    # warm at the TIMED cap: a different KV bucket recompiles every block
+    gen.generate(prompt, max_new_tokens=2, cache_len=cap)
     warm_s = time.perf_counter() - t_start
 
-    n = args.tokens
     t0 = time.perf_counter()
-    gen.generate(prompt, max_new_tokens=n)
+    gen.generate(prompt, max_new_tokens=n, cache_len=cap)
     dt = time.perf_counter() - t0
     per_tok = dt / (n + 1)  # prefill re-runs too; count it as one step
     stats = engine.stats()
@@ -1733,8 +1737,10 @@ def _run_secondaries(args, result, build, t_start) -> None:
         }
 
     stage("cache-pressure", pressure)
-    stage("switch-servable", switch_servable)
+    # int8 before switch: the switch stage's HBM residue through the
+    # relay starved the int8 build twice (RESOURCE_EXHAUSTED)
     stage("dtype-sibling-int8", dtype_sibling)
+    stage("switch-servable", switch_servable)
     _free_build(build)
 
 

@@ -448,12 +448,18 @@ class Generator:
         logit_bias=None,
         seed: int = 0,
         collect_trace: bool = False,
+        cache_len: Optional[int] = None,
     ) -> GenerationResult:
+        """cache_len: override the KV capacity bucket (timed benches pin
+        one bucket across warm + measured calls — a different capacity is
+        a different compiled program for every step/block size)."""
         input_ids = np.asarray(input_ids)
         if input_ids.ndim == 1:
             input_ids = input_ids[None]
         B, T = input_ids.shape
-        cap = min(self.max_seq_len, _bucket_len(T + max_new_tokens))
+        cap = cache_len or min(
+            self.max_seq_len, _bucket_len(T + max_new_tokens)
+        )
         if T + max_new_tokens > cap:
             raise ValueError(
                 f"prompt {T} + new {max_new_tokens} exceeds capacity {cap}"
