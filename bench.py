@@ -997,7 +997,7 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
     # decoder MoE layers
     n_dec_moe = n_moe - n_enc_moe
     union = n_dec_moe * min(E, B * 2)
-    kv_reserve = int(2.2 * 2**30)
+    kv_reserve = int(1.4 * 2**30)
     if num_slots is None:
         num_slots = args.slots or max(
             E, union,
@@ -1260,6 +1260,12 @@ def bench_nllb_pressure(args, shared=None):
     legs = {}
     for policy in ("lru", "priority"):
         arena.reset_policy(policy)
+        # per-policy steady warm-up: the freshly swapped policy starts
+        # with cold counters (frequency/recency state); one untimed pass
+        # lets each leg reach ITS OWN steady state before measurement
+        engine.generate(
+            prompt, max_new_tokens=n, eos_token_id=None, cache_len=cap
+        )
         before = engine.stats()
         engine.generate(
             prompt, max_new_tokens=n, eos_token_id=None, cache_len=cap
