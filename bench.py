@@ -1258,6 +1258,11 @@ def bench_nllb_pressure(args, shared=None):
           flush=True)
 
     legs = {}
+    # prefetch OFF for the legs: the activation-aware prefetcher warms
+    # the next step's experts for EITHER policy and masks the eviction
+    # A/B; with it off, hit rate is driven by the eviction choice alone
+    # (the claim under test). The tracer keeps recording for scoring.
+    engine.prefetch = False
     for policy in ("lru", "priority"):
         arena.reset_policy(policy)
         # per-policy steady warm-up: the freshly swapped policy starts
@@ -1291,6 +1296,7 @@ def bench_nllb_pressure(args, shared=None):
         "hot_set": hot,
         "slots_frac_of_hot": round(num_slots / hot, 3),
         "decode_steps": n - 2,
+        "prefetch": False,
         "policy_legs": legs,
         "priority_beats_lru_hit_rate": (
             None
@@ -1693,6 +1699,7 @@ def _run_secondaries(args, result, build, t_start) -> None:
             result.setdefault("secondaries_skipped", []).append(
                 f"{name}: {type(e).__name__}: {str(e)[:160]}"
             )
+            gc.collect()  # free the failed stage's half-built buffers
 
     def pressure():
         # reuse the headline build WHOLE (engine incl.): the pressure leg
@@ -1715,6 +1722,7 @@ def _run_secondaries(args, result, build, t_start) -> None:
         _free_build(build)
         sargs = argparse.Namespace(**vars(args))
         sargs.arena_dtype = "int8"
+        sargs.batch = 16  # B=32's int8 slot union alone is ~13 GB
         sargs.tokens = min(16, args.tokens)
         sargs.tier_gb = min(4.0, args.tier_gb)  # bounded: stacked pinned
         sargs.slots = 0                         # tiers wedged the remote
