@@ -1813,9 +1813,12 @@ def main():
 
     chain = [(args.preset, {})]
     if not args.no_fallback:
+        # degraded variants of the SAME preset stay in the chain (a
+        # verified smaller number of the same metric beats switching
+        # metrics); only the exact (preset, no-overrides) duplicate drops
         chain += [
             (name, over) for name, over in FALLBACK_CHAIN
-            if name != args.preset
+            if (name, over) != (args.preset, {})
         ]
 
     t_start = time.perf_counter()

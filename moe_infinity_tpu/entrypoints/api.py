@@ -262,6 +262,11 @@ class MoE:
 
         # ---- dense-only archs (opt): no experts, no residency plan ------
         if self.geometry.num_experts == 0:
+            if config.multihost:
+                raise NotImplementedError(
+                    "multihost pod serving needs an MoE architecture "
+                    "(expert-parallel mesh); this checkpoint has no experts"
+                )
             self.engine = None
             if self.dense_arena is not None:
                 from moe_infinity_tpu.runtime.dense_arena import (
@@ -308,6 +313,11 @@ class MoE:
 
         # ---- seq2seq archs: enc-dec generator or enc-dec offload engine --
         if self.arch in _SEQ2SEQ_ARCHS:
+            if config.multihost:
+                raise NotImplementedError(
+                    "multihost pod serving currently covers decoder-only "
+                    "architectures; seq2seq pod serving is not wired yet"
+                )
             from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
 
             if fits:

@@ -79,3 +79,14 @@ class PrefetchHints:
         else:
             payload = self._local.get(step, "[]")
         return [tuple(k) for k in json.loads(payload)]
+
+    def delete(self, step) -> None:
+        """Drop a published entry (bounded KV-store growth for per-step
+        protocols; safe to call after a barrier guarantees consumption)."""
+        if self._client is not None:
+            try:
+                self._client.key_value_delete(f"{self.namespace}/{step}")
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
+        else:
+            self._local.pop(step, None)

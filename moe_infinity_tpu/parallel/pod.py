@@ -257,17 +257,12 @@ class PodOffloadExecutor:
             for c in range(self.ep)
             if self.coord_device[c].id in local_ids
         }
-        self.hints = PrefetchHints(namespace=f"{namespace}/keys")
+        # key consensus is SPMD-derived (routed ids are replicated, so
+        # every process computes the identical key set); only the
+        # slot-row fragments and the step barrier need the KV store
         self._slot_hints = PrefetchHints(namespace=f"{namespace}/slots")
-        self.coordinators = {
-            c: PodPrefetchCoordinator(
-                a, self.plan, hints=self.hints,
-                namespace=f"{namespace}/c{c}",
-            )
-            for c, a in self.arenas.items()
-        }
         self._barrier = PodPrefetchCoordinator(
-            next(iter(self.arenas.values())), self.plan, hints=self.hints,
+            next(iter(self.arenas.values())), self.plan,
             namespace=namespace,
         )
         self._step = itertools.count()
@@ -307,8 +302,6 @@ class PodOffloadExecutor:
         protected on its owner when this returns; the caller must
         release_step(keys) after dispatching."""
         step = next(self._step)
-        if self._jax.process_index() == 0:
-            self.hints.publish(step, list(keys))
         missing: List[Key] = []
         for c, arena in self.arenas.items():
             mine = [k for k in keys if self._owner(k[1]) == c]
@@ -323,6 +316,10 @@ class PodOffloadExecutor:
                 arena.acquire(mine, layer)
         row = self.global_slot_row(layer, step, keys)
         self._barrier.barrier(step)
+        # post-barrier: every process has fetched the fragments — delete
+        # this process's entry so the coordinator's KV store stays bounded
+        # over a long serving run (one entry per layer per step otherwise)
+        self._slot_hints.delete(f"{step}/{self._jax.process_index()}")
         return row, missing
 
     def release_step(self, keys) -> None:

@@ -182,6 +182,9 @@ def run_speculative_block(
     Returns (tokens [B, k], final_kvs, executions, accepted_ids
     [L_moe, B, k, K']).
     """
+    import os as _os
+
+    dbg = _os.environ.get("MOE_SPEC_DEBUG")
     accepted_toks = []
     accepted_ids = []
     cur = tok0
@@ -197,26 +200,19 @@ def run_speculative_block(
                     "cannot hold one step's union of routed experts — "
                     "raise num_slots or disable speculative decode"
                 )
-            # suffix sizes quantized to the halving chain {k, k/2, ..., 1}
-            # so at most log2(k)+1 block programs ever compile (a fresh
-            # size mid-measurement costs a full relay compile)
-            kk = k
-            while kk > k - j0:
-                kk //= 2
-            kk = max(1, kk)
-            import os as _os
-            import time as _t
-
-            dbg = _os.environ.get("MOE_SPEC_DEBUG")
-            t0 = _t.perf_counter()
+            # suffix sizes from the halving chain so at most log2(k)+1
+            # block programs ever compile (a fresh size mid-measurement
+            # costs a full relay compile)
+            kk = quantize_block(k - j0, k)
+            t0 = _time.perf_counter()
             with arena.dispatch_snapshot() as (tree, rows_np, resident):
                 toks, kvs_new, ids = dispatch(
                     tree, jnp.asarray(rows_np), cur, j0, kk, kvs
                 )
-            t1 = _t.perf_counter()
+            t1 = _time.perf_counter()
             execs += 1
             ids_np = np.asarray(ids)  # [L, B, kk, K']
-            t2 = _t.perf_counter()
+            t2 = _time.perf_counter()
             if dbg:
                 print(
                     f"[specblk] j0={j0} kk={kk} dispatch={1e3*(t1-t0):.0f}ms "
@@ -257,7 +253,7 @@ def run_speculative_block(
             if dbg:
                 print(
                     f"[specblk]   good={good} union={len(union)} "
-                    f"acquire={1e3*(_t.perf_counter()-t2):.0f}ms",
+                    f"acquire={1e3*(_time.perf_counter()-t2):.0f}ms",
                     flush=True,
                 )
         return (

@@ -678,6 +678,11 @@ class Seq2SeqOffloadEngine:
 
         # ---- decoder ---------------------------------------------------
         cap = cache_len or _bucket_len(max_new_tokens + 1)
+        if cap < max_new_tokens + 1:
+            raise ValueError(
+                f"cache_len {cap} cannot hold max_new_tokens="
+                f"{max_new_tokens} (+1 start token)"
+            )
         kvs = model.init_cache(B, cap)
         out = np.full((B, max_new_tokens + 1), pad_token_id, dtype=np.int64)
         out[:, 0] = start
@@ -740,8 +745,12 @@ class Seq2SeqOffloadEngine:
                         finished |= eos_hit(nxt, eos_token_id)
                         if finished.all():
                             break
+                # tokens actually committed this iteration (EOS can stop
+                # the whole batch mid-block; the steady-state throughput
+                # accounting must not count the uncommitted tail)
                 self.step_times.append(
-                    (k, _time.perf_counter() - _it_t0)
+                    (jj + 1 if finished.all() else k,
+                     _time.perf_counter() - _it_t0)
                 )
                 if finished.all():
                     break

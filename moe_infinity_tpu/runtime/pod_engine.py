@@ -159,7 +159,12 @@ class PodOffloadEngine:
             ids_np = np.asarray(ids)  # replicated: identical on every host
             keys = [(mli, int(e)) for e in np.unique(ids_np)]
             self._trace_and_prefetch(ids_np, mli, seq_ids)
-            slot_row, missing = ex.ensure_step(mli, keys)
+            slot_row, _local_miss = ex.ensure_step(mli, keys)
+            # derive misses from the GLOBAL slot row (-1 = not resident on
+            # its owner), NOT from local arena misses: every process must
+            # see the SAME missing set so the host-computed deltas keep
+            # the replicated activations identical across the pod
+            missing = [k for k in keys if slot_row[k[1]] < 0]
             row_dev = jax.device_put(
                 jnp.asarray(slot_row, jnp.int32), self._rep
             )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import mmap
 import os
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -341,6 +342,7 @@ class SyntheticStore:
         self.distinct = bool(distinct_records)
         self._cache_cap = max(1, cache_records)
         self._cache: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+        self._cache_lock = threading.Lock()  # arena fetch workers race
         rng = np.random.default_rng(seed)
         self._tensors: Dict[str, np.ndarray] = {}
         for f in self.fields:
@@ -364,15 +366,17 @@ class SyntheticStore:
         if not self.distinct:
             return self._tensors
         key = (layer, expert)
-        rec = self._cache.get(key)
+        with self._cache_lock:
+            rec = self._cache.get(key)
         if rec is None:
             rng = np.random.default_rng(
                 self.seed + 1 + layer * self.num_experts + expert
             )
             rec = {f.name: self._gen_field(rng, f) for f in self.fields}
-            if len(self._cache) >= self._cache_cap:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = rec
+            with self._cache_lock:
+                while len(self._cache) >= self._cache_cap:
+                    self._cache.pop(next(iter(self._cache)), None)
+                self._cache[key] = rec
         return rec
 
     def get_tensor(self, layer: int, expert: int, name: str) -> np.ndarray:

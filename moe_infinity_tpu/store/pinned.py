@@ -143,7 +143,10 @@ class PinnedExpertTier:
                 cap = int(avail * host_headroom)
                 if cap < budget:
                     budget = cap
-            n_budget = int(budget // rec_bytes) if rec_bytes else n_total
+            if budget == float("inf"):  # no max_bytes AND no /proc/meminfo
+                n_budget = n_total
+            else:
+                n_budget = int(budget // rec_bytes) if rec_bytes else n_total
             staged_keys = list(order)[: max(0, min(n_total, n_budget))]
             if len(staged_keys) < n_total:
                 logger.warning(
