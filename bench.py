@@ -1722,7 +1722,10 @@ def _run_secondaries(args, result, build, t_start) -> None:
         _free_build(build)
         sargs = argparse.Namespace(**vars(args))
         sargs.arena_dtype = "int8"
-        sargs.batch = 16  # B=32's int8 slot union alone is ~13 GB
+        # B=8: int8 slots are 2x the bytes, so the budget-derived slot
+        # count (~174) must exceed the decode union comfortably — B=16's
+        # union of 192 left 2 spare slots and thrashed (19-minute warm)
+        sargs.batch = 8
         sargs.tokens = min(16, args.tokens)
         sargs.tier_gb = min(4.0, args.tier_gb)  # bounded: stacked pinned
         sargs.slots = 0                         # tiers wedged the remote
