@@ -136,7 +136,12 @@ def test_switch_offload_continuous_batching(tmp_path):
     hf.save_pretrained(ckpt, safe_serialization=True)
     engine = MoE(
         str(ckpt),
+        # device_memory_bytes=1 forces the offload plan; dense_paging
+        # must be pinned off (it would otherwise auto-trigger on the
+        # artificial budget, and paging forces the per-layer path that
+        # the continuous batcher cannot ride)
         {"expert_dtype": "float32", "device_memory_bytes": 1,
+         "dense_paging": "off",
          "num_slots": 6, "speculative_decode": True, "max_batch_size": 2,
          "max_seq_len": 32},
     )
