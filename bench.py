@@ -1297,6 +1297,9 @@ def bench_nllb_pressure(args, shared=None):
         "slots_frac_of_hot": round(num_slots / hot, 3),
         "decode_steps": n - 2,
         "prefetch": False,
+        "note": "hit rates are the controlled comparison (same engine, "
+                "same warmed slots, per-policy steady warm-up); leg "
+                "wall-times additionally absorb relay load drift",
         "policy_legs": legs,
         "priority_beats_lru_hit_rate": (
             None
@@ -1723,19 +1726,23 @@ def _run_secondaries(args, result, build, t_start) -> None:
         sargs = argparse.Namespace(**vars(args))
         sargs.arena_dtype = "int8"
         # B=8: int8 slots are 2x the bytes, so the budget-derived slot
-        # count (~174) must exceed the decode union comfortably — B=16's
-        # union of 192 left 2 spare slots and thrashed (19-minute warm)
+        # count must exceed the decode union comfortably — B=16's union
+        # of 192 left 2 spare slots and thrashed (19-minute warm)
         sargs.batch = 8
         sargs.tokens = min(16, args.tokens)
-        sargs.tier_gb = min(4.0, args.tier_gb)  # bounded: stacked pinned
-        sargs.slots = 0                         # tiers wedged the remote
+        # full tier budget: at 4 GB only ~1/6 of the int8 decoder tier
+        # staged and the steady path fell to ~1 s/record store fetches
+        # (run-8 sibling: 0.45 tok/s); the int4 tier is freed first so
+        # pinned capacity is not stacked
+        sargs.tier_gb = args.tier_gb
+        sargs.slots = 0
         out = bench_nllb_offload(sargs)
         _free_build(out.pop("_build", None))
         result["dtype_siblings"] = {
             "int8": {
                 k: out.get(k)
                 for k in ("value", "vs_baseline", "hit_rate", "num_slots",
-                          "step_ms")
+                          "step_ms", "batch", "pinned_tier_gb")
             }
         }
 
