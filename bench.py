@@ -1020,7 +1020,7 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
         model, params, arena,
         tracer=tracer, predictor=ExpertPredictor(tracer),
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
-        prefetch_budget=8, impl=args.moe_impl,
+        prefetch_budget=args.prefetch_budget, impl=args.moe_impl,
         speculative=speculative,
         spec_block=spec_block if spec_block is not None
         else (args.spec_block or 4),
@@ -1391,7 +1391,7 @@ def bench_switch_servable(args):
         model, params, arena,
         tracer=tracer, predictor=ExpertPredictor(tracer),
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
-        prefetch_budget=8, impl=args.moe_impl,
+        prefetch_budget=args.prefetch_budget, impl=args.moe_impl,
         speculative=True, spec_block=args.spec_block or 4,
     )
 
@@ -1604,6 +1604,9 @@ def build_parser():
     p.add_argument("--hbm-gb", type=float, default=13.0)
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--lookahead", type=int, default=3)
+    p.add_argument("--prefetch-budget", type=int, default=8,
+                   help="per-plan prefetch order cap (speculative paths "
+                        "scale it by the block size)")
     p.add_argument("--policy", default="priority")
     p.add_argument("--arena-dtype", default="int4",
                    choices=("bf16", "int8", "int4"))
