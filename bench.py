@@ -1649,13 +1649,13 @@ def build_parser():
     p.add_argument("--pressure-frac", type=float, default=0.5,
                    help="nllb-pressure: arena slots as a fraction of the "
                         "decode-phase hot set")
-    p.add_argument("--pressure-tokens", type=int, default=16,
+    p.add_argument("--pressure-tokens", type=int, default=12,
                    help="nllb-pressure: decode tokens per policy leg")
     p.add_argument("--no-secondaries", action="store_true",
                    help="emit only the headline metric; skip the "
                         "cache-pressure / servable-switch / dtype-sibling "
                         "secondary measurements")
-    p.add_argument("--budget-s", type=float, default=2400.0,
+    p.add_argument("--budget-s", type=float, default=1800.0,
                    help="soft wall-clock budget: secondaries are skipped "
                         "once elapsed time exceeds this")
     return p
@@ -1857,9 +1857,13 @@ def main():
                 and not args.no_secondaries
                 and not errors
             ):
-                # insurance: the headline is visible in the tail even if a
-                # secondary wedges on the relay before the final line
-                print("[bench] headline: " + json.dumps(result),
+                # insurance: emit the verified headline as a parseable
+                # stdout JSON line NOW — if the driver's timeout kills a
+                # slow secondary, a verified metric still exists. The
+                # final enriched line (same metric + secondaries) prints
+                # last and supersedes this one for last-line parsers.
+                print(json.dumps(result), flush=True)
+                print("[bench] headline emitted; running secondaries",
                       file=sys.stderr, flush=True)
                 _run_secondaries(run_args, result, build, t_start)
             else:
