@@ -1732,7 +1732,7 @@ def _run_secondaries(args, result, build, t_start) -> None:
         # count must exceed the decode union comfortably — B=16's union
         # of 192 left 2 spare slots and thrashed (19-minute warm)
         sargs.batch = 8
-        sargs.tokens = min(16, args.tokens)
+        sargs.tokens = min(8, args.tokens)
         # full tier budget: at 4 GB only ~1/6 of the int8 decoder tier
         # staged and the steady path fell to ~1 s/record store fetches
         # (run-8 sibling: 0.45 tok/s); the int4 tier is freed first so
@@ -1764,10 +1764,12 @@ def _run_secondaries(args, result, build, t_start) -> None:
         }
 
     stage("cache-pressure", pressure)
-    # int8 before switch: the switch stage's HBM residue through the
-    # relay starved the int8 build twice (RESOURCE_EXHAUSTED)
-    stage("dtype-sibling-int8", dtype_sibling)
+    # switch before int8: the servable-switch number (VERDICT item 7) is
+    # the more important secondary, and the link-bound int8 sibling (its
+    # data point — int8 doubles offload bytes — is already made at any
+    # budget) repeatedly ate the remaining budget
     stage("switch-servable", switch_servable)
+    stage("dtype-sibling-int8", dtype_sibling)
     _free_build(build)
 
 
