@@ -210,4 +210,48 @@ np.testing.assert_array_equal(got, want)
 assert moe.hit_rate() > 0
 moe.shutdown()
 
+# ---- host_fallback under CROSS-PROCESS divergence pressure ---------------
+# Slow fetches on PROCESS 0's first coordinate only: its shard misses the
+# deadline, the global slot row marks the expert -1 on EVERY process, and
+# every process adds the same host-computed delta — outputs must stay
+# replicated AND HF-exact on both processes (the round-3 review found the
+# original code diverged here: only the owner added its delta).
+moe2 = MoE(ckpt, {
+    "offload_path": ckpt + "/store", "expert_dtype": "float32",
+    "multihost": True, "expert_parallel": 4 * nprocs, "num_slots": 2,
+    "max_seq_len": 64, "prefetch": False,
+    "host_fallback": True, "host_fallback_timeout_s": 0.03,
+})
+
+
+class _SlowStore:
+    def __init__(self, inner, n=4):
+        self._inner = inner
+        self._left = n
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def get_expert(self, layer, expert, **kw):
+        if self._left > 0:
+            self._left -= 1
+            import time as _t
+
+            _t.sleep(0.08)
+        return self._inner.get_expert(layer, expert, **kw)
+
+
+if pid == 0:
+    c0 = sorted(moe2.engine.executor.arenas)[0]
+    moe2.engine.executor.arenas[c0].store = _SlowStore(
+        moe2.engine.executor.arenas[c0].store
+    )
+got2 = moe2.generate(prompt, max_new_tokens=4, eos_token_id=None)
+want2 = hf.generate(
+    torch.tensor(prompt), max_new_tokens=4, do_sample=False,
+    eos_token_id=None, pad_token_id=0,
+).numpy()
+np.testing.assert_array_equal(got2, want2)
+moe2.shutdown()
+
 print(f"MH_OK {pid}", flush=True)
