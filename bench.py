@@ -1688,8 +1688,11 @@ def _run_secondaries(args, result, build, t_start) -> None:
     def remaining():
         return args.budget_s - (time.perf_counter() - t_start)
 
-    def stage(name, fn):
-        if remaining() < 120:
+    def stage(name, fn, min_s=300):
+        # a stage started is a stage run to completion (jax calls cannot
+        # be interrupted safely), so each stage must fit its own typical
+        # duration inside the remaining budget — not just a token 120 s
+        if remaining() < min_s:
             result.setdefault("secondaries_skipped", []).append(
                 f"{name}: budget exhausted"
             )
@@ -1763,13 +1766,13 @@ def _run_secondaries(args, result, build, t_start) -> None:
                       "records", "step_ms", "pinned_tier_gb")
         }
 
-    stage("cache-pressure", pressure)
+    stage("cache-pressure", pressure, min_s=600)
     # switch before int8: the servable-switch number (VERDICT item 7) is
     # the more important secondary, and the link-bound int8 sibling (its
     # data point — int8 doubles offload bytes — is already made at any
     # budget) repeatedly ate the remaining budget
-    stage("switch-servable", switch_servable)
-    stage("dtype-sibling-int8", dtype_sibling)
+    stage("switch-servable", switch_servable, min_s=420)
+    stage("dtype-sibling-int8", dtype_sibling, min_s=1200)
     _free_build(build)
 
 
