@@ -211,11 +211,16 @@ assert moe.hit_rate() > 0
 moe.shutdown()
 
 # ---- host_fallback under CROSS-PROCESS divergence pressure ---------------
-# Slow fetches on PROCESS 0's first coordinate only: its shard misses the
-# deadline, the global slot row marks the expert -1 on EVERY process, and
-# every process adds the same host-computed delta — outputs must stay
-# replicated AND HF-exact on both processes (the round-3 review found the
-# original code diverged here: only the owner added its delta).
+# Slow fetches on the coordinate owning an expert the HF router PROVABLY
+# routes for this prompt: its shard misses the deadline, the global slot
+# row marks the expert -1 on EVERY process, and every process adds the
+# same host-computed delta — outputs must stay replicated AND HF-exact on
+# both processes (the round-3 review found the original code diverged
+# here: only the owner added its delta). Round 3 slowed process 0's first
+# coordinate unconditionally, which proves nothing if that coordinate's
+# experts are never routed (VERDICT r3 weak 2) — now the slowed
+# coordinate is derived from the oracle's own routing and the leg asserts
+# host_exec_count > 0 on BOTH processes.
 moe2 = MoE(ckpt, {
     "offload_path": ckpt + "/store", "expert_dtype": "float32",
     "multihost": True, "expert_parallel": 4 * nprocs, "num_slots": 2,
@@ -241,10 +246,17 @@ class _SlowStore:
         return self._inner.get_expert(layer, expert, **kw)
 
 
-if pid == 0:
-    c0 = sorted(moe2.engine.executor.arenas)[0]
-    moe2.engine.executor.arenas[c0].store = _SlowStore(
-        moe2.engine.executor.arenas[c0].store
+# oracle-derived routed expert for the FIRST MoE layer of this prompt
+# (deterministic and identical on both processes)
+with torch.no_grad():
+    router_out = hf(torch.tensor(prompt), output_router_logits=True)
+routed0 = torch.topk(
+    router_out.router_logits[0], cfg.num_experts_per_tok, dim=-1
+).indices.unique().tolist()
+slow_coord = moe2.engine.executor.plan.owner_coord(int(routed0[0]))
+if slow_coord in moe2.engine.executor.arenas:  # the owning process slows it
+    moe2.engine.executor.arenas[slow_coord].store = _SlowStore(
+        moe2.engine.executor.arenas[slow_coord].store
     )
 got2 = moe2.generate(prompt, max_new_tokens=4, eos_token_id=None)
 want2 = hf.generate(
@@ -252,6 +264,12 @@ want2 = hf.generate(
     eos_token_id=None, pad_token_id=0,
 ).numpy()
 np.testing.assert_array_equal(got2, want2)
+# every process computes ALL host deltas (SPMD consistency), so the
+# counter must be > 0 everywhere — this is what makes the leg non-vacuous
+assert moe2.engine.executor.host_exec_count > 0, (
+    f"host fallback never fired on process {pid}: slowed coordinate "
+    f"{slow_coord} (owner of routed expert {int(routed0[0])})"
+)
 moe2.shutdown()
 
 print(f"MH_OK {pid}", flush=True)
