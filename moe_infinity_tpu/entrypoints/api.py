@@ -314,10 +314,70 @@ class MoE:
         # ---- seq2seq archs: enc-dec generator or enc-dec offload engine --
         if self.arch in _SEQ2SEQ_ARCHS:
             if config.multihost:
-                raise NotImplementedError(
-                    "multihost pod serving currently covers decoder-only "
-                    "architectures; seq2seq pod serving is not wired yet"
+                # pod serving for the reference's FLAGSHIP seq2seq models
+                # (its headline table serves Switch-large-128 / NLLB-54B;
+                # the topology treats enc/dec stages uniformly,
+                # /root/reference/core/model/model_topology.cpp:402-548)
+                from moe_infinity_tpu.memory import (
+                    ExpertPredictor,
+                    ExpertTracer,
                 )
+                from moe_infinity_tpu.parallel import MeshPlan
+                from moe_infinity_tpu.parallel.multihost import global_mesh
+                from moe_infinity_tpu.parallel.pod import PodOffloadExecutor
+                from moe_infinity_tpu.runtime.pod_engine import (
+                    PodSeq2SeqOffloadEngine,
+                )
+
+                ep = config.expert_parallel
+                if ep <= 1:
+                    raise ValueError(
+                        "multihost serving needs expert_parallel > 1 (the "
+                        "expert axis spans every addressable device)"
+                    )
+                if config.data_parallel != 1 or config.tensor_parallel != 1:
+                    raise NotImplementedError(
+                        "multihost offload serving is pure expert-parallel "
+                        "for now (data/tensor_parallel must be 1)"
+                    )
+                if self.dense_arena is not None:
+                    raise NotImplementedError(
+                        "multihost serving requires the dense side resident"
+                    )
+                self.mesh = global_mesh(MeshPlan(data=1, model=1, expert=ep))
+                self.model = model_cls(
+                    spec_cls.from_hf(hf_config), compute_dtype,
+                    mesh=self.mesh,
+                )
+                per_coord = config.num_slots or max(
+                    -(-store.num_experts // ep),
+                    int((budget_all - dense_bytes_all) // store.stride),
+                )
+                logger.info(
+                    "seq2seq pod offload plan: expert axis %d, %d "
+                    "slots/coordinate", ep, per_coord,
+                )
+                executor = PodOffloadExecutor(
+                    self.mesh, store, per_coord,
+                    compute_dtype=compute_dtype,
+                    num_threads=config.num_threads,
+                    host_fallback=config.host_fallback,
+                    host_fallback_timeout=config.host_fallback_timeout_s,
+                )
+                tracer = ExpertTracer(
+                    config.trace_capacity, store.num_layers,
+                    store.num_experts,
+                    store.meta.get("num_encoder_moe_layers", 0),
+                )
+                if config.trace_path and os.path.exists(config.trace_path):
+                    tracer.load_trace(config.trace_path)
+                self.engine = PodSeq2SeqOffloadEngine(
+                    self.model, self.params, executor,
+                    tracer=tracer, predictor=ExpertPredictor(tracer),
+                    prefetch=config.prefetch, impl=config.moe_impl,
+                )
+                self.generator = self.engine  # same generate() surface
+                return
             from moe_infinity_tpu.runtime.generate import Seq2SeqGenerator
 
             if fits:

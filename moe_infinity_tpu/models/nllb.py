@@ -33,7 +33,7 @@ from moe_infinity_tpu.models.layers import (
     linear,
     sinusoidal_embedding,
 )
-from moe_infinity_tpu.ops.moe import grouped_ffn
+from moe_infinity_tpu.ops.moe import grouped_ffn, grouped_ffn_ep
 
 
 @dataclass(frozen=True)
@@ -296,13 +296,22 @@ class NllbModel:
 
     # ---- stage protocol (seq2seq offload engine) -------------------------
     def apply_ff(self, x, h, cw, ids, weights, slot_map, biases, impl):
+        """Under an expert-axis mesh: shard_map EP dispatch with GLOBAL
+        slot ids (seq2seq pod serving, parallel/pod.py)."""
         B, T, D = h.shape
         K = ids.shape[-1]
-        y = grouped_ffn(
-            h.reshape(B * T, D), ids.reshape(B * T, K),
-            cw.reshape(B * T, K), slot_map, weights, "relu",
-            biases=biases, impl=impl,
-        )
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            y = grouped_ffn_ep(
+                h.reshape(B * T, D), ids.reshape(B * T, K),
+                cw.reshape(B * T, K).astype(jnp.float32), slot_map, weights,
+                "relu", mesh=self.mesh, biases=biases, impl=impl,
+            )
+        else:
+            y = grouped_ffn(
+                h.reshape(B * T, D), ids.reshape(B * T, K),
+                cw.reshape(B * T, K), slot_map, weights, "relu",
+                biases=biases, impl=impl,
+            )
         return x + y.reshape(B, T, D)
 
     def enc_prelude(self, params, tokens, pad_mask):

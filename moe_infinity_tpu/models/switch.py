@@ -34,7 +34,7 @@ from moe_infinity_tpu.models.layers import (
     rms_norm,
     t5_position_bias,
 )
-from moe_infinity_tpu.ops.moe import grouped_ffn
+from moe_infinity_tpu.ops.moe import grouped_ffn, grouped_ffn_ep
 
 
 @dataclass(frozen=True)
@@ -285,13 +285,23 @@ class SwitchModel:
         return (maxp * keep)[..., None], idx[..., None].astype(jnp.int32)
 
     def apply_ff(self, x, h, cw, ids, weights, slot_map, biases, impl):
-        """Routed expert FF + residual (engine-facing)."""
+        """Routed expert FF + residual (engine-facing). Under an
+        expert-axis mesh the slot_map carries GLOBAL slot ids and the
+        dispatch is the shard_map EP program (psum combine over ICI) —
+        the seq2seq pod serving path (parallel/pod.py)."""
         B, T, D = h.shape
-        y = grouped_ffn(
-            h.reshape(B * T, D), ids.reshape(B * T, 1),
-            cw.reshape(B * T, 1), slot_map, weights,
-            self.activation, biases=biases, impl=impl,
-        )
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            y = grouped_ffn_ep(
+                h.reshape(B * T, D), ids.reshape(B * T, 1),
+                cw.reshape(B * T, 1).astype(jnp.float32), slot_map, weights,
+                self.activation, mesh=self.mesh, biases=biases, impl=impl,
+            )
+        else:
+            y = grouped_ffn(
+                h.reshape(B * T, D), ids.reshape(B * T, 1),
+                cw.reshape(B * T, 1), slot_map, weights,
+                self.activation, biases=biases, impl=impl,
+            )
         return x + y.reshape(B, T, D)
 
     def _routed_ff(self, b, h, mli, experts, for_layer, impl):

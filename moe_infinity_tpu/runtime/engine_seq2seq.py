@@ -32,6 +32,8 @@ from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.runtime.arena import ExpertArena
 from moe_infinity_tpu.runtime.engine import (
     _split_arena_tree,
+    make_block_monitor,
+    record_block_log,
     spec_trace_and_prefetch,
 )
 from moe_infinity_tpu.runtime.generate import (
@@ -112,11 +114,20 @@ class Seq2SeqOffloadEngine:
         self.speculative = speculative
         self.max_replays = max_replays
         self.spec_block = max(1, spec_block)
+        # configured block size: capacity degradation halves spec_block,
+        # and a streak of clean blocks grows it back toward this
+        self._spec_block_cfg = self.spec_block
+        self._spec_clean_streak = 0
         self.replay_counts: list = []
         self._impl = impl
         self._layer_seconds = None
         self._last_layer_t = None
-        if arena.num_slots < model.spec.num_experts:
+        if (
+            arena.num_slots * getattr(self, "arena_multiplicity", 1)
+            < model.spec.num_experts
+        ):
+            # pod subclass sets arena_multiplicity = expert-axis size (the
+            # capacity constraint is on the GLOBAL slot count)
             raise ValueError("arena must fit one full MoE layer of experts")
         s = model.spec
         self._n_enc = (
@@ -263,9 +274,11 @@ class Seq2SeqOffloadEngine:
                 return toks, kvs2, tr.reshape(tr.shape[0], tr.shape[1], -1)
 
             limit = self.max_replays or (len(dec_mlis) + 2 + k)
+            on_replay, blog = make_block_monitor(self, dec_mlis)
             (toks, new_kvs), ids_np, execs = run_speculative(
-                self.arena, dec_mlis, run, limit
+                self.arena, dec_mlis, run, limit, on_replay=on_replay
             )
+            record_block_log(self, blog)
             self.replay_counts.append(execs)
             spec_trace_and_prefetch(
                 self, ids_np, dec_mlis, seq_ids,
@@ -354,28 +367,47 @@ class Seq2SeqOffloadEngine:
             self.prefetch_budget,
         )
 
+    def _place(self, a):
+        """Host→device placement hook for generate()'s inputs; the pod
+        subclass replicates over the mesh (SPMD needs global arrays)."""
+        return a
+
+    def init_cache(self, batch: int, cap: int):
+        return self.model.init_cache(batch, cap)
+
     def _moe(self, x, h, cw, ids, mli, seq_ids):
         self._tick_layer_clock()
         ids_np = np.asarray(ids)
         keys = [(mli, int(e)) for e in np.unique(ids_np)]
-        if self.tracer is not None and seq_ids:
-            if self.prefetch:
-                score = None
-                for b, sid in enumerate(seq_ids):
-                    score = self.predictor.predict(sid, ids_np[b], mli)
-                self.arena.set_context(
-                    mli, self.tracer.get_entry_decoder(seq_ids[0]).matrix
-                )
-                orders = plan_prefetch(
-                    score, mli,
-                    lookahead=self.lookahead, budget=self._current_budget(),
-                    is_resident=self.arena.is_resident,
-                )
-                if orders:
-                    self.arena.prefetch(orders)
-            else:
-                for b, sid in enumerate(seq_ids):
-                    self.tracer.update_entry(sid, ids_np[b], mli)
+        self._plan_layer(ids_np, mli, seq_ids)
+        return self._moe_dispatch(x, h, cw, ids, ids_np, keys, mli)
+
+    def _plan_layer(self, ids_np, mli, seq_ids):
+        """Trace this layer's routing and enqueue lookahead prefetch (the
+        pod subclass plans against the executor's residency instead)."""
+        if self.tracer is None or not seq_ids:
+            return
+        if self.prefetch:
+            score = None
+            for b, sid in enumerate(seq_ids):
+                score = self.predictor.predict(sid, ids_np[b], mli)
+            self.arena.set_context(
+                mli, self.tracer.get_entry_decoder(seq_ids[0]).matrix
+            )
+            orders = plan_prefetch(
+                score, mli,
+                lookahead=self.lookahead, budget=self._current_budget(),
+                is_resident=self.arena.is_resident,
+            )
+            if orders:
+                self.arena.prefetch(orders)
+        else:
+            for b, sid in enumerate(seq_ids):
+                self.tracer.update_entry(sid, ids_np[b], mli)
+
+    def _moe_dispatch(self, x, h, cw, ids, ids_np, keys, mli):
+        """Acquire + apply one MoE layer against the slot arena (the pod
+        subclass dispatches the shard_map EP program instead)."""
         if self.host_fallback:
             resident, missing = self.arena.try_acquire(
                 keys, mli, self.host_fallback_timeout
@@ -409,7 +441,19 @@ class Seq2SeqOffloadEngine:
         if not (self.prefetch and seq_ids and self.dec_mlis):
             return
         first_dec = self.dec_mlis[0]
-        score = self.predictor.predict_from(seq_ids[0], from_layer=first_dec)
+        # the encoder's last MoE routing sharpens the first decoder row
+        # through the cross-boundary transition counts (enc-last -> dec-
+        # first are consecutive moe-layer ids, so update_entry recorded
+        # them)
+        ent = self.tracer.get_entry(seq_ids[0])
+        obs = (
+            {ent.last_layer: ent.last_experts}
+            if ent.last_experts is not None
+            else {}
+        )
+        score = self.predictor.predict_block(
+            seq_ids[0], obs, from_layer=first_dec
+        )
         self.arena.set_context(
             first_dec, self.tracer.get_entry_decoder(seq_ids[0]).matrix
         )
@@ -660,7 +704,7 @@ class Seq2SeqOffloadEngine:
             if decoder_start_token_id is not None
             else s.decoder_start_token_id
         )
-        mask = (
+        mask = self._place(
             jnp.asarray(attention_mask, jnp.float32)
             if attention_mask is not None
             else jnp.ones((B, T), jnp.float32)
@@ -668,7 +712,7 @@ class Seq2SeqOffloadEngine:
 
         # ---- encoder ---------------------------------------------------
         enc_out, cross = self.run_encoder(
-            jnp.asarray(input_ids, jnp.int32), mask, seq_ids
+            self._place(jnp.asarray(input_ids, jnp.int32)), mask, seq_ids
         )
         # warm the decoder's predicted hot set NOW: these fetches overlap
         # the decode prelude + first block's dispatch instead of stalling
@@ -683,12 +727,12 @@ class Seq2SeqOffloadEngine:
                 f"cache_len {cap} cannot hold max_new_tokens="
                 f"{max_new_tokens} (+1 start token)"
             )
-        kvs = model.init_cache(B, cap)
+        kvs = self.init_cache(B, cap)
         out = np.full((B, max_new_tokens + 1), pad_token_id, dtype=np.int64)
         out[:, 0] = start
         finished = np.zeros(B, dtype=bool)
         num_gen = np.zeros(B, dtype=np.int64)
-        cur_tok = jnp.full((B, 1), start, jnp.int32)
+        cur_tok = self._place(jnp.full((B, 1), start, jnp.int32))
         sstate = None
         lp_tok, lp_top, lp_ids = [], [], []
         dec_mlis = self.dec_mlis
@@ -697,6 +741,14 @@ class Seq2SeqOffloadEngine:
         # callers separate the post-encode re-warm cliff from steady-state
         # decode without fragile whole-call differencing
         self.step_times = []
+        # decode-window counter snapshot: the cumulative arena stats
+        # conflate the encoder's one-shot streaming misses with the decode
+        # regime the throughput claim is about; decode_window_stats()
+        # isolates this generate()'s decode phase, with per-layer miss
+        # attribution for the prefetch-planner diagnosis
+        self._dw0 = self.arena.hit_stats()
+        self._dw_miss0 = self.arena.policy.node_stats["misses"].copy()
+        self._dw_visit0 = self.arena.policy.node_stats["visits"].copy()
         while step < max_new_tokens:
             _it_t0 = _time.perf_counter()
             # ---- k-step speculative block (greedy-only fast path) -------
@@ -721,14 +773,20 @@ class Seq2SeqOffloadEngine:
 
                     if is_spec_capacity_error(e):
                         # the arena can't hold a k-step union of routed
-                        # experts (or the block didn't converge): drop to
-                        # the single-step speculative path, which has the
-                        # tight per-step union and convergence bound
+                        # experts (or the block didn't converge): HALVE the
+                        # block instead of dropping straight to single-step
+                        # — the halving-chain sizes are already compiled,
+                        # and a cold-cache convergence failure during warm
+                        # must not strip the steady state of its biggest
+                        # dispatch-amortization lever (a round-4 chip run
+                        # lost block mode permanently in warm and decoded
+                        # the whole timed window single-step)
+                        self.spec_block = max(1, self.spec_block // 2)
+                        self._spec_clean_streak = 0
                         _log.warning(
-                            "speculative block decode disabled (%s); "
-                            "dropping to single-step speculative decode", e,
+                            "speculative block decode degraded to k=%d "
+                            "(%s)", self.spec_block, e,
                         )
-                        self.spec_block = 1
                         continue
                     # transient (transport/compile hiccup): make this
                     # step's progress single-step below and retry blocks
@@ -737,6 +795,24 @@ class Seq2SeqOffloadEngine:
                         "block decode transient error (%s); "
                         "single-stepping this token", e,
                     )
+                # degradation recovery: a streak of clean blocks (<= 2
+                # executions) re-grows the block size toward the
+                # configured value — the halving-chain program is compiled
+                if (
+                    self.spec_block < self._spec_block_cfg
+                    and self.replay_counts
+                    and self.replay_counts[-1] <= 2
+                ):
+                    self._spec_clean_streak += 1
+                    if self._spec_clean_streak >= 8:
+                        self.spec_block = min(
+                            self._spec_block_cfg, self.spec_block * 2
+                        )
+                        self._spec_clean_streak = 0
+                        _log.info(
+                            "speculative block decode re-grown to k=%d",
+                            self.spec_block,
+                        )
                 for jj in range(toks.shape[1]):
                     nxt = toks[:, jj].astype(np.int64)
                     out[~finished, step + jj + 1] = nxt[~finished]
@@ -754,10 +830,10 @@ class Seq2SeqOffloadEngine:
                 )
                 if finished.all():
                     break
-                cur_tok = jnp.asarray(toks[:, -1:], jnp.int32)
+                cur_tok = self._place(jnp.asarray(toks[:, -1:], jnp.int32))
                 step += k
                 continue
-            positions = jnp.full((B, 1), step, jnp.int32)
+            positions = self._place(jnp.full((B, 1), step, jnp.int32))
             logits = None
             if self.speculative:
                 try:
@@ -765,6 +841,23 @@ class Seq2SeqOffloadEngine:
                         params, cur_tok, positions, step, kvs, mask, cross,
                         dec_mlis, seq_ids,
                     )
+                    # recovery from a full degradation to k=1: clean
+                    # single steps re-enable block decode
+                    if (
+                        self.spec_block < self._spec_block_cfg
+                        and self.replay_counts
+                        and self.replay_counts[-1] <= 2
+                    ):
+                        self._spec_clean_streak += 1
+                        if self._spec_clean_streak >= 8:
+                            self.spec_block = min(
+                                self._spec_block_cfg, 2 * self.spec_block
+                            )
+                            self._spec_clean_streak = 0
+                            _log.info(
+                                "speculative block decode re-grown to "
+                                "k=%d", self.spec_block,
+                            )
                 except RuntimeError as e:
                     from moe_infinity_tpu.runtime.engine import (
                         is_spec_capacity_error,
@@ -830,7 +923,7 @@ class Seq2SeqOffloadEngine:
                 finished |= eos_hit(nxt, eos_token_id)
                 if finished.all():
                     break
-            cur_tok = jnp.asarray(nxt[:, None], jnp.int32)
+            cur_tok = self._place(jnp.asarray(nxt[:, None], jnp.int32))
             step += 1
         if self.tracer is not None and seq_ids:
             for sid in seq_ids:
@@ -852,6 +945,26 @@ class Seq2SeqOffloadEngine:
         if self.host_fallback:
             out["host_exec_count"] = self.host_exec_count
         return out
+
+    def decode_window_stats(self) -> dict:
+        """Counter deltas since the last generate()'s decode loop began:
+        the decode-regime hit rate (what the throughput claim depends on)
+        plus per-MoE-layer miss/visit attribution."""
+        if not hasattr(self, "_dw0"):
+            return {}
+        now = self.arena.hit_stats()
+        d = {
+            k: now.get(k, 0) - self._dw0.get(k, 0)
+            for k in ("visits", "hits", "misses", "evictions")
+        }
+        d["decode_hit_rate"] = (
+            d["hits"] / d["visits"] if d["visits"] else 0.0
+        )
+        miss = self.arena.policy.node_stats["misses"] - self._dw_miss0
+        visit = self.arena.policy.node_stats["visits"] - self._dw_visit0
+        d["miss_by_layer"] = miss.sum(axis=1).astype(int).tolist()
+        d["visit_by_layer"] = visit.sum(axis=1).astype(int).tolist()
+        return d
 
     def node_stats(self) -> dict:
         return self.arena.node_stats()

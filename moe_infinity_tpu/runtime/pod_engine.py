@@ -37,6 +37,7 @@ from moe_infinity_tpu.memory.prefetch_plan import (
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.parallel.pod import PodOffloadExecutor
 from moe_infinity_tpu.runtime.engine import _split_arena_tree
+from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
 from moe_infinity_tpu.utils.logger import get_logger
 
 logger = get_logger("pod_engine")
@@ -228,6 +229,128 @@ class PodOffloadEngine:
             self.lookahead,
             self.prefetch_budget,
         )
+
+    # ---- metrics ---------------------------------------------------------
+    def hit_rate(self) -> float:
+        return self.executor.stats()["hit_rate"]
+
+    def stats(self) -> dict:
+        return self.executor.stats()
+
+    def node_stats(self) -> dict:
+        return {c: a.node_stats() for c, a in self.executor.arenas.items()}
+
+
+class PodSeq2SeqOffloadEngine(Seq2SeqOffloadEngine):
+    """Encoder-decoder pod offload serving: the reference's FLAGSHIP
+    models (Switch-large-128, NLLB-54B — its headline latency table,
+    /root/reference/README.md:41) served over an `expert`-axis mesh.
+
+    Reuses the Seq2SeqOffloadEngine stepping wholesale — encoder pass,
+    cross-KV, per-layer decode, tracing — and swaps only the expert
+    residency layer: every MoE application goes through the
+    PodOffloadExecutor's ensure_step (host-affine arena warm + slot-row
+    exchange + consensus barrier) and the shard_map EP dispatch, with the
+    run-on-host escape hatch applied SPMD-consistently (every process
+    computes all missing deltas). The reference's topology treats
+    encoder and decoder stages uniformly
+    (/root/reference/core/model/model_topology.cpp:402-548); so does this
+    engine — the encoder's experts stream through the same per-coordinate
+    arenas during prefill."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        executor: PodOffloadExecutor,
+        *,
+        tracer: Optional[ExpertTracer] = None,
+        predictor: Optional[ExpertPredictor] = None,
+        prefetch: bool = True,
+        lookahead: int = 3,
+        prefetch_budget: Optional[int] = None,
+        adaptive_budget: bool = True,
+        impl: str = "ragged",
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if model.mesh is None or model.mesh.shape.get("expert", 1) < 2:
+            raise ValueError(
+                "PodSeq2SeqOffloadEngine needs a model built with an "
+                "expert-axis mesh (model.mesh)"
+            )
+        self.executor = executor
+        # the capacity constraint is on the GLOBAL slot count (ep * local)
+        self.arena_multiplicity = executor.ep
+        self._rep = NamedSharding(model.mesh, P())
+        params = jax.tree.map(
+            lambda a: jax.device_put(a, self._rep), params
+        )
+        super().__init__(
+            model, params, next(iter(executor.arenas.values())),
+            tracer=tracer, predictor=predictor, prefetch=prefetch,
+            lookahead=lookahead, prefetch_budget=prefetch_budget,
+            adaptive_budget=adaptive_budget, impl=impl,
+            speculative=False,
+        )
+
+    # ---- placement hooks (SPMD needs global arrays) ----------------------
+    def _place(self, a):
+        return jax.device_put(a, self._rep)
+
+    def init_cache(self, batch: int, cap: int):
+        kvs = self.model.init_cache(batch, cap)
+        return [
+            type(kv)(
+                jax.device_put(kv.k, self._rep),
+                jax.device_put(kv.v, self._rep),
+            )
+            for kv in kvs
+        ]
+
+    # ---- expert residency through the pod executor -----------------------
+    def _plan_layer(self, ids_np, mli, seq_ids):
+        if self.tracer is None or not seq_ids:
+            return
+        if self.prefetch:
+            score = None
+            for b, sid in enumerate(seq_ids):
+                score = self.predictor.predict(sid, ids_np[b], mli)
+            self.executor.set_context(
+                mli, self.tracer.get_entry_decoder(seq_ids[0]).matrix
+            )
+            orders = plan_prefetch(
+                score, mli,
+                lookahead=self.lookahead, budget=self._current_budget(),
+                is_resident=self.executor.is_resident,
+            )
+            if orders:
+                self.executor.prefetch(orders)
+        else:
+            for b, sid in enumerate(seq_ids):
+                self.tracer.update_entry(sid, ids_np[b], mli)
+
+    def _moe_dispatch(self, x, h, cw, ids, ids_np, keys, mli):
+        ex = self.executor
+        slot_row, _local_miss = ex.ensure_step(mli, keys)
+        # misses derived from the GLOBAL slot row so every process sees
+        # the SAME set (SPMD-consistent host deltas)
+        missing = [k for k in keys if slot_row[k[1]] < 0]
+        row_dev = jax.device_put(
+            jnp.asarray(slot_row, jnp.int32), self._rep
+        )
+        with ex.dispatch_leases():
+            tree = ex.weights_view()
+            x = self._apply(x, h, cw, ids, tree, row_dev)
+        if missing:
+            delta = ex.host_delta(
+                mli, missing, np.asarray(h), np.asarray(cw), ids_np
+            )
+            x = x + jax.device_put(
+                jnp.asarray(delta).astype(x.dtype), self._rep
+            )
+        ex.release_step(keys)
+        return x
 
     # ---- metrics ---------------------------------------------------------
     def hit_rate(self) -> float:

@@ -289,3 +289,137 @@ def test_pod_engine_grok_ep_dispatch(tmp_path):
         ep_model, params, experts, ResidentProvider.for_layer, max_seq_len=32
     ).generate(np.array([[3, 7, 11]]), max_new_tokens=5).sequences
     np.testing.assert_array_equal(got, want)
+
+
+def test_pod_seq2seq_switch_facade(tmp_path):
+    """Seq2seq pod serving (VERDICT r3 item 4): a tiny Switch — the
+    reference's flagship model family — served through the facade's
+    multihost config. PodSeq2SeqOffloadEngine drives encoder AND decoder
+    experts through per-coordinate arenas over a 4-way expert mesh with
+    slot-row exchange + shard_map EP dispatch; greedy output must match
+    HF exactly."""
+    from transformers import (
+        SwitchTransformersConfig,
+        SwitchTransformersForConditionalGeneration,
+    )
+
+    from moe_infinity_tpu.entrypoints.api import MoE
+    from moe_infinity_tpu.runtime.pod_engine import PodSeq2SeqOffloadEngine
+
+    cfg = SwitchTransformersConfig(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, num_experts=4,
+        expert_capacity=8, num_sparse_encoder_layers=1,
+        num_sparse_decoder_layers=1, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        router_jitter_noise=0.0, decoder_start_token_id=0,
+        eos_token_id=1, pad_token_id=0, torch_dtype=torch.float32,
+        architectures=["SwitchTransformersForConditionalGeneration"],
+    )
+    torch.manual_seed(11)
+    hf = SwitchTransformersForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    moe = MoE(str(ckpt), {
+        "offload_path": str(tmp_path / "store"),
+        "expert_dtype": "float32", "multihost": True,
+        "expert_parallel": 4, "num_slots": 2, "max_seq_len": 64,
+        "prefetch": True,
+    })
+    try:
+        assert isinstance(moe.engine, PodSeq2SeqOffloadEngine)
+        assert len(moe.engine.executor.arenas) == 4
+        prompt = np.array([[5, 31, 8, 77]])
+        with torch.no_grad():
+            want = hf.generate(
+                torch.tensor(prompt), max_new_tokens=6, do_sample=False
+            ).numpy()
+        got = moe.generate(prompt, max_new_tokens=6)
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        st = moe.engine.stats()
+        assert st["visits"] > 0
+        assert st["pod_coords"] == [0, 1, 2, 3]
+    finally:
+        moe.shutdown()
+
+
+def test_pod_seq2seq_host_fallback_exact(tmp_path):
+    """Seq2seq pod + run-on-host escape hatch: a routed coordinate's
+    shard misses its deadline, every process applies the same host delta,
+    output stays HF-exact and the counter proves the path fired."""
+    from transformers import (
+        SwitchTransformersConfig,
+        SwitchTransformersForConditionalGeneration,
+    )
+
+    from moe_infinity_tpu.entrypoints.api import MoE
+    from moe_infinity_tpu.runtime.pod_engine import PodSeq2SeqOffloadEngine
+
+    cfg = SwitchTransformersConfig(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, num_experts=4,
+        expert_capacity=8, num_sparse_encoder_layers=1,
+        num_sparse_decoder_layers=1, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dropout_rate=0.0,
+        router_jitter_noise=0.0, decoder_start_token_id=0,
+        eos_token_id=1, pad_token_id=0, torch_dtype=torch.float32,
+        architectures=["SwitchTransformersForConditionalGeneration"],
+    )
+    torch.manual_seed(13)
+    hf = SwitchTransformersForConditionalGeneration(cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+
+    moe = MoE(str(ckpt), {
+        "offload_path": str(tmp_path / "store"),
+        "expert_dtype": "float32", "multihost": True,
+        "expert_parallel": 4, "num_slots": 2, "max_seq_len": 64,
+        "prefetch": False, "host_fallback": True,
+        "host_fallback_timeout_s": 0.02,
+    })
+
+    class SlowStore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_expert(self, layer, expert, **kw):
+            import time
+
+            time.sleep(0.1)  # > host_fallback_timeout
+            return self._inner.get_expert(layer, expert, **kw)
+
+    try:
+        assert isinstance(moe.engine, PodSeq2SeqOffloadEngine)
+        prompt = np.array([[5, 31, 8, 77]])
+        # oracle-derived routed expert (encoder MoE layer): slow a
+        # coordinate that IS routed so the leg cannot pass vacuously
+        with torch.no_grad():
+            enc_out = hf.encoder(
+                torch.tensor(prompt), output_router_logits=True
+            )
+        routed = None
+        for rl in enc_out.router_probs:
+            if rl is None:
+                continue
+            routed = int(rl[0].argmax(-1).reshape(-1)[0])
+            break
+        assert routed is not None
+        slow_coord = moe.engine.executor.plan.owner_coord(routed)
+        moe.engine.executor.arenas[slow_coord].store = SlowStore(
+            moe.engine.executor.arenas[slow_coord].store
+        )
+        with torch.no_grad():
+            want = hf.generate(
+                torch.tensor(prompt), max_new_tokens=5, do_sample=False
+            ).numpy()
+        got = moe.generate(prompt, max_new_tokens=5)
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert moe.engine.executor.host_exec_count > 0
+    finally:
+        moe.shutdown()
