@@ -1081,6 +1081,8 @@ def bench_nllb_offload(args, shared=None, _build=None):
     # (t_n - t_m) isolates n-m steady decode steps — the regime a serving
     # deployment actually runs in (the reference's bs=32 table is
     # steady-state decode too)
+    engine.spec_log = []  # timed-window speculative diagnostics only
+    n_replay0 = len(engine.replay_counts)
     t0 = time.perf_counter()
     engine.generate(
         prompt, max_new_tokens=n, eos_token_id=None, cache_len=cap
@@ -1126,10 +1128,29 @@ def bench_nllb_offload(args, shared=None, _build=None):
         "warm_s": round(warm_s, 1),
         "enc_layers": spec.encoder_layers,
         "dec_layers": spec.decoder_layers,
+        # timed-window only (warm's cold-cache replays inflated the
+        # round-3 figure, which averaged over warm too)
         "mean_step_executions": round(
-            float(np.mean(engine.replay_counts)), 3
-        ) if engine.replay_counts else None,
+            float(np.mean(engine.replay_counts[n_replay0:])), 3
+        ) if len(engine.replay_counts) > n_replay0 else None,
     }
+    # decode-regime evidence: the cumulative hit_rate above conflates the
+    # encoder's one-shot streaming (which must miss) with decode — the
+    # decode window is the regime the tok/s claim is about
+    dw = engine.decode_window_stats()
+    if dw:
+        result["decode_hit_rate"] = round(dw["decode_hit_rate"], 4)
+        result["decode_misses"] = dw["misses"]
+        result["decode_evictions"] = dw["evictions"]
+        result["decode_miss_by_layer"] = dw["miss_by_layer"]
+    from moe_infinity_tpu.runtime.engine import spec_block_diag
+
+    sd = spec_block_diag(getattr(engine, "spec_log", []))
+    if sd:
+        result["spec_diag"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in sd.items()
+        }
     if tier is not None:
         result.update(tier.stats())
         result["tier_aliased"] = bool(tier.shared)

@@ -52,6 +52,41 @@ class ExpertPredictor:
                 ) * scale
         return score
 
+    def predict_block(
+        self, seq_id: str, obs: dict, from_layer: int = 0
+    ) -> np.ndarray:
+        """Block-aware scoring for speculative k-step decode: the
+        EAM-similarity prior (predict_from) with transition affinity
+        blended into EVERY future layer's row from the block's realized
+        routing — predict() sharpens only layer+1, but a speculative block
+        observes all its MoE layers at once, so each observed layer l can
+        sharpen layer l+1 (the (L-1)xExE counts the reference records as
+        children_visit_cnt but never feeds back into prefetch,
+        /root/reference/core/model/model_topology.h:75-103).
+
+        obs: {moe_layer_index: routed expert-id array} for the block."""
+        score = self.predict_from(seq_id, from_layer)
+        w = self.affinity_weight
+        if w <= 0:
+            return score
+        n_trans = self.tracer.transitions.shape[0]
+        for mli, ids in obs.items():
+            nl = mli + 1
+            if nl >= self.num_layers or nl < from_layer or mli >= n_trans:
+                continue
+            rows = self.tracer.transitions[mli][
+                np.unique(np.asarray(ids).reshape(-1))
+            ]
+            total = rows.sum()
+            if total <= 0:
+                continue
+            aff = rows.sum(axis=0) / total
+            nr = score[nl]
+            amax = aff.max()
+            scale = nr.max() if nr.max() > 0 else 1.0
+            score[nl] = (1.0 - w) * nr + w * (aff / (amax or 1.0)) * scale
+        return score
+
     def predict_from(self, seq_id: str, from_layer: int = 0) -> np.ndarray:
         """Scoring only (no routing update): predicted activations for
         layers >= from_layer from the sequence's current EAM. The

@@ -23,19 +23,55 @@ def plan_prefetch(
     lookahead: Optional[int] = None,  # layers ahead to consider (None = all)
     budget: Optional[int] = None,  # max number of fetch orders
     is_resident: Optional[Callable[[Key], bool]] = None,
+    balance_layers: bool = False,
 ) -> List[Key]:
-    """Ordered (layer, expert) prefetch list, best score first."""
+    """Ordered (layer, expert) prefetch list, best score first.
+
+    balance_layers: round-robin the budget across layers (each layer's
+    candidates stay score-ordered) instead of one global flat sort. The
+    flat sort is right for within-step lookahead, where nearer layers ARE
+    more urgent; a speculative block revisits ALL its MoE layers within
+    ~one program dispatch, and under the predictor's layer-distance decay
+    the flat sort spends the whole budget on early layers — the round-4
+    chip diagnosis measured decode misses of [18, 54, 71, 104, 111, 131]
+    across the six NLLB decoder layers, monotonically starving depth."""
     L, E = score_matrix.shape
     m = score_matrix.astype(np.float64).copy()
     m[: current_layer + 1, :] = 0.0
     if lookahead is not None:
         m[current_layer + 1 + lookahead :, :] = 0.0
+    if balance_layers:
+        per_layer = []
+        for layer in range(L):
+            nz = np.flatnonzero(m[layer] > 0)
+            if nz.size:
+                per_layer.append(
+                    (layer, nz[np.argsort(-m[layer][nz], kind="stable")])
+                )
+        out: List[Key] = []
+        rank = 0
+        while per_layer and (budget is None or len(out) < budget):
+            advanced = False
+            for layer, order in per_layer:
+                if rank >= order.size:
+                    continue
+                advanced = True
+                key = (layer, int(order[rank]))
+                if is_resident is not None and is_resident(key):
+                    continue
+                out.append(key)
+                if budget is not None and len(out) >= budget:
+                    break
+            if not advanced:
+                break
+            rank += 1
+        return out
     flat = m.reshape(-1)
     nz = np.flatnonzero(flat > 0)
     if nz.size == 0:
         return []
     order = nz[np.argsort(-flat[nz], kind="stable")]
-    out: List[Key] = []
+    out = []
     for idx in order:
         key = (int(idx // E), int(idx % E))
         if is_resident is not None and is_resident(key):

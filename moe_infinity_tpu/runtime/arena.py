@@ -484,13 +484,20 @@ class ExpertArena:
                 new.on_insert(key, prefetched=False)
             self.policy = new
 
-    def prefetch(self, orders: Sequence[Key]) -> None:
+    def prefetch(self, orders: Sequence[Key], protect: Sequence[Key] = ()) -> None:
         """Replace the prefetch plan: new candidate protection set, stale
         queued prefetches dropped (reference ReplaceCacheCandidates +
-        EnqueuePrefetch, archer_prefetch_handle.cpp:195-218)."""
+        EnqueuePrefetch, archer_prefetch_handle.cpp:195-218).
+
+        protect: additional keys to candidate-protect WITHOUT fetching —
+        the speculative engines pass the accepted block's expert union so
+        a prefetch landing can never evict the live hot set (the round-4
+        chip diagnosis measured 2x more decode evictions than misses: at
+        hot-set≈capacity every speculative insert displaced a hot expert,
+        which came back as a miss one block later)."""
         with self._cv:
             self._gen += 1
-            self.policy.replace_candidates(orders)
+            self.policy.replace_candidates(list(orders) + list(protect))
             for key in orders:
                 if key in self.key_to_slot or key in self._in_flight:
                     continue
@@ -598,7 +605,10 @@ class ExpertArena:
                     # stale prefetch plan and no caller blocked on it — drop
                     del self._in_flight[key]
                     continue
-                slot = self._allocate_slot_locked(key)
+                ondemand = (
+                    prio == PRIO_ONDEMAND or key in self._escalated
+                )
+                slot = self._allocate_slot_locked(key, ondemand)
                 if slot is None and self._pending_fetches > 0:
                     # other fetches hold allocated-but-unregistered slots;
                     # once they land their nodes become evictable — retry
@@ -750,13 +760,19 @@ class ExpertArena:
                     )
             self._arena = arena
 
-    def _allocate_slot_locked(self, key: Key) -> Optional[int]:
+    def _allocate_slot_locked(
+        self, key: Key, ondemand: bool = True
+    ) -> Optional[int]:
         if self._free_slots:
             return self._free_slots.pop()
         victims = self.policy.pick_victims(
             1, self.current_layer, self._decoder_matrix
         )
         if not victims:
+            if not ondemand:
+                # a PREFETCH must never displace candidate-protected keys
+                # (the live hot set): drop the order instead
+                return None
             # fall back: evict anything not on-demand-protected
             for cand, slot in self.key_to_slot.items():
                 if cand not in self.policy.protected_ondemand:

@@ -554,13 +554,17 @@ class Generator:
 
                         if is_spec_capacity_error(e):
                             # arena can't hold a k-step union (or the
-                            # block didn't converge): single-step decode
-                            # still has the tight per-step bound
-                            logger.warning(
-                                "speculative block decode disabled (%s); "
-                                "dropping to single-step decode", e,
+                            # block didn't converge): HALVE the block —
+                            # the halving-chain sizes are compiled, and a
+                            # cold-cache failure must not permanently
+                            # strip steady state of block amortization
+                            self.stepper.spec_block = max(
+                                1, self.stepper.spec_block // 2
                             )
-                            self.stepper.spec_block = 1
+                            logger.warning(
+                                "speculative block decode degraded to "
+                                "k=%d (%s)", self.stepper.spec_block, e,
+                            )
                         else:
                             # transient (transport/compile hiccup): make
                             # this step's progress single-step below and
