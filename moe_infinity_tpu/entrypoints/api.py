@@ -337,8 +337,9 @@ class MoE:
                     )
                 if config.data_parallel != 1 or config.tensor_parallel != 1:
                     raise NotImplementedError(
-                        "multihost offload serving is pure expert-parallel "
-                        "for now (data/tensor_parallel must be 1)"
+                        "seq2seq multihost serving is pure expert-parallel "
+                        "for now (data/tensor_parallel must be 1; the "
+                        "decoder-only pod path composes data x expert)"
                     )
                 if self.dense_arena is not None:
                     raise NotImplementedError(
@@ -510,16 +511,18 @@ class MoE:
                     "multihost serving needs expert_parallel > 1 (the "
                     "expert axis spans every addressable device)"
                 )
-            if config.data_parallel != 1 or config.tensor_parallel != 1:
+            if config.tensor_parallel != 1:
                 raise NotImplementedError(
-                    "multihost offload serving is pure expert-parallel "
-                    "for now (data/tensor_parallel must be 1)"
+                    "multihost offload serving composes data x expert; "
+                    "tensor_parallel must be 1 on the arena path (TP of "
+                    "the dense side composes on the resident plan)"
                 )
             if self.dense_arena is not None:
                 raise NotImplementedError(
                     "multihost serving requires the dense side resident"
                 )
-            self.mesh = global_mesh(MeshPlan(data=1, model=1, expert=ep))
+            dp = config.data_parallel
+            self.mesh = global_mesh(MeshPlan(data=dp, model=1, expert=ep))
             self.model = model_cls(
                 spec_cls.from_hf(hf_config), compute_dtype, mesh=self.mesh
             )
@@ -528,8 +531,8 @@ class MoE:
                 int((budget - dense_bytes) // store.stride),
             )
             logger.info(
-                "pod offload plan: expert axis %d, %d slots/coordinate",
-                ep, per_coord,
+                "pod offload plan: data axis %d x expert axis %d, %d "
+                "slots/coordinate", dp, ep, per_coord,
             )
             executor = PodOffloadExecutor(
                 self.mesh, store, per_coord,

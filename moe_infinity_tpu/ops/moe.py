@@ -351,7 +351,7 @@ def grouped_ffn_ep(
     x: jax.Array,  # [T, D] tokens (sharded on `data` axis outside)
     expert_ids: jax.Array,  # [T, K]
     combine_weights: jax.Array,  # [T, K]
-    expert_to_slot: jax.Array,  # [E] global slot ids
+    expert_to_slot: jax.Array,  # [E] global slot ids, or [dp, E] per-row
     weights: Dict[str, jax.Array],  # stacked arrays sharded on `expert` dim 0
     activation: str,
     *,
@@ -369,21 +369,42 @@ def grouped_ffn_ep(
     computes the contribution of its local experts (invalid routes masked to
     zero weight), and the shards psum-combine over ICI. No token all-to-all
     is needed at decode batch sizes; the psum *is* the combine.
+
+    DP x EP composition: a 2-D ``expert_to_slot`` ([dp, E], sharded over
+    `data`) selects the joint mode — the weight stack's slot dim is then
+    sharded over BOTH axes (data-major: global slot (d*ep + c)*S + s lives
+    on mesh coordinate (d, c)), each data row carries its OWN expert->slot
+    table, and the psum still combines over `expert` only (within the
+    row). Every (data, expert) device is an independent cache shard
+    serving its own batch slice — host-affinity that weight REPLICATION
+    over the data axis (the obvious alternative) would destroy, since
+    replicas would have to agree on slot assignment across processes and
+    fetch every expert dp times. The reference's multi-GPU dispatch
+    (expert_executor.py:49-54) places one replica per GPU with no
+    cross-GPU consistency story at all.
     """
     from jax.sharding import PartitionSpec as P
 
+    joint = expert_to_slot.ndim == 2
+    w_axes = (data_axis, expert_axis) if joint else expert_axis
     w_specs = {
-        k: P(expert_axis, *([None] * (v.ndim - 1))) for k, v in weights.items()
+        k: P(w_axes, *([None] * (v.ndim - 1))) for k, v in weights.items()
     }
     b_specs = (
-        {k: P(expert_axis, *([None] * (v.ndim - 1))) for k, v in biases.items()}
+        {k: P(w_axes, *([None] * (v.ndim - 1))) for k, v in biases.items()}
         if biases
         else None
     )
     tok_spec = P(data_axis, None)
+    row_spec = P(data_axis, None) if joint else P(None)
+    ep_size = mesh.shape[expert_axis]
 
     def local_ffn(x, ids, cw, slot_map, w, b):
         shard = jax.lax.axis_index(expert_axis)
+        if joint:
+            # flat shard index along the jointly-sharded slot dim
+            shard = jax.lax.axis_index(data_axis) * ep_size + shard
+            slot_map = slot_map[0]  # this data row's table
         s_local = _num_slots(w)
         slots = slot_map[ids]  # [T, K] global slots
         local = slots - shard * s_local
@@ -405,7 +426,7 @@ def grouped_ffn_ep(
     fn = jax.shard_map(
         local_ffn,
         mesh=mesh,
-        in_specs=(tok_spec, tok_spec, tok_spec, P(None), w_specs, b_specs),
+        in_specs=(tok_spec, tok_spec, tok_spec, row_spec, w_specs, b_specs),
         out_specs=tok_spec,
         check_vma=False,
     )

@@ -187,8 +187,23 @@ class PodOffloadExecutor:
          and the model's grouped_ffn_ep shard_map program computes +
          psum-combines over the mesh.
 
-    Requires data/model mesh axes of size 1 (pure EP); num_experts must
-    divide over the expert axis.
+    DP x EP composition (data axis > 1): each (data, expert) device runs
+    its OWN arena, the weights view shards its slot dim over BOTH axes
+    (global slot (d*ep + c)*S + s, data-major), and the slot table
+    becomes per-data-row ([dp, E], sharded over `data`): row d's table
+    mirrors row d's private arena, so DP rows are independent cache
+    shards serving their own batch slices. Replicating weights over the
+    data axis instead (what the reference's one-replica-per-GPU layout
+    amounts to, expert_executor.py:49-54) would force cross-process slot
+    consensus and fetch every expert dp times; per-row tables keep the
+    fetch traffic host-affine and let each row's hit rate track its own
+    batch's routing. The psum combine stays over `expert` only — tokens
+    and their experts never cross data rows.
+
+    Requires the model mesh axis of size 1 (TP of the dense side composes
+    on the resident path; the arena path's dense stages are replicated);
+    num_experts must divide over the expert axis and the batch over the
+    data axis.
     """
 
     def __init__(
@@ -211,16 +226,17 @@ class PodOffloadExecutor:
 
         from moe_infinity_tpu.runtime.arena import ExpertArena
 
-        for axis in ("data", "model"):
-            if mesh.shape.get(axis, 1) != 1:
-                raise NotImplementedError(
-                    "PodOffloadExecutor currently supports pure expert-"
-                    f"parallel meshes (axis {axis!r} must be 1)"
-                )
+        if mesh.shape.get("model", 1) != 1:
+            raise NotImplementedError(
+                "PodOffloadExecutor supports (data x expert) meshes; the "
+                "model axis must be 1 on the arena path (TP of the dense "
+                "side composes on the resident path)"
+            )
         self.mesh = mesh
         self.store = store
         self.plan = PodExpertPlan(mesh, store.num_experts)
         self.ep = mesh.shape["expert"]
+        self.dp = mesh.shape.get("data", 1)
         self.s_local = num_slots_per_coord
         self.num_experts = store.num_experts
         self.host_fallback = host_fallback
@@ -237,26 +253,48 @@ class PodOffloadExecutor:
                 store, activation_for(store.meta)
             )
 
-        # device of each expert coordinate: the mesh position along the
-        # expert axis (data/model are size 1, so the grid flattens to it)
-        axis = list(mesh.axis_names).index("expert")
-        grid = np.moveaxis(np.asarray(mesh.devices), axis, 0).reshape(
-            self.ep, -1
-        )
+        # device grid indexed (data_coord, expert_coord): transpose the
+        # mesh device array to (data, expert, rest) and collapse rest
+        # (model is size 1)
+        names = list(mesh.axis_names)
+        grid = np.asarray(mesh.devices)
+        perm = ([names.index("data")] if "data" in names else []) + [
+            names.index("expert")
+        ]
+        perm += [i for i in range(grid.ndim) if i not in perm]
+        grid = np.transpose(grid, perm).reshape(self.dp, self.ep)
         local_ids = {d.id for d in mesh.local_devices}
-        self.coord_device = {c: grid[c, 0] for c in range(self.ep)}
-        self.arenas = {
-            c: ExpertArena(
+        self.device_at = {
+            (d, c): grid[d, c]
+            for d in range(self.dp)
+            for c in range(self.ep)
+        }
+        self.coord_device = {c: grid[0, c] for c in range(self.ep)}
+
+        def make_arena(dev):
+            return ExpertArena(
                 store, num_slots_per_coord,
                 policy=policy,
                 compute_dtype=compute_dtype or jnp.bfloat16,
-                device=self.coord_device[c],
+                device=dev,
                 num_threads=num_threads,
                 reserve_zero_slot=False,
             )
-            for c in range(self.ep)
-            if self.coord_device[c].id in local_ids
-        }
+
+        if self.dp == 1:
+            # legacy keying by expert coordinate (tests/engines index it)
+            self.arenas = {
+                c: make_arena(self.coord_device[c])
+                for c in range(self.ep)
+                if self.coord_device[c].id in local_ids
+            }
+        else:
+            self.arenas = {
+                (d, c): make_arena(grid[d, c])
+                for d in range(self.dp)
+                for c in range(self.ep)
+                if grid[d, c].id in local_ids
+            }
         # key consensus is SPMD-derived (routed ids are replicated, so
         # every process computes the identical key set); only the
         # slot-row fragments and the step barrier need the KV store
@@ -272,49 +310,80 @@ class PodOffloadExecutor:
     def _owner(self, e: int) -> int:
         return self.plan.owner_coord(e)
 
-    def global_slot_row(self, layer: int, step: int, keys) -> np.ndarray:
+    def _arena_items(self):
+        """Uniform (data_coord, expert_coord, arena) iteration over the
+        legacy (dp==1, keyed by c) and joint (keyed by (d, c)) layouts."""
+        for key, arena in self.arenas.items():
+            if isinstance(key, tuple):
+                yield key[0], key[1], arena
+            else:
+                yield 0, key, arena
+
+    def _row_keys_for(self, d: int, keys, row_keys) -> List[Key]:
+        return list(keys) if row_keys is None else list(row_keys[d])
+
+    def global_slot_row(self, layer: int, step: int, keys,
+                        row_keys=None) -> np.ndarray:
         """Exchange per-coordinate slot fragments; -1 marks not-resident
-        (masked to a zero contribution by the shard_map program)."""
+        (masked to a zero contribution by the shard_map program). Returns
+        [E] for pure EP, [dp, E] per-data-row tables for DP x EP (global
+        slot = (d*ep + c)*S + s, matching the jointly-sharded weights
+        view)."""
         mine = {}
-        for c, arena in self.arenas.items():
-            for (layer_, e) in keys:
+        for d, c, arena in self._arena_items():
+            flat = d * self.ep + c
+            for (layer_, e) in self._row_keys_for(d, keys, row_keys):
                 if self._owner(e) == c:
                     s = arena.key_to_slot.get((layer_, e))
                     if s is not None:
-                        mine[int(e)] = c * self.s_local + int(s)
+                        mine[(d, int(e))] = flat * self.s_local + int(s)
         pid = self._jax.process_index()
-        self._slot_hints.publish(f"{step}/{pid}", sorted(mine.items()))
-        row = np.full(self.num_experts, -1, np.int32)
+        self._slot_hints.publish(
+            f"{step}/{pid}", sorted((d, e, g) for (d, e), g in mine.items())
+        )
+        rows = np.full((self.dp, self.num_experts), -1, np.int32)
         for p in range(self._jax.process_count()):
             frag = (
-                mine.items()
+                [(d, e, g) for (d, e), g in mine.items()]
                 if p == pid
                 else self._slot_hints.fetch(f"{step}/{p}", timeout_ms=60_000)
             )
-            for e, g in frag:
-                row[int(e)] = int(g)
-        return row
+            for d, e, g in frag:
+                rows[int(d), int(e)] = int(g)
+        return rows[0] if self.dp == 1 else rows
 
-    def ensure_step(self, layer: int, keys) -> Tuple[np.ndarray, List[Key]]:
+    def ensure_step(self, layer: int, keys,
+                    row_keys=None) -> Tuple[np.ndarray, List]:
         """Warm this host's shards of `keys`, exchange slot rows, join the
-        barrier. Returns (global slot row [E], missing keys — empty unless
-        host_fallback). Every non-missing routed expert is resident AND
-        protected on its owner when this returns; the caller must
-        release_step(keys) after dispatching."""
+        barrier. Returns (global slot row [E] — or [dp, E] per-data-row
+        under DP x EP — and missing keys, empty unless host_fallback; the
+        DP missing entries are (data_coord, key) pairs). Every non-missing
+        routed expert is resident AND protected on its owner when this
+        returns; the caller must release_step after dispatching.
+
+        row_keys: per-data-row key lists (row d's batch slice's routed
+        set); required semantics under dp > 1 — each row warms only what
+        ITS tokens route to."""
         step = next(self._step)
-        missing: List[Key] = []
-        for c, arena in self.arenas.items():
-            mine = [k for k in keys if self._owner(k[1]) == c]
+        missing: List = []
+        for d, c, arena in self._arena_items():
+            mine = [
+                k
+                for k in self._row_keys_for(d, keys, row_keys)
+                if self._owner(k[1]) == c
+            ]
             if not mine:
                 continue
             if self.host_fallback:
                 _resident, miss = arena.try_acquire(
                     mine, layer, self.host_fallback_timeout
                 )
-                missing.extend(miss)
+                missing.extend(
+                    miss if self.dp == 1 else [(d, k) for k in miss]
+                )
             else:
                 arena.acquire(mine, layer)
-        row = self.global_slot_row(layer, step, keys)
+        row = self.global_slot_row(layer, step, keys, row_keys)
         self._barrier.barrier(step)
         # post-barrier: every process has fetched the fragments — delete
         # this process's entry so the coordinator's KV store stays bounded
@@ -322,25 +391,34 @@ class PodOffloadExecutor:
         self._slot_hints.delete(f"{step}/{self._jax.process_index()}")
         return row, missing
 
-    def release_step(self, keys) -> None:
-        for c, arena in self.arenas.items():
-            mine = [k for k in keys if self._owner(k[1]) == c]
+    def release_step(self, keys, row_keys=None) -> None:
+        for d, c, arena in self._arena_items():
+            mine = [
+                k
+                for k in self._row_keys_for(d, keys, row_keys)
+                if self._owner(k[1]) == c
+            ]
             if mine:
                 arena.release(mine)
 
     def weights_view(self):
         """Zero-copy global [ep*S, ...] view over the per-coordinate arena
-        arrays, sharded on the expert axis. MUST be consumed under
-        `dispatch_leases()` — slot landings donate the underlying buffers."""
+        arrays, sharded on the expert axis — or [dp*ep*S, ...] sharded
+        jointly over (data, expert) when dp > 1 (each (d, c) device
+        contributes its own arena's buffers; assembly matches buffers to
+        shards by device). MUST be consumed under `dispatch_leases()` —
+        slot landings donate the underlying buffers."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         out = {}
         coords = sorted(self.arenas)
         trees = {c: self.arenas[c].pytree() for c in coords}
+        axes = "expert" if self.dp == 1 else ("data", "expert")
+        rows = self.ep * self.dp
         for key, a0 in trees[coords[0]].items():
-            shape = (self.ep * a0.shape[0],) + a0.shape[1:]
+            shape = (rows * a0.shape[0],) + a0.shape[1:]
             sharding = NamedSharding(
-                self.mesh, P("expert", *([None] * (a0.ndim - 1)))
+                self.mesh, P(axes, *([None] * (a0.ndim - 1)))
             )
             out[key] = self._jax.make_array_from_single_device_arrays(
                 shape, sharding, [trees[c][key] for c in coords]
@@ -373,8 +451,33 @@ class PodOffloadExecutor:
             self._host_exec, layer, missing, h_np, cw_np, ids_np
         )
 
+    def host_delta_rows(self, layer: int, missing, h_np, cw_np, ids_np):
+        """DP x EP host fallback: `missing` holds (data_coord, key) pairs;
+        an expert missing in row d contributes its host-computed delta
+        only to row d's batch slice (it may be resident — and device-
+        computed — in other rows). SPMD: every process computes every
+        row's deltas from the replicated activations."""
+        import numpy as _np
+
+        from moe_infinity_tpu.runtime.host_exec import host_moe_delta
+
+        by_row: dict = {}
+        for d, k in missing:
+            by_row.setdefault(d, []).append(k)
+        B = h_np.shape[0]
+        b = B // self.dp
+        delta = _np.zeros(h_np.shape, _np.float32)
+        for d, keys_d in by_row.items():
+            sl = slice(d * b, (d + 1) * b)
+            self.host_exec_count += len(keys_d)
+            delta[sl] = host_moe_delta(
+                self._host_exec, layer, keys_d, h_np[sl], cw_np[sl],
+                ids_np[sl],
+            )
+        return delta
+
     def prefetch(self, orders) -> None:
-        for c, arena in self.arenas.items():
+        for _d, c, arena in self._arena_items():
             mine = [k for k in orders if self._owner(k[1]) == c]
             if mine:
                 arena.prefetch(mine)
@@ -384,11 +487,16 @@ class PodOffloadExecutor:
             arena.set_context(layer, decoder_matrix)
 
     def is_resident(self, key: Key) -> bool:
+        # resident iff every local arena that owns the key's coordinate
+        # holds it (dp > 1: each data row is an independent cache shard;
+        # one row missing it means a fetch is still worth planning)
         c = self._owner(key[1])
-        arena = self.arenas.get(c)
-        # non-local experts: treat as resident (their owner prefetches
-        # them; planning more fetches here would be wasted orders)
-        return True if arena is None else arena.is_resident(key)
+        for _d, c_, arena in self._arena_items():
+            if c_ == c and not arena.is_resident(key):
+                return False
+        # non-local experts fall through as resident (their owner
+        # prefetches them; planning more fetches here would be wasted)
+        return True
 
     def stats(self) -> dict:
         out = {"visits": 0, "hits": 0, "misses": 0, "evictions": 0}

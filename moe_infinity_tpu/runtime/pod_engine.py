@@ -105,7 +105,13 @@ class PodOffloadEngine:
                 pl, x, h, cw, ids, weights, slot_row, biases, impl
             )
 
-        self._apply = jax.jit(apply)
+        # out_shardings pinned replicated: under DP x EP the weights view
+        # is (data, expert)-sharded and the compiler would otherwise emit
+        # data-sharded activations, which the host-side consensus (every
+        # process reads the full routing) cannot consume across processes.
+        # The cost is one [B, T, D] all-gather over `data` per MoE layer —
+        # negligible at decode shapes
+        self._apply = jax.jit(apply, out_shardings=self._rep)
 
     # ---- Stepper protocol ------------------------------------------------
     def init_cache(self, batch: int, max_len: int):
@@ -159,13 +165,40 @@ class PodOffloadEngine:
             )
             ids_np = np.asarray(ids)  # replicated: identical on every host
             keys = [(mli, int(e)) for e in np.unique(ids_np)]
+            row_keys = None
+            if ex.dp > 1:
+                B = ids_np.shape[0]
+                if B % ex.dp:
+                    raise ValueError(
+                        f"batch {B} must divide over the data axis ({ex.dp})"
+                    )
+                b = B // ex.dp
+                # row d warms only what ITS batch slice routes to — each
+                # data row is an independent cache shard
+                row_keys = [
+                    [
+                        (mli, int(e))
+                        for e in np.unique(ids_np[d * b:(d + 1) * b])
+                    ]
+                    for d in range(ex.dp)
+                ]
             self._trace_and_prefetch(ids_np, mli, seq_ids)
-            slot_row, _local_miss = ex.ensure_step(mli, keys)
+            slot_row, _local_miss = ex.ensure_step(
+                mli, keys, row_keys=row_keys
+            )
             # derive misses from the GLOBAL slot row (-1 = not resident on
             # its owner), NOT from local arena misses: every process must
             # see the SAME missing set so the host-computed deltas keep
             # the replicated activations identical across the pod
-            missing = [k for k in keys if slot_row[k[1]] < 0]
+            if ex.dp == 1:
+                missing = [k for k in keys if slot_row[k[1]] < 0]
+            else:
+                missing = [
+                    (d, k)
+                    for d in range(ex.dp)
+                    for k in row_keys[d]
+                    if slot_row[d, k[1]] < 0
+                ]
             row_dev = jax.device_put(
                 jnp.asarray(slot_row, jnp.int32), self._rep
             )
@@ -173,13 +206,18 @@ class PodOffloadEngine:
                 tree = ex.weights_view()
                 x = self._apply(pl, x, h, cw, ids, tree, row_dev)
             if missing:
-                delta = ex.host_delta(
-                    mli, missing, np.asarray(h), np.asarray(cw), ids_np
-                )
+                if ex.dp == 1:
+                    delta = ex.host_delta(
+                        mli, missing, np.asarray(h), np.asarray(cw), ids_np
+                    )
+                else:
+                    delta = ex.host_delta_rows(
+                        mli, missing, np.asarray(h), np.asarray(cw), ids_np
+                    )
                 x = x + jax.device_put(
                     jnp.asarray(delta).astype(x.dtype), self._rep
                 )
-            ex.release_step(keys)
+            ex.release_step(keys, row_keys=row_keys)
             trace_ids.append(ids)
             trace_w.append(cw)
         logits = self._head(self.params, x)

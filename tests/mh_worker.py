@@ -272,6 +272,34 @@ assert moe2.engine.executor.host_exec_count > 0, (
 )
 moe2.shutdown()
 
+# ---- DP x EP pod serving across 2 real processes (VERDICT r3 item 5) ------
+# data=2 x expert=4 over 2 processes: each process IS one data row (its 4
+# local devices span the expert axis), runs per-(d, c) arenas for its own
+# batch slice, and the weights view shards its slot dim jointly over
+# (data, expert). Routing consensus and slot-row exchange now carry
+# per-row tables; greedy output must stay HF-exact for BOTH sequences on
+# BOTH processes.
+moe_dp = MoE(ckpt, {
+    "offload_path": ckpt + "/store", "expert_dtype": "float32",
+    "multihost": True, "expert_parallel": 4, "data_parallel": nprocs,
+    "num_slots": 3, "max_seq_len": 64, "prefetch": True,
+})
+assert isinstance(moe_dp.engine, PodOffloadEngine)
+assert moe_dp.engine.executor.dp == nprocs
+# host-affinity: this process owns exactly its data row's 4 coordinates
+assert set(moe_dp.engine.executor.arenas) == {
+    (pid, c) for c in range(4)
+}, sorted(moe_dp.engine.executor.arenas)
+dp_prompt = np.array([[5, 9, 33, 7], [3, 14, 15, 9]])
+want_dp = hf.generate(
+    torch.tensor(dp_prompt), max_new_tokens=4, do_sample=False,
+    eos_token_id=None, pad_token_id=0,
+).numpy()
+got_dp = moe_dp.generate(dp_prompt, max_new_tokens=4, eos_token_id=None)
+np.testing.assert_array_equal(got_dp, want_dp)
+assert moe_dp.hit_rate() > 0
+moe_dp.shutdown()
+
 # ---- SEQ2SEQ pod serving across 2 real processes (VERDICT r3 item 4) ------
 # The reference's flagship models are encoder-decoder; the facade's
 # multihost config must serve them too. Tiny Switch, deterministic on both

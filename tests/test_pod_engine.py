@@ -174,6 +174,93 @@ def test_pod_engine_host_fallback_exact(tiny):
         ex.shutdown()
 
 
+def test_pod_engine_dp_ep_greedy_matches_hf(tiny):
+    """DP x EP composition on the ARENA path (VERDICT r3 item 5): a
+    data=2 x expert=2 mesh, one sequence per data row. Each (d, c) device
+    runs its own arena; the weights view shards its slot dim jointly over
+    (data, expert); each data row carries its own expert->slot table
+    ([dp, E], sharded over `data` inside the shard_map program). Output
+    must match HF greedy exactly for BOTH sequences."""
+    cfg, hf, store_dir = tiny
+    mesh = make_mesh(MeshPlan(data=2, model=1, expert=2))
+    store = ExpertStore(store_dir)
+    model = MixtralModel(
+        MixtralSpec.from_hf(cfg), compute_dtype=jnp.float32, mesh=mesh
+    )
+    params = model.load_params(DenseArchive(store_dir))
+    ex = PodOffloadExecutor(
+        mesh, store, 3, compute_dtype=jnp.float32, num_threads=1
+    )
+    eng = PodOffloadEngine(model, params, ex, prefetch=False, impl="ragged")
+    try:
+        assert ex.dp == 2
+        assert len(ex.arenas) == 4  # one arena per (d, c) device
+        assert set(ex.arenas) == {(d, c) for d in range(2) for c in range(2)}
+        prompt = np.array([[5, 9, 33, 7], [3, 14, 15, 9]])
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=6, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        ).numpy()
+        got = Generator(stepper=eng, max_seq_len=64).generate(
+            prompt, max_new_tokens=6
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        st = eng.stats()
+        assert st["visits"] > 0
+    finally:
+        ex.shutdown()
+
+
+def test_pod_engine_dp_ep_host_fallback_exact(tiny):
+    """DP x EP + run-on-host: ONE data row's arena misses its deadline;
+    its host delta applies only to that row's batch slice (the other row
+    keeps its device-computed result), and both sequences stay
+    greedy-exact."""
+    cfg, hf, store_dir = tiny
+    mesh = make_mesh(MeshPlan(data=2, model=1, expert=2))
+    store = ExpertStore(store_dir)
+    model = MixtralModel(
+        MixtralSpec.from_hf(cfg), compute_dtype=jnp.float32, mesh=mesh
+    )
+    params = model.load_params(DenseArchive(store_dir))
+    ex = PodOffloadExecutor(
+        mesh, store, 3, compute_dtype=jnp.float32, num_threads=1,
+        host_fallback=True, host_fallback_timeout=0.02,
+    )
+    eng = PodOffloadEngine(model, params, ex, prefetch=False, impl="ragged")
+
+    class SlowStore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_expert(self, layer, expert, **kw):
+            import time
+
+            time.sleep(0.1)  # > host_fallback_timeout
+            return self._inner.get_expert(layer, expert, **kw)
+
+    # slow BOTH coordinates of data row 1: whatever row 1 routes, some
+    # key misses its deadline there while row 0 stays fast
+    ex.arenas[(1, 0)].store = SlowStore(ex.arenas[(1, 0)].store)
+    ex.arenas[(1, 1)].store = SlowStore(ex.arenas[(1, 1)].store)
+    try:
+        prompt = np.array([[5, 9, 33, 7], [3, 14, 15, 9]])
+        want = hf.generate(
+            torch.tensor(prompt), max_new_tokens=4, do_sample=False,
+            eos_token_id=None, pad_token_id=0,
+        ).numpy()
+        got = Generator(stepper=eng, max_seq_len=64).generate(
+            prompt, max_new_tokens=4
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        assert ex.host_exec_count > 0  # the fallback actually fired
+    finally:
+        ex.shutdown()
+
+
 def test_facade_pod_plan(tiny):
     """The FACADE composes the pod pieces itself (multihost config) —
     VERDICT r2 item 5: pod serving is a product path, not test glue."""
