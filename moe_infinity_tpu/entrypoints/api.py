@@ -551,6 +551,8 @@ class MoE:
                 self.model, self.params, executor,
                 tracer=tracer, predictor=ExpertPredictor(tracer),
                 prefetch=config.prefetch, impl=config.moe_impl,
+                speculative=(config.speculative_decode and dp == 1),
+                spec_block=config.speculative_block,
             )
             self.generator = Generator(
                 stepper=self.engine, max_seq_len=config.max_seq_len

@@ -305,6 +305,10 @@ class PodOffloadExecutor:
         )
         self._step = itertools.count()
         self._jax = jax
+        # barrier joins across BOTH step protocols (per-layer ensure_step
+        # and speculative block snapshots) — the pod speculative tests
+        # assert blocks join fewer barriers per token than per-layer
+        self.barrier_joins = 0
 
     # ------------------------------------------------------------------
     def _owner(self, e: int) -> int:
@@ -385,6 +389,7 @@ class PodOffloadExecutor:
                 arena.acquire(mine, layer)
         row = self.global_slot_row(layer, step, keys, row_keys)
         self._barrier.barrier(step)
+        self.barrier_joins += 1
         # post-barrier: every process has fetched the fragments — delete
         # this process's entry so the coordinator's KV store stays bounded
         # over a long serving run (one entry per layer per step otherwise)
@@ -513,3 +518,137 @@ class PodOffloadExecutor:
     def shutdown(self) -> None:
         for arena in self.arenas.values():
             arena.shutdown()
+
+
+class PodSpecView:
+    """ExpertArena-shaped facade over a PodOffloadExecutor for the
+    speculative executors (runtime.engine.run_speculative /
+    run_speculative_block) — the piece that lets the pod path run WHOLE
+    decode blocks per consensus round instead of one barrier per MoE
+    layer per token (the reference's per-miss cv.wait equivalent,
+    /root/reference/core/prefetch/archer_prefetch_handle.cpp:83-121,
+    amortized away).
+
+    dispatch_snapshot() takes a lease-consistent snapshot of every LOCAL
+    arena, exchanges the full per-coordinate (key -> global slot) tables
+    and resident sets across the pod through the jax.distributed KV
+    store, joins ONE barrier, and yields (global weights view, [L, E]
+    global slot rows, global resident set). Every process therefore
+    dispatches the identical program against an identical residency
+    picture and takes identical accept/replay decisions — SPMD
+    determinism without per-layer synchronization. acquire()/release()
+    warm and protect only THIS host's coordinates; the next snapshot's
+    barrier re-syncs the pod (a miss on any host replays everywhere, by
+    construction, because the merged resident set is shared).
+
+    Caveat: a capacity failure (arena exhausted) surfaces on the owning
+    process first; its engine degrades to the per-layer path while peers
+    wait at the next spec barrier until the 60 s exchange timeout
+    surfaces the divergence. Size s_local to hold a block's per-
+    coordinate union (>= num_experts/ep) to stay off that path."""
+
+    def __init__(self, executor: "PodOffloadExecutor"):
+        import itertools
+        import threading
+
+        self.ex = executor
+        self.num_slots = executor.ep * executor.s_local
+        self.num_layers = executor.store.num_layers
+        self._spec_step = itertools.count()
+        # executor-serialization lock (the facade's generate/batch paths
+        # take it, mirroring ExpertArena.client_lock): one client at a
+        # time keeps every protected set satisfiable across the arenas
+        self.client_lock = threading.RLock()
+
+    # ---- budget probes (engine._current_budget) -----------------------
+    @property
+    def fetch_seconds_ewma(self):
+        vals = [
+            a.fetch_seconds_ewma
+            for a in self.ex.arenas.values()
+            if a.fetch_seconds_ewma is not None
+        ]
+        return max(vals) if vals else None
+
+    @property
+    def num_workers(self) -> int:
+        return next(iter(self.ex.arenas.values())).num_workers
+
+    # ---- speculative protocol ------------------------------------------
+    def dispatch_snapshot(self):
+        from contextlib import ExitStack, contextmanager
+
+        if self.ex.dp != 1:
+            raise NotImplementedError(
+                "speculative pod decode is pure expert-parallel for now "
+                "(data axis must be 1)"
+            )
+        ex = self.ex
+
+        @contextmanager
+        def snapshot():
+            step = next(self._spec_step)
+            pid = ex._jax.process_index()
+            with ExitStack() as stack:
+                coords = sorted(ex.arenas)
+                snaps = {
+                    c: stack.enter_context(ex.arenas[c].dispatch_snapshot())
+                    for c in coords
+                }
+                frag = []
+                for c in coords:
+                    _tree, rows, resident = snaps[c]
+                    for (layer, e) in resident:
+                        frag.append(
+                            (layer, e, c * ex.s_local + int(rows[layer, e]))
+                        )
+                frag.sort()
+                ex._slot_hints.publish(f"spec{step}/{pid}", frag)
+                rows_g = np.full(
+                    (self.num_layers, ex.num_experts), -1, np.int32
+                )
+                resident_g = set()
+                for p in range(ex._jax.process_count()):
+                    f = (
+                        frag
+                        if p == pid
+                        else ex._slot_hints.fetch(
+                            f"spec{step}/{p}", timeout_ms=60_000
+                        )
+                    )
+                    for layer, e, g in f:
+                        rows_g[int(layer), int(e)] = int(g)
+                        resident_g.add((int(layer), int(e)))
+                ex._barrier.barrier(f"spec{step}")
+                ex.barrier_joins += 1
+                tree = ex.weights_view()  # zero-copy; leases held by snaps
+                yield tree, rows_g, resident_g
+            ex._slot_hints.delete(f"spec{step}/{pid}")
+
+        return snapshot()
+
+    def acquire(self, keys, layer: int) -> None:
+        for _d, c, arena in self.ex._arena_items():
+            mine = [k for k in keys if self.ex._owner(k[1]) == c]
+            if mine:
+                arena.acquire(mine, layer)
+
+    def release(self, keys) -> None:
+        for _d, c, arena in self.ex._arena_items():
+            mine = [k for k in keys if self.ex._owner(k[1]) == c]
+            if mine:
+                arena.release(mine)
+
+    # ---- policy glue (spec_trace_and_prefetch reads these) -------------
+    def is_resident(self, key: Key) -> bool:
+        return self.ex.is_resident(key)
+
+    def set_context(self, layer: int, decoder_matrix=None) -> None:
+        self.ex.set_context(layer, decoder_matrix)
+
+    def prefetch(self, orders, protect: Sequence[Key] = ()) -> None:
+        for _d, c, arena in self.ex._arena_items():
+            mine = [k for k in orders if self.ex._owner(k[1]) == c]
+            guard = [k for k in protect if self.ex._owner(k[1]) == c]
+            if mine or guard:
+                arena.prefetch(mine, protect=guard)

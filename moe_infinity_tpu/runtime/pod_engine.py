@@ -36,7 +36,10 @@ from moe_infinity_tpu.memory.prefetch_plan import (
 )
 from moe_infinity_tpu.memory.tracer import ExpertTracer
 from moe_infinity_tpu.parallel.pod import PodOffloadExecutor
-from moe_infinity_tpu.runtime.engine import _split_arena_tree
+from moe_infinity_tpu.runtime.engine import (
+    _split_arena_tree,
+    speculative_stats,
+)
 from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
 from moe_infinity_tpu.utils.logger import get_logger
 
@@ -44,12 +47,25 @@ logger = get_logger("pod_engine")
 
 
 class PodOffloadEngine:
-    """Decoder-only per-layer offload Stepper over an `expert`-axis mesh.
+    """Decoder-only offload Stepper over an `expert`-axis mesh.
 
     `model` must be constructed with `mesh=...` so its moe_block routes
-    through grouped_ffn_ep (global-slot indirection, psum combine)."""
+    through grouped_ffn_ep (global-slot indirection, psum combine).
 
-    speculative = False
+    Two stepping protocols:
+
+    * per-layer (default): each MoE layer costs one consensus round
+      (arena warm + slot-row exchange + barrier) before its collective
+      dispatch — L_moe barriers per token.
+    * speculative (speculative=True, pure EP): whole decode steps — and
+      k-step greedy BLOCKS (decode_block) — run as ONE compiled program
+      against a pod-wide residency snapshot (PodSpecView), verified from
+      the snapshot's shared resident set and replayed on miss. A
+      converged block costs ~1-2 consensus rounds TOTAL instead of
+      k * L_moe — exactly where per-layer host sync costs the most
+      (VERDICT r3 item 7). Misses fall back to warm-and-replay (every
+      process takes the identical decision from the shared snapshot);
+      the run-on-host escape hatch stays a per-layer-path feature."""
 
     def __init__(
         self,
@@ -64,6 +80,9 @@ class PodOffloadEngine:
         prefetch_budget: Optional[int] = None,
         adaptive_budget: bool = True,
         impl: str = "ragged",
+        speculative: bool = False,
+        spec_block: int = 1,
+        max_replays: Optional[int] = None,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -71,6 +90,11 @@ class PodOffloadEngine:
             raise ValueError(
                 "PodOffloadEngine needs a model built with an expert-axis "
                 "mesh (model.mesh)"
+            )
+        if speculative and executor.dp != 1:
+            raise NotImplementedError(
+                "speculative pod decode is pure expert-parallel for now "
+                "(data axis must be 1)"
             )
         self.model = model
         self.executor = executor
@@ -84,7 +108,16 @@ class PodOffloadEngine:
         self._impl = impl
         self._layer_seconds: Optional[float] = None
         self._last_layer_t: Optional[float] = None
-        self.arena = next(iter(executor.arenas.values()))  # budget probes
+        self.speculative = speculative
+        self.spec_block = max(1, spec_block)
+        self.max_replays = max_replays
+        self.replay_counts: list = []
+        self._spec_block_cache: dict = {}
+        # budget probes + (speculative) the pod-wide snapshot facade the
+        # spec executors and spec_trace_and_prefetch drive
+        from moe_infinity_tpu.parallel.pod import PodSpecView
+
+        self.arena = PodSpecView(executor)
 
         self._rep = NamedSharding(model.mesh, P())
         self.params = jax.tree.map(
@@ -98,6 +131,28 @@ class PodOffloadEngine:
             if hasattr(model, "dense_layer")
             else None
         )
+        self._moe_lis = [
+            model.moe_layer_index(li)
+            for li in range(model.spec.num_layers)
+            if model.moe_layer_index(li) is not None
+        ]
+        if speculative:
+            # whole-step program over the snapshot's global slot rows;
+            # outputs pinned replicated (the sharded weights view would
+            # otherwise propagate into host-read activations)
+            def spec_fwd(params, tree, slot_rows, tokens, positions, kvs,
+                         kv_len):
+                weights, biases = _split_arena_tree(tree)
+
+                def for_layer(_experts, mli):
+                    return weights, slot_rows[mli], biases
+
+                return model.forward(
+                    params, None, tokens, positions, kvs, kv_len,
+                    for_layer=for_layer, impl=impl,
+                )
+
+            self._spec_fwd = jax.jit(spec_fwd, out_shardings=self._rep)
 
         def apply(pl, x, h, cw, ids, tree, slot_row):
             weights, biases = _split_arena_tree(tree)
@@ -112,6 +167,75 @@ class PodOffloadEngine:
         # The cost is one [B, T, D] all-gather over `data` per MoE layer —
         # negligible at decode shapes
         self._apply = jax.jit(apply, out_shardings=self._rep)
+
+    # ---- speculative block machinery -------------------------------------
+    def _spec_block_fn(self, k: int):
+        """Jitted k-step greedy decode block over the pod snapshot's
+        global slot rows — the single-host block program (engine.py
+        _spec_block_fn) recompiled against the EP shard_map dispatch;
+        one program per block size, outputs replicated."""
+        if k in self._spec_block_cache:
+            return self._spec_block_cache[k]
+        model, impl = self.model, self._impl
+
+        def spec_block(params, tree, slot_rows, tok0, pos0, kvs):
+            weights, biases = _split_arena_tree(tree)
+
+            def for_layer(_experts, mli):
+                return weights, slot_rows[mli], biases
+
+            def body(carry, _):
+                tok, pos, kvs = carry
+                positions = jnp.full((tok.shape[0], 1), pos, jnp.int32)
+                logits, kvs, (t_ids, _t_w) = model.forward(
+                    params, None, tok, positions, kvs, pos,
+                    for_layer=for_layer, impl=impl,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt[:, None], pos + 1, kvs), (nxt, t_ids)
+
+            (_, _, kvs), (toks, tids) = jax.lax.scan(
+                body, (tok0, jnp.int32(pos0), kvs), None, length=k
+            )
+            tr = jnp.moveaxis(tids, 0, 2)
+            tr = tr.reshape(tr.shape[0], tr.shape[1], k, -1)
+            return toks.T, kvs, tr  # toks [B, k]
+
+        fn = jax.jit(spec_block, out_shardings=self._rep)
+        self._spec_block_cache[k] = fn
+        return fn
+
+    def decode_block(self, tok, pos: int, kv_caches, k: int, seq_ids=None):
+        """k greedy decode steps as ONE pod-consensus round per dispatch
+        (whole-block replay): a converged block joins 1-2 barriers total
+        instead of k * L_moe. Raises RuntimeError when a coordinate's
+        arena cannot hold its shard of the block's expert union — the
+        Generator halves the block."""
+        from moe_infinity_tpu.runtime.engine import (
+            run_speculative,
+            spec_trace_and_prefetch,
+        )
+
+        params = self.params
+        fn = self._spec_block_fn(k)
+        rep = self._rep
+
+        def run(tree, slot_rows):
+            toks, kvs2, tr = fn(
+                params, tree, jax.device_put(slot_rows, rep), tok,
+                jnp.int32(pos), kv_caches,
+            )
+            return toks, kvs2, tr.reshape(tr.shape[0], tr.shape[1], -1)
+
+        limit = self.max_replays or (len(self._moe_lis) + 2 + k)
+        (toks, new_kvs), ids_np, execs = run_speculative(
+            self.arena, self._moe_lis, run, limit
+        )
+        self.replay_counts.append(execs)
+        spec_trace_and_prefetch(
+            self, ids_np, self._moe_lis, seq_ids, budget_scale=k
+        )
+        return np.asarray(toks), new_kvs
 
     # ---- Stepper protocol ------------------------------------------------
     def init_cache(self, batch: int, max_len: int):
@@ -148,6 +272,46 @@ class PodOffloadEngine:
         positions = jax.device_put(
             jnp.asarray(positions, jnp.int32), self._rep
         )
+        if self.speculative and tokens.shape[1] == 1:
+            # decode: whole-step execution against the pod snapshot
+            # (prefill keeps the per-layer path — its per-layer expert
+            # union can exceed a coordinate's arena)
+            from moe_infinity_tpu.runtime.engine import (
+                is_spec_capacity_error,
+                run_speculative,
+                spec_trace_and_prefetch,
+            )
+
+            params, rep = self.params, self._rep
+
+            def run(tree, slot_rows):
+                logits, new_kvs, (t_ids, t_w) = self._spec_fwd(
+                    params, tree, jax.device_put(slot_rows, rep), tokens,
+                    positions, kv_caches, kv_len,
+                )
+                return logits, new_kvs, t_w, t_ids
+
+            limit = self.max_replays or (len(self._moe_lis) + 2)
+            try:
+                (logits, new_kvs, t_w), ids_np, execs = run_speculative(
+                    self.arena, self._moe_lis, run, limit
+                )
+            except RuntimeError as e:
+                if is_spec_capacity_error(e):
+                    logger.warning(
+                        "pod speculative decode disabled (%s); falling "
+                        "back to the per-layer path", e,
+                    )
+                    self.speculative = False
+                else:
+                    logger.warning(
+                        "pod speculative step transient error (%s); "
+                        "per-layer for this step", e,
+                    )
+            else:
+                self.replay_counts.append(execs)
+                spec_trace_and_prefetch(self, ids_np, self._moe_lis, seq_ids)
+                return logits, new_kvs, (jnp.asarray(ids_np), t_w)
         x = self._embed(self.params, tokens)
         trace_ids, trace_w = [], []
         self._last_layer_t = None
@@ -273,7 +437,10 @@ class PodOffloadEngine:
         return self.executor.stats()["hit_rate"]
 
     def stats(self) -> dict:
-        return self.executor.stats()
+        out = self.executor.stats()
+        out.update(speculative_stats(self.replay_counts))
+        out["barrier_joins"] = self.executor.barrier_joins
+        return out
 
     def node_stats(self) -> dict:
         return {c: a.node_stats() for c, a in self.executor.arenas.items()}

@@ -208,7 +208,38 @@ want = hf.generate(
 got = moe.generate(prompt, max_new_tokens=5, eos_token_id=None)
 np.testing.assert_array_equal(got, want)
 assert moe.hit_rate() > 0
+# per-layer stepping joins one consensus barrier per MoE layer per
+# forward — the baseline the speculative-block leg below must beat
+barriers_per_tok_pl = moe.engine.executor.barrier_joins / 5
 moe.shutdown()
+
+# ---- speculative pod blocks across 2 real processes (VERDICT r3 item 7) ---
+# Whole k-step decode blocks run as one compiled program per pod-wide
+# residency snapshot (PodSpecView: full slot-table exchange + ONE
+# barrier per dispatch); both processes take identical accept/replay
+# decisions from the shared resident set. Greedy output must stay
+# HF-exact and the block path must join fewer barriers per token.
+moe_sp = MoE(ckpt, {
+    "offload_path": ckpt + "/store", "expert_dtype": "float32",
+    "multihost": True, "expert_parallel": 4 * nprocs, "num_slots": 3,
+    "max_seq_len": 64, "prefetch": False,
+    "speculative_decode": True, "speculative_block": 4,
+})
+assert moe_sp.engine.speculative
+want_sp = hf.generate(
+    torch.tensor(prompt), max_new_tokens=8, do_sample=False,
+    eos_token_id=None, pad_token_id=0,
+).numpy()
+got_sp = moe_sp.generate(prompt, max_new_tokens=8, eos_token_id=None)
+np.testing.assert_array_equal(got_sp, want_sp)
+st_sp = moe_sp.engine.stats()
+assert st_sp.get("speculative_steps", 0) > 0, st_sp
+barriers_per_tok_sp = moe_sp.engine.executor.barrier_joins / 8
+assert barriers_per_tok_sp < barriers_per_tok_pl, (
+    f"spec blocks: {barriers_per_tok_sp:.2f} barriers/token vs "
+    f"per-layer {barriers_per_tok_pl:.2f} — no amortization"
+)
+moe_sp.shutdown()
 
 # ---- host_fallback under CROSS-PROCESS divergence pressure ---------------
 # Slow fetches on the coordinate owning an expert the HF router PROVABLY

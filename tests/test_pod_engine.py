@@ -174,6 +174,60 @@ def test_pod_engine_host_fallback_exact(tiny):
         ex.shutdown()
 
 
+def test_pod_engine_speculative_blocks(tiny):
+    """Speculative whole-block decode on the pod path (VERDICT r3 item
+    7): k-step greedy blocks run as ONE compiled program per pod
+    consensus round (PodSpecView snapshot exchange + single barrier),
+    verified against the shared resident set and replayed on miss.
+    Output must stay HF greedy-exact AND the block path must join FEWER
+    barriers per token than the per-layer path."""
+    cfg, hf, store_dir = tiny
+    prompt = np.array([[5, 9, 33, 7]])
+    new = 8
+    want = hf.generate(
+        torch.tensor(prompt), max_new_tokens=new, do_sample=False,
+        eos_token_id=None, pad_token_id=0,
+    ).numpy()
+
+    # per-layer baseline: one consensus round per MoE layer per token
+    eng_pl, ex_pl, _ = _pod_engine(cfg, store_dir, ep=2, s_local=4)
+    try:
+        got_pl = Generator(stepper=eng_pl, max_seq_len=64).generate(
+            prompt, max_new_tokens=new
+        ).sequences
+        np.testing.assert_array_equal(got_pl, want)
+        barriers_pl = ex_pl.barrier_joins
+    finally:
+        ex_pl.shutdown()
+
+    mesh = make_mesh(MeshPlan(data=1, model=1, expert=2))
+    store = ExpertStore(store_dir)
+    model = MixtralModel(
+        MixtralSpec.from_hf(cfg), compute_dtype=jnp.float32, mesh=mesh
+    )
+    params = model.load_params(DenseArchive(store_dir))
+    ex = PodOffloadExecutor(
+        mesh, store, 4, compute_dtype=jnp.float32, num_threads=1
+    )
+    eng = PodOffloadEngine(
+        model, params, ex, prefetch=False, impl="ragged",
+        speculative=True, spec_block=4,
+    )
+    try:
+        got = Generator(stepper=eng, max_seq_len=64).generate(
+            prompt, max_new_tokens=new
+        ).sequences
+        np.testing.assert_array_equal(got, want)
+        st = eng.stats()
+        assert st.get("speculative_steps", 0) > 0  # blocks actually ran
+        assert ex.barrier_joins < barriers_pl, (
+            f"speculative blocks joined {ex.barrier_joins} barriers vs "
+            f"{barriers_pl} per-layer — no amortization"
+        )
+    finally:
+        ex.shutdown()
+
+
 def test_pod_engine_dp_ep_greedy_matches_hf(tiny):
     """DP x EP composition on the ARENA path (VERDICT r3 item 5): a
     data=2 x expert=2 mesh, one sequence per data row. Each (d, c) device
