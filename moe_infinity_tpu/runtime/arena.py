@@ -484,6 +484,40 @@ class ExpertArena:
                 new.on_insert(key, prefetched=False)
             self.policy = new
 
+    def swap_policy(self, new_policy) -> "ExpertCachePolicy":
+        """Swap in a PREVIOUSLY BUILT policy object, preserving its learned
+        state (frequency counters, per-node stats, clock) and reconciling
+        its residency picture with the arena's current slots. Returns the
+        outgoing policy object (equally preserved) so the caller can swap
+        it back later.
+
+        This is what interleaved A/B/A/B policy measurement needs
+        (VERDICT r3 item 3): `reset_policy` starts the incoming policy
+        COLD every swap, so alternating windows would re-pay the
+        frequency warm-up each time and the comparison would measure the
+        warm-up, not the policy. With swap, each policy accumulates its
+        own state across its windows while relay-load drift cancels in
+        the pairing. Live protections and prefetch candidates carry over
+        (they describe the ARENA's current clients, not the policy)."""
+        from moe_infinity_tpu.memory.cache_policy import ExpertCachePolicy
+
+        assert isinstance(new_policy, ExpertCachePolicy)
+        with self._lock:
+            old = self.policy
+            resident_now = set(self.key_to_slot)
+            known = set(new_policy.resident)
+            for key in resident_now - known:
+                new_policy.on_insert(key, prefetched=False)
+            for key in known - resident_now:
+                # silent removal: the OTHER policy evicted it; counting it
+                # as this policy's eviction would poison the A/B stats
+                new_policy.resident.pop(key, None)
+                new_policy._was_prefetched.discard(key)
+            new_policy.protected_ondemand = dict(old.protected_ondemand)
+            new_policy.candidates = set(old.candidates)
+            self.policy = new_policy
+            return old
+
     def prefetch(self, orders: Sequence[Key], protect: Sequence[Key] = ()) -> None:
         """Replace the prefetch plan: new candidate protection set, stale
         queued prefetches dropped (reference ReplaceCacheCandidates +

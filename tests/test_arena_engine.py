@@ -114,6 +114,43 @@ class TestArena:
         finally:
             arena.shutdown()
 
+    def test_swap_policy_preserves_state_and_reconciles(self, tiny_mixtral):
+        """swap_policy (interleaved A/B windows, VERDICT r3 item 3): the
+        incoming policy keeps its learned counters across swaps, its
+        residency picture is reconciled to the arena's CURRENT slots, and
+        silent reconciliation never counts as an eviction."""
+        from moe_infinity_tpu.memory.cache_policy import ExpertCachePolicy
+
+        _, _, _, store_dir = tiny_mixtral
+        arena = make_arena(store_dir, num_slots=2, policy="lru")
+        try:
+            pol_a = arena.policy
+            pol_b = ExpertCachePolicy(
+                arena.num_layers, arena.num_experts, policy="priority"
+            )
+            arena.acquire([(0, 0), (0, 1)], 0)
+            arena.release([(0, 0), (0, 1)])
+            freq_a = pol_a.frequency.copy()
+            # swap B in: it must learn the current residency silently
+            out = arena.swap_policy(pol_b)
+            assert out is pol_a
+            assert set(pol_b.resident) == {(0, 0), (0, 1)}
+            assert pol_b.stats.evictions == 0
+            # B accumulates its own stats; evict (0, 0) by touching others
+            arena.acquire([(0, 2)], 0)
+            arena.release([(0, 2)])
+            assert pol_b.stats.visits == 1
+            evicted = {(0, 0), (0, 1)} - set(arena.key_to_slot)
+            assert len(evicted) == 1 and pol_b.stats.evictions == 1
+            # swap A back: frequency preserved, residency reconciled,
+            # the OTHER policy's eviction not charged to A
+            arena.swap_policy(pol_a)
+            np.testing.assert_array_equal(pol_a.frequency, freq_a)
+            assert set(pol_a.resident) == set(arena.key_to_slot)
+            assert pol_a.stats.evictions == 0
+        finally:
+            arena.shutdown()
+
     def test_prefetch_then_acquire_is_hit(self, tiny_mixtral):
         _, _, _, store_dir = tiny_mixtral
         arena = make_arena(store_dir, num_slots=4)

@@ -87,6 +87,11 @@ def test_nllb_pressure_preset_smoke(bench, monkeypatch):
     for leg in out["policy_legs"].values():
         assert leg["tokens_per_s"] > 0
         assert leg["decode_hit_rate"] is None or 0 <= leg["decode_hit_rate"] <= 1
+        # interleaved windows: one timed window per round per policy
+        assert len(leg["window_tokens_per_s"]) == out["rounds"]
+    # the drift-robust paired statistic exists and has a verdict
+    assert out["paired_tput_ratio_median"] is not None
+    assert out["priority_beats_lru_tput"] in (True, False)
     import json
     json.dumps(out)  # payload must be JSON-serializable
 
