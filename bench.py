@@ -1143,6 +1143,8 @@ def bench_nllb_offload(args, shared=None, _build=None):
         result["decode_misses"] = dw["misses"]
         result["decode_evictions"] = dw["evictions"]
         result["decode_miss_by_layer"] = dw["miss_by_layer"]
+        result["decode_miss_churn"] = dw.get("miss_churn")
+        result["decode_miss_fresh"] = dw.get("miss_fresh")
     from moe_infinity_tpu.runtime.engine import spec_block_diag
 
     sd = spec_block_diag(getattr(engine, "spec_log", []))

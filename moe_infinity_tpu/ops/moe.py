@@ -159,6 +159,18 @@ def grouped_ffn(
     optional '<key>_scale' [S,out] for quantized arenas.
     biases (NLLB): 'gate_bias' [S,F], 'down_bias' [S,D].
     """
+    # Non-resident slots are -1 (the arena clears evicted rows): mask them
+    # to ZERO contribution instead of gathering a stale slot's weights.
+    # Resident/per-layer paths route only >= 0 slots, so this folds away;
+    # on the SPECULATIVE path it turns a miss into an expert-dropout
+    # approximation instead of garbage — deeper layers then route from
+    # near-correct activations and the verify/replay loop converges in
+    # 1-2 dispatches instead of cascading layer by layer (round-4 chip
+    # diagnosis with garbage contributions: mean_step_executions 5.5,
+    # accept_at_1 9%, replays re-discovering 3-8 misses each).
+    invalid = expert_to_slot[expert_ids] < 0  # [T, K]
+    combine_weights = jnp.where(invalid, 0.0, combine_weights)
+    expert_to_slot = jnp.maximum(expert_to_slot, 0)
     if impl == "ragged":
         return _gffn_ragged(
             x, expert_ids, combine_weights, expert_to_slot,

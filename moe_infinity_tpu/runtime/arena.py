@@ -206,9 +206,11 @@ class ExpertArena:
         # ---- residency state (host) --------------------------------------
         self.slot_to_key: List[Optional[Key]] = [None] * num_slots
         self.key_to_slot: Dict[Key, int] = {}
-        self.expert_to_slot = np.zeros(
-            (self.num_layers, self.num_experts), dtype=np.int32
-        )  # rows are only meaningful where resident; host guarantees that
+        self.expert_to_slot = np.full(
+            (self.num_layers, self.num_experts), -1, dtype=np.int32
+        )  # -1 = not resident; grouped_ffn masks those to a zero
+        # contribution, so a speculative dispatch approximates a miss as
+        # expert dropout instead of gathering a stale slot's weights
         self._free_slots: List[int] = list(range(num_slots - 1, -1, -1))
 
         # ---- fetch machinery ---------------------------------------------
@@ -817,5 +819,6 @@ class ExpertArena:
         victim = victims[0]
         slot = self.key_to_slot.pop(victim)
         self.slot_to_key[slot] = None
+        self.expert_to_slot[victim] = -1  # masked to zero contribution
         self.policy.on_evict(victim)
         return slot

@@ -749,6 +749,7 @@ class Seq2SeqOffloadEngine:
         self._dw0 = self.arena.hit_stats()
         self._dw_miss0 = self.arena.policy.node_stats["misses"].copy()
         self._dw_visit0 = self.arena.policy.node_stats["visits"].copy()
+        self._dw_evict0 = self.arena.policy.node_stats["evictions"].copy()
         while step < max_new_tokens:
             _it_t0 = _time.perf_counter()
             # ---- k-step speculative block (greedy-only fast path) -------
@@ -964,6 +965,18 @@ class Seq2SeqOffloadEngine:
         visit = self.arena.policy.node_stats["visits"] - self._dw_visit0
         d["miss_by_layer"] = miss.sum(axis=1).astype(int).tolist()
         d["visit_by_layer"] = visit.sum(axis=1).astype(int).tolist()
+        # churn attribution: a key with BOTH evictions and misses inside
+        # the window is (to first order) a churn victim — it was resident,
+        # something displaced it, and it came back as a miss. Fresh misses
+        # (never evicted in-window) are genuine routing drift the planner
+        # failed to cover. This is the diagnostic that separates "prefetch
+        # storms are eating the hot set" from "prediction can't see the
+        # drift" (round-4: 2327 evictions vs 728 misses).
+        evict = self.arena.policy.node_stats["evictions"] - self._dw_evict0
+        if hasattr(self, "_dw_evict0"):
+            churn = (evict > 0) & (miss > 0)
+            d["miss_churn"] = int(miss[churn].sum())
+            d["miss_fresh"] = int(miss[~churn].sum())
         return d
 
     def node_stats(self) -> dict:
