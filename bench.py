@@ -1145,6 +1145,9 @@ def bench_nllb_offload(args, shared=None, _build=None):
         result["decode_miss_by_layer"] = dw["miss_by_layer"]
         result["decode_miss_churn"] = dw.get("miss_churn")
         result["decode_miss_fresh"] = dw.get("miss_fresh")
+        result["decode_distinct_routed"] = dw.get("distinct_routed")
+        result["decode_evict_hot"] = dw.get("evict_hot")
+        result["decode_evict_cold"] = dw.get("evict_cold")
     from moe_infinity_tpu.runtime.engine import spec_block_diag
 
     sd = spec_block_diag(getattr(engine, "spec_log", []))

@@ -174,7 +174,19 @@ class ExpertCachePolicy:
                         score[i] = (i - nenc) / (ndec + 1)
                 else:  # decoder phase
                     if i < nenc:
-                        score[i] = 1.0 - i / nenc
+                        # encoder rows CANNOT be routed again until the
+                        # next request's prefill — during a decode of
+                        # 100s of steps they are the stale tier. The old
+                        # 1.0 - i/nenc scored early-encoder rows as high
+                        # as the live decoder hot set, and with their
+                        # huge prefill-accumulated frequency the priority
+                        # matrix protected THEM and evicted live decoder
+                        # experts: a chip-measured eviction storm where
+                        # 80% of decode misses (457/570) were hot keys
+                        # churned out and refetched. Keep only a small
+                        # tiebreak ordering among encoder rows so the
+                        # next request still finds later-staged ones.
+                        score[i] = 0.05 * (1.0 - i / nenc)
                     else:
                         score[i] = (
                             1.0

@@ -91,6 +91,9 @@ class NllbModel:
         self.spec = spec
         self.dtype = compute_dtype
         self.mesh = mesh
+        # speculative engines set this > 0: the trace then carries the
+        # router's next-m runner-ups so acquisition covers near-tie flips
+        self.route_margin = 0
         self._pos_table = sinusoidal_embedding(
             spec.max_positions + spec.pad_token_id + 1,
             spec.d_model,
@@ -260,8 +263,14 @@ class NllbModel:
         v = linear(x, a["v"], a["vb"]).reshape(B, T, H, D // H)
         return k, v
 
-    def _route_top2(self, b, h):
-        """Eval-mode NLLB top-2 (no capacity dropping)."""
+    def _route_top2(self, b, h, margin: int = 0):
+        """Eval-mode NLLB top-2 (no capacity dropping). margin > 0 also
+        returns the NEXT-m runner-up expert ids (trace_ids [BT, 2+m]):
+        the speculative engines widen acquisition to the router's own
+        near-tie candidates so a replay's routing flip lands on an
+        already-resident expert (chip diagnosis: deep-layer top-2 sits at
+        near-ties under drift, so each replay flipped to a NEW expert and
+        the block re-missed — 5 dispatches per 4-token block)."""
         E = self.spec.num_experts
         B, T, D = h.shape
         logits = linear(h.astype(jnp.float32), b["router"]).reshape(B * T, E)
@@ -276,7 +285,13 @@ class NllbModel:
         denom = jnp.maximum(w1 + w2, jnp.finfo(jnp.float32).eps)
         ids = jnp.stack([top1, top2], axis=-1).astype(jnp.int32)
         cw = jnp.stack([w1 / denom, w2 / denom], axis=-1)
-        return cw, ids
+        if margin <= 0:
+            return cw, ids, ids
+        masked2 = jnp.where(
+            jax.nn.one_hot(top2, E, dtype=bool), -jnp.inf, masked
+        )
+        nxt = jax.lax.top_k(masked2, margin)[1].astype(jnp.int32)
+        return cw, ids, jnp.concatenate([ids, nxt], axis=-1)
 
     def _ff(self, b, h, mli, experts, for_layer, impl, trace=None):
         s = self.spec
@@ -284,9 +299,9 @@ class NllbModel:
         if mli is None:
             a = jax.nn.relu(linear(h, b["fc1"], b["fc1b"]))
             return linear(a, b["fc2"], b["fc2b"])
-        cw, ids = self._route_top2(b, h)
+        cw, ids, trace_ids = self._route_top2(b, h, self.route_margin)
         if trace is not None:
-            trace.append(ids.reshape(B, T, -1))
+            trace.append(trace_ids.reshape(B, T, -1))
         weights, slot_map, biases = for_layer(experts, mli)
         y = grouped_ffn(
             h.reshape(B * T, D), ids, cw, slot_map, weights, "relu",
@@ -336,7 +351,7 @@ class NllbModel:
     def enc_block_sparse_pre(self, b, x, bias, q_pos):
         x, h = self._enc_attn(b, x, bias, q_pos)
         B, T, _ = h.shape
-        cw, ids = self._route_top2(b, h)
+        cw, ids, _ = self._route_top2(b, h)
         return x, h, cw.reshape(B, T, -1), ids.reshape(B, T, -1)
 
     def enc_block_dense(self, b, x, bias, q_pos):
@@ -375,7 +390,7 @@ class NllbModel:
             b, x, kv, positions, kv_len, bias, ck, cv, cross_bias
         )
         B, T, _ = h.shape
-        cw, ids = self._route_top2(b, h)
+        cw, ids, _ = self._route_top2(b, h)
         return x, h, cw.reshape(B, T, -1), ids.reshape(B, T, -1), kv
 
     def dec_block_dense(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):

@@ -115,6 +115,9 @@ class SwitchModel:
         self.spec = spec
         self.dtype = compute_dtype
         self.mesh = mesh
+        # speculative engines set this > 0: traces then carry the
+        # router's next-m runner-ups (near-tie acquisition, see nllb.py)
+        self.route_margin = 0
         # expert + non-gated dense activation follows dense_act_fn;
         # is_gated selects the gated class for DENSE FF layers only
         self.activation = "gelu_tanh" if spec.dense_act_gelu else "relu"
@@ -270,8 +273,12 @@ class SwitchModel:
         )
         return linear(out.reshape(B, T, H * Dk), b[prefix + "o"])
 
-    def switch_route(self, b, h):
-        """Capacity-masked top-1 router. Returns (cw [B,T,1], ids [B,T,1])."""
+    def switch_route(self, b, h, margin: int = 0):
+        """Capacity-masked top-1 router. Returns (cw [B,T,1], ids [B,T,1],
+        trace_ids). margin > 0 widens trace_ids to [B, T, 1+m] with the
+        router's next-m runner-ups — the speculative engines acquire the
+        near-tie candidates so a replay's routing flip lands on an
+        already-resident expert (see nllb.py _route_top2)."""
         s = self.spec
         B, T, D = h.shape
         logits = linear(h.astype(jnp.float32), b["router"])  # [B, T, E]
@@ -282,7 +289,17 @@ class SwitchModel:
         keep = (priority <= s.expert_capacity).astype(jnp.float32)
         keep = jnp.take_along_axis(keep, idx[..., None], axis=-1)[..., 0]
         maxp = jnp.max(probs, axis=-1)
-        return (maxp * keep)[..., None], idx[..., None].astype(jnp.int32)
+        ids = idx[..., None].astype(jnp.int32)
+        if margin <= 0:
+            return (maxp * keep)[..., None], ids, ids
+        masked = jnp.where(
+            jax.nn.one_hot(idx, s.num_experts, dtype=bool),
+            -jnp.inf, logits,
+        )
+        nxt = jax.lax.top_k(masked, margin)[1].astype(jnp.int32)
+        return (maxp * keep)[..., None], ids, jnp.concatenate(
+            [ids, nxt], axis=-1
+        )
 
     def apply_ff(self, x, h, cw, ids, weights, slot_map, biases, impl):
         """Routed expert FF + residual (engine-facing). Under an
@@ -305,13 +322,15 @@ class SwitchModel:
         return x + y.reshape(B, T, D)
 
     def _routed_ff(self, b, h, mli, experts, for_layer, impl):
-        """Capacity-masked top-1 sparse FF. h: [B, T, D] post-LN."""
-        cw, ids = self.switch_route(b, h)
+        """Capacity-masked top-1 sparse FF. h: [B, T, D] post-LN. The
+        returned trace keeps its legacy [B, T] shape at margin 0; with
+        route_margin > 0 it is [B, T, 1+m] (top-1 + runner-ups)."""
+        cw, ids, tids = self.switch_route(b, h, self.route_margin)
         weights, slot_map, biases = for_layer(experts, mli)
         y = self.apply_ff(
             jnp.zeros_like(h), h, cw, ids, weights, slot_map, biases, impl
         )
-        return y, ids[..., 0]
+        return y, (tids if self.route_margin > 0 else ids[..., 0])
 
     def _dense_ff(self, b, h):
         a = linear(h, b["wi"])
@@ -349,7 +368,7 @@ class SwitchModel:
 
     def enc_block_sparse_pre(self, b, x, bias, q_pos):
         x, h = self._enc_attn(b, x, bias, q_pos)
-        cw, ids = self.switch_route(b, h)
+        cw, ids, _ = self.switch_route(b, h)
         return x, h, cw, ids
 
     def enc_block_dense(self, b, x, bias, q_pos):
@@ -397,7 +416,7 @@ class SwitchModel:
         x, h, kv = self._dec_attn(
             b, x, kv, positions, kv_len, bias, ck, cv, cross_bias
         )
-        cw, ids = self.switch_route(b, h)
+        cw, ids, _ = self.switch_route(b, h)
         return x, h, cw, ids, kv
 
     def dec_block_dense(self, b, x, kv, positions, kv_len, bias, ck, cv, cross_bias):

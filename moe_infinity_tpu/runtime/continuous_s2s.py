@@ -323,12 +323,16 @@ class Seq2SeqContinuousBatcher:
                 return lg, new_kvs, t_ids
 
             live = [b for b, sl in enumerate(self._slots) if sl.active]
+            margin = getattr(self.model, "route_margin", 0)
 
             def live_keys(ids, j):
                 ids = np.asarray(ids)
-                return np.unique(ids[j][live]) if live else np.empty(
-                    0, np.int64
-                )
+                row = ids[j][live]
+                if margin > 0:
+                    # verify/acquire the dispatched top-k only; the
+                    # runner-up margin columns go through soft prefetch
+                    row = row[..., : row.shape[-1] - margin]
+                return np.unique(row) if live else np.empty(0, np.int64)
 
             limit = self.max_replays or (len(self._dec_mlis) + 2)
             # client_lock: a concurrent direct engine.generate must not
@@ -342,11 +346,19 @@ class Seq2SeqContinuousBatcher:
             seq_ids = [
                 sl.seq_id if sl.active else None for sl in self._slots
             ]
+            from moe_infinity_tpu.runtime.engine import (
+                margin_key_fns,
+                split_margin_columns,
+            )
+
+            _, margin_fn = margin_key_fns(self._dec_mlis, margin)
+            top, _m = split_margin_columns(ids_np, margin)
             spec_trace_and_prefetch(
-                self.engine, ids_np, self._dec_mlis, seq_ids,
+                self.engine, top, self._dec_mlis, seq_ids,
                 plan_floor=(
                     self._dec_mlis[0] - 1 if self._dec_mlis else -1
                 ),
+                extra_orders=margin_fn(ids_np) if margin_fn else (),
             )
         nxt = np.asarray(jnp.argmax(logits[:, -1, :], axis=-1))
         for b, sl in enumerate(self._slots):

@@ -75,6 +75,37 @@ def speculative_stats(replay_counts: Sequence[int]) -> dict:
     }
 
 
+def split_margin_columns(ids_np, margin: int):
+    """(top-k trace, margin trace) views of a widened [..., k+m] trace."""
+    if margin <= 0:
+        return ids_np, None
+    k = ids_np.shape[-1] - margin
+    return ids_np[..., :k], ids_np[..., k:]
+
+
+def margin_key_fns(mlis, margin: int):
+    """(key_fn, margin_fn) for run_speculative over a route_margin-widened
+    trace: key_fn verifies/acquires the dispatched top-k only (exact and
+    capacity-bounded), margin_fn lists the runner-up keys for SOFT
+    prefetch acquisition (make_block_monitor / spec_trace_and_prefetch
+    extra_orders)."""
+    if margin <= 0:
+        return None, None
+
+    def key_fn(ids_np, j):
+        return np.unique(ids_np[j][..., : ids_np.shape[-1] - margin])
+
+    def margin_fn(ids_np):
+        k = ids_np.shape[-1] - margin
+        return sorted({
+            (mlis[j], int(e))
+            for j in range(ids_np.shape[0])
+            for e in np.unique(ids_np[j][..., k:])
+        })
+
+    return key_fn, margin_fn
+
+
 def run_speculative(arena: ExpertArena, mlis, run, limit: int,
                     key_fn=None, on_replay=None):
     """Optimistic whole-step execution against the arena's current slots.
@@ -94,6 +125,17 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
     that drops inactive batch rows / masked hole columns — their garbage
     routing must not force fetches or count against the arena's capacity
     (the discarded rows' outputs never affect active rows).
+
+    Routing-margin note: models with route_margin > 0 widen the TRACE to
+    top-(k+m) while dispatching exact top-k. Callers then pass a key_fn
+    slicing the true top-k (verify/acquire stay exact and
+    capacity-bounded) and feed the runner-up columns into their prefetch
+    calls (make_block_monitor margin_fn + spec_trace_and_prefetch
+    extra_orders) as SOFT candidate-protected orders — so when a
+    replay's corrected activations flip a near-tie, the flipped-to
+    expert is already resident and the block accepts instead of
+    cascading another replay (chip diagnosis: deep-layer top-2 flips per
+    dispatch cost ~5 executions per 4-token block).
 
     Returns (outputs, ids_np, executions). The TPU-native inversion of the
     reference's per-miss cv.wait on the hot path
@@ -122,7 +164,7 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
             }
             missing = [k for k in keys if k not in resident_at_dispatch]
             if on_replay is not None:
-                on_replay(replay, keys, missing)
+                on_replay(replay, keys, missing, ids_np)
             # re-protect exactly this run's working set (acquire protects
             # all keys before any eviction, so releasing first is safe —
             # no concurrent fetches outside acquire on this path)
@@ -164,6 +206,7 @@ def run_speculative_block(
     limit: int,
     tok0,
     kvs,
+    margin: int = 0,
 ):
     """Speculative k-step decode with PARTIAL PREFIX ACCEPTANCE.
 
@@ -214,6 +257,10 @@ def run_speculative_block(
             t1 = _time.perf_counter()
             execs += 1
             ids_np = np.asarray(ids)  # [L, B, kk, K']
+            if margin > 0:
+                # drop the routing-margin runner-up columns: prefix
+                # exactness is judged on the DISPATCHED top-k only
+                ids_np = ids_np[..., : ids_np.shape[-1] - margin]
             t2 = _time.perf_counter()
             if dbg:
                 print(
@@ -318,25 +365,57 @@ def plan_drift_prefetch(engine, mlis, keys, budget):
     return orders
 
 
-def make_block_monitor(engine, mlis):
+def rolling_protect(engine, union):
+    """Record `union` in the engine's protection ring (last 4 accepted
+    unions) and return the combined rolling hot set to candidate-protect."""
+    from collections import deque
+
+    ring = getattr(engine, "_protect_ring", None)
+    if ring is None:
+        ring = engine._protect_ring = deque(maxlen=4)
+    ring.append(set(union))
+    return sorted(set().union(*ring))
+
+
+def make_block_monitor(engine, mlis, margin_fn=None):
     """(on_replay, log) pair for a speculative block dispatch loop: logs
     per-dispatch union/miss counts into `log` and, on a miss, issues the
     drift prefetch so its fetches ride the replay's dispatch window. The
-    caller appends `log` to engine.spec_log after the block (bounded)."""
+    caller appends `log` to engine.spec_log after the block (bounded).
+
+    margin_fn(ids_np) -> runner-up (layer, expert) orders from the
+    trace's routing-margin columns; merged ahead of the drift orders so
+    the next dispatch's near-tie flips land on resident experts."""
     log = {"unions": [], "misses": []}
 
-    def on_replay(replay, keys, missing):
+    def on_replay(replay, keys, missing, ids_np=None):
         log["unions"].append(len(keys))
         log["misses"].append(len(missing))
         if missing and engine.prefetch:
-            budget = min(32, max(8, len(missing)))
+            # small: drift orders beyond the actual miss count mostly
+            # fetch tail-probability candidates whose landings cycle the
+            # arena (round-4 chip diagnosis: ~100 fetches/block evicted
+            # ~19 soon-re-routed keys per block — 80% of decode misses
+            # were churn, not uncovered drift)
+            budget = min(8, max(4, len(missing)))
             orders = plan_drift_prefetch(engine, mlis, keys, budget)
+            if margin_fn is not None and ids_np is not None:
+                near = [
+                    k for k in margin_fn(ids_np)
+                    if k not in keys and not engine.arena.is_resident(k)
+                ]
+                seen = set(near)
+                orders = near + [k for k in orders if k not in seen]
             if orders:
-                # protect the observed union: a margin fetch must never
-                # evict an expert this block is about to re-dispatch (an
+                # protect the observed union PLUS the rolling ring: a
+                # drift fetch must never evict an expert this block — or
+                # a recent block — is about to re-dispatch (an
                 # unprotected margin storm livelocked the replay loop on
-                # the first round-4 chip run)
-                engine.arena.prefetch(orders, protect=sorted(keys))
+                # the first round-4 chip run; ring rationale in
+                # spec_trace_and_prefetch)
+                ring = getattr(engine, "_protect_ring", [])
+                guard = sorted(set(keys).union(*ring)) if ring else sorted(keys)
+                engine.arena.prefetch(orders, protect=guard)
 
     return on_replay, log
 
@@ -380,7 +459,7 @@ def spec_block_diag(spec_log) -> dict:
 
 
 def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
-                            n_feed=None, budget_scale=1):
+                            n_feed=None, budget_scale=1, extra_orders=()):
     """After an accepted speculative step: record the realized routing in
     the EAMC tracer and (with prefetch on) warm the NEXT step's likely
     experts — those fetches overlap the next step's compute, and the
@@ -429,14 +508,27 @@ def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
         is_resident=engine.arena.is_resident,
         balance_layers=True,
     )
-    # protect the realized union even when nothing needs fetching: the
-    # hot set must survive the next block's prefetch landings
+    if extra_orders:
+        # routing-margin runner-ups lead the plan: the router itself says
+        # these are the next block's most likely flips
+        extra = [
+            k for k in extra_orders if not engine.arena.is_resident(k)
+        ]
+        seen = set(extra)
+        orders = extra + [o for o in orders if o not in seen]
+    # protect the ROLLING hot set — the last few blocks' unions, not just
+    # this one: churn victims are precisely the keys routed 1-3 blocks
+    # ago that a landing displaced before they came around again (chip
+    # diagnosis: 80% of decode misses were such re-misses). Candidate
+    # protection is prefetch-only (on-demand fetches may still evict
+    # through it), so a large ring cannot deadlock tiny arenas — excess
+    # prefetch orders just drop.
     union = [
         (mli, int(e))
         for j, mli in enumerate(mlis)
         for e in np.unique(ids_np[j])
     ]
-    engine.arena.prefetch(orders, protect=union)
+    engine.arena.prefetch(orders, protect=rolling_protect(engine, union))
 
 
 class OffloadEngine:

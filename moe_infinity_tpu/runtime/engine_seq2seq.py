@@ -64,6 +64,7 @@ class Seq2SeqOffloadEngine:
         speculative: bool = False,
         max_replays: Optional[int] = None,
         spec_block: int = 1,
+        route_margin: int = 2,
         dense_arena=None,
         host_fallback: bool = False,
         host_fallback_timeout: float = 0.25,
@@ -173,6 +174,16 @@ class Seq2SeqOffloadEngine:
         self._apply = jax.jit(apply)
 
         if speculative:
+            # routing-margin acquisition: the spec programs' traces carry
+            # the router's next-m runner-ups per (token, layer). Dispatch
+            # stays exact top-k; verification requires the WIDENED set
+            # resident (strictly stronger, still exact), so when a
+            # replay's corrected activations flip a near-tie the flipped-
+            # to expert is already resident and the block accepts instead
+            # of cascading (chip diagnosis: deep NLLB layers flip top-2
+            # per dispatch; 5 executions per 4-token block without this)
+            if hasattr(model, "route_margin"):
+                model.route_margin = max(0, route_margin)
             # whole-decoder step against the arena's CURRENT slot state:
             # routing resolves inside one compiled program; the host
             # verifies the routed ids afterward and replays on miss
@@ -265,25 +276,40 @@ class Seq2SeqOffloadEngine:
             # when replays are expensive relative to dispatch overhead
             # (cold caches / routing drift / directly-attached chips).
             fn = self._spec_block_fn(k)
+            margin = getattr(self.model, "route_margin", 0)
 
             def run(tree, slot_rows):
                 toks, kvs2, tr = fn(
                     params, tree, slot_rows, cur_tok, jnp.int32(step), kvs,
                     mask, cross,
                 )
-                return toks, kvs2, tr.reshape(tr.shape[0], tr.shape[1], -1)
+                # [L, B, k, K+m]: keep the column structure so the
+                # margin runner-ups stay separable from the top-k
+                return toks, kvs2, tr
 
+            from moe_infinity_tpu.runtime.engine import (
+                margin_key_fns,
+                split_margin_columns,
+            )
+
+            key_fn, margin_fn = margin_key_fns(dec_mlis, margin)
             limit = self.max_replays or (len(dec_mlis) + 2 + k)
-            on_replay, blog = make_block_monitor(self, dec_mlis)
+            on_replay, blog = make_block_monitor(
+                self, dec_mlis, margin_fn=margin_fn
+            )
             (toks, new_kvs), ids_np, execs = run_speculative(
-                self.arena, dec_mlis, run, limit, on_replay=on_replay
+                self.arena, dec_mlis, run, limit,
+                key_fn=key_fn, on_replay=on_replay,
             )
             record_block_log(self, blog)
             self.replay_counts.append(execs)
+            top, _ = split_margin_columns(ids_np, margin)
             spec_trace_and_prefetch(
-                self, ids_np, dec_mlis, seq_ids,
+                self, top.reshape(top.shape[0], top.shape[1], -1),
+                dec_mlis, seq_ids,
                 plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
                 budget_scale=k,
+                extra_orders=margin_fn(ids_np) if margin_fn else (),
             )
             return np.asarray(toks), new_kvs
 
@@ -306,6 +332,7 @@ class Seq2SeqOffloadEngine:
         t0 = _time.perf_counter()
         toks, new_kvs, execs, acc_ids = run_speculative_block(
             self.arena, dec_mlis, dispatch, k, limit, cur_tok, kvs,
+            margin=getattr(self.model, "route_margin", 0),
         )
         t1 = _time.perf_counter()
         self.replay_counts.append(execs)
@@ -629,7 +656,11 @@ class Seq2SeqOffloadEngine:
         answer to the reference's per-miss cv.wait on the hot path
         (archer_prefetch_handle.cpp:83-121): optimistic execution instead
         of per-layer blocking."""
-        from moe_infinity_tpu.runtime.engine import run_speculative
+        from moe_infinity_tpu.runtime.engine import (
+            margin_key_fns,
+            run_speculative,
+            split_margin_columns,
+        )
 
         def run(tree, slot_rows):
             return self._spec_step(
@@ -637,16 +668,20 @@ class Seq2SeqOffloadEngine:
                 jnp.int32(step), kvs, mask, cross,
             )
 
+        margin = getattr(self.model, "route_margin", 0)
+        key_fn, margin_fn = margin_key_fns(dec_mlis, margin)
         limit = self.max_replays or (len(dec_mlis) + 2)
         (logits, new_kvs), ids_np, execs = run_speculative(
-            self.arena, dec_mlis, run, limit
+            self.arena, dec_mlis, run, limit, key_fn=key_fn
         )
         self.replay_counts.append(execs)
         # record routing + warm the next step (decoder rows only: the
         # encoder never runs again)
+        top, _ = split_margin_columns(ids_np, margin)
         spec_trace_and_prefetch(
-            self, ids_np, dec_mlis, seq_ids,
+            self, top, dec_mlis, seq_ids,
             plan_floor=dec_mlis[0] - 1 if dec_mlis else -1,
+            extra_orders=margin_fn(ids_np) if margin_fn else (),
         )
         return logits, new_kvs
 
@@ -977,6 +1012,14 @@ class Seq2SeqOffloadEngine:
             churn = (evict > 0) & (miss > 0)
             d["miss_churn"] = int(miss[churn].sum())
             d["miss_fresh"] = int(miss[~churn].sum())
+            # working-set vs capacity: if the window's distinct routed
+            # keys exceed the slot count, churn is a CAPACITY miss and no
+            # eviction policy can fix it; hot/cold evictions separate
+            # "displaced something being used" from "prefetched, never
+            # used, displaced" (wasted prefetch)
+            d["distinct_routed"] = int((visit > 0).sum())
+            d["evict_hot"] = int(evict[(evict > 0) & (visit > 0)].sum())
+            d["evict_cold"] = int(evict[(evict > 0) & (visit == 0)].sum())
         return d
 
     def node_stats(self) -> dict:

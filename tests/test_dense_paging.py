@@ -35,7 +35,12 @@ def test_arena_sequential_ring():
         for _round in range(3):
             for li in range(L):
                 slot = arena.acquire(li)
-                got = np.asarray(arena.tree(arena.group_of(li))[0])[slot]
+                # read under the dispatch lease: a concurrent ahead-
+                # prefetch landing donates the tree buffers
+                with arena.lease():
+                    got = np.asarray(
+                        arena.tree(arena.group_of(li))[0]
+                    )[slot]
                 np.testing.assert_array_equal(got, _layer(li)["b"])
                 arena.release(li)
         st = arena.stats()
@@ -55,7 +60,8 @@ def test_arena_groups_heterogeneous():
         assert arena.group_of(0) != arena.group_of(1)
         for li in (0, 1, 2, 3, 0, 3):
             slot = arena.acquire(li)
-            got = np.asarray(arena.tree(arena.group_of(li))[0])[slot]
+            with arena.lease():  # landings donate the tree buffers
+                got = np.asarray(arena.tree(arena.group_of(li))[0])[slot]
             np.testing.assert_array_equal(
                 got, layers[li]["b"]
             )
