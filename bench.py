@@ -900,8 +900,12 @@ def _make_nllb_tier(store, args):
     budgets = [args.tier_gb, args.tier_gb / 2, args.tier_gb / 4]
     for gb in budgets:
         try:
+            # layer-aligned segments: fully staged MoE layers become
+            # DIRECT-dispatch layers (engine computes from the tier in
+            # place; no slots, no misses, no speculative replays)
             return PinnedExpertTier(
-                store, shared_record=False, max_bytes=int(gb * 2**30)
+                store, shared_record=False, max_bytes=int(gb * 2**30),
+                align_rows=store.num_experts,
             )
         except Exception as e:  # noqa: BLE001 — degrade, don't die
             print(f"[bench] honest pinned tier at {gb:.1f} GB failed "
@@ -996,13 +1000,30 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
     # the arena to hold one step's union of routed experts across the
     # decoder MoE layers
     n_dec_moe = n_moe - n_enc_moe
-    union = n_dec_moe * min(E, B * 2)
     kv_reserve = int(1.4 * 2**30)
+    # DIRECT-TIER layers trade arena slots for whole in-place layer
+    # stacks (layer_stack promote copies E * record_bytes to HBM when the
+    # tier memory kind is true host): the 48-step decode window routes
+    # ~556 distinct experts against ~380 affordable slots (capacity
+    # churn), while a direct layer removes its 128 experts from the
+    # problem entirely AND shortens the replay cascade. Deepest-first
+    # (engine policy); count bounded by --direct-layers and the HBM
+    # budget the slots no longer claim.
+    n_direct = max(0, int(getattr(args, "direct_layers", 0)))
+    n_direct = min(n_direct, n_dec_moe)
+    direct_bytes = n_direct * E * store.stride
+    # direct layers leave the union bound: their experts are resident in
+    # place, so only the remaining decoder layers constrain the arena.
+    # min() against the budget-derived count (not the old max): blowing
+    # the HBM budget to satisfy a worst-case union OOMs the build, while
+    # an under-union arena merely degrades speculative block size
+    union = (n_dec_moe - n_direct) * min(E, B * 2)
     if num_slots is None:
-        num_slots = args.slots or max(
-            E, union,
-            int((budget - dense_bytes - kv_reserve) // store.stride),
+        budget_slots = int(
+            (budget - dense_bytes - kv_reserve - direct_bytes)
+            // store.stride
         )
+        num_slots = args.slots or max(E, min(union, budget_slots))
     arena = ExpertArena(
         store, num_slots,
         policy=policy or args.policy,
@@ -1024,6 +1045,7 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
         speculative=speculative,
         spec_block=spec_block if spec_block is not None
         else (args.spec_block or 4),
+        max_direct_layers=n_direct,
     )
     return {
         "model": model, "spec": spec, "params": params, "store": store,
@@ -1159,6 +1181,9 @@ def bench_nllb_offload(args, shared=None, _build=None):
     if tier is not None:
         result.update(tier.stats())
         result["tier_aliased"] = bool(tier.shared)
+        result["direct_tier_layers"] = sorted(
+            getattr(engine, "_direct_mlis", ())
+        )
     if "dispatch_ms_per_program" in result:
         result["bw_gap"] = (
             "offload decode is dispatch/replay bound on this attachment "
@@ -1519,6 +1544,9 @@ def bench_switch_servable(args):
     if tier is not None:
         result.update(tier.stats())
         result["tier_aliased"] = bool(tier.shared)
+        result["direct_tier_layers"] = sorted(
+            getattr(engine, "_direct_mlis", ())
+        )
     result["_build"] = {"engine": engine, "arena": arena, "tier": tier,
                        "store": store, "params": params, "model": model}
     return result
@@ -1724,6 +1752,14 @@ def build_parser():
     p.add_argument("--pressure-frac", type=float, default=0.5,
                    help="nllb-pressure: arena slots as a fraction of the "
                         "decode-phase hot set")
+    p.add_argument("--direct-layers", type=int, default=0,
+                   help="nllb preset: deepest decoder MoE layers promoted "
+                        "to DIRECT in-place tier dispatch (each costs "
+                        "E*record_bytes of HBM the arena then doesn't "
+                        "claim). Default 0: at 54B geometry a 2.0 GB "
+                        "direct layer starves the remaining layers' "
+                        "arena (chip-measured); useful when HBM headroom "
+                        "exists (smaller models / bigger chips)")
     p.add_argument("--pressure-rounds", type=int, default=3,
                    help="cache-pressure: timed interleaved lru/priority "
                         "round pairs (plus one untimed warm round)")

@@ -207,6 +207,7 @@ def run_speculative_block(
     tok0,
     kvs,
     margin: int = 0,
+    skip_mlis=frozenset(),
 ):
     """Speculative k-step decode with PARTIAL PREFIX ACCEPTANCE.
 
@@ -272,6 +273,7 @@ def run_speculative_block(
                 {
                     (mlis[layer], int(e))
                     for layer in range(ids_np.shape[0])
+                    if mlis[layer] not in skip_mlis  # direct-tier layers
                     for e in np.unique(ids_np[layer, :, jj])
                 }
                 for jj in range(kk)
@@ -505,7 +507,9 @@ def spec_trace_and_prefetch(engine, ids_np, mlis, seq_ids, plan_floor=-1,
     orders = plan_prefetch(
         score, plan_floor, lookahead=None,
         budget=engine._current_budget() * max(1, budget_scale),
-        is_resident=engine.arena.is_resident,
+        # engine-level residency when present: direct-tier layers are
+        # resident in place and must never be ordered
+        is_resident=getattr(engine, "is_resident", engine.arena.is_resident),
         balance_layers=True,
     )
     if extra_orders:

@@ -65,6 +65,7 @@ class Seq2SeqOffloadEngine:
         max_replays: Optional[int] = None,
         spec_block: int = 1,
         route_margin: int = 2,
+        max_direct_layers: Optional[int] = None,
         dense_arena=None,
         host_fallback: bool = False,
         host_fallback_timeout: float = 0.25,
@@ -173,6 +174,67 @@ class Seq2SeqOffloadEngine:
 
         self._apply = jax.jit(apply)
 
+        # ---- DIRECT-TIER layers (PinnedExpertTier.layer_stack) ----------
+        # A MoE layer whose FULL expert stack sits in a layer-aligned tier
+        # segment dispatches straight from that segment with an identity
+        # slot row: no arena slot, no fetch, no miss, no speculative
+        # replay, ever, for that layer. The TPU-native shape of "the
+        # steady-state hot tier fits in HBM quantized": compute from it
+        # in place instead of caching copies of it through slots. The
+        # chip diagnosis that forced this: the benchmark's 48-step decode
+        # routed 556 distinct experts against 388 affordable slots —
+        # capacity churn no eviction policy could fix — while the full
+        # int4 decoder tier (6.2 GB) already sat in device memory.
+        self._direct: dict = {}
+        tier = getattr(arena, "_tier", None)
+        # dequant-on-write arenas hold compute-dtype slots while the tier
+        # holds quantized bytes — direct dispatch would hand the kernels
+        # undequantized values. Those configs keep the slot path.
+        dequant_on_write = any(
+            not k.endswith("_scale")
+            and ((k[:-1] if k.endswith("4") else k) + "_scale")
+            in arena._role_to_tail
+            and ((k[:-1] if k.endswith("4") else k) + "_scale")
+            not in arena._arena
+            for k in arena._arena
+        )
+        if (
+            tier is not None
+            and hasattr(tier, "layer_stack")
+            and not dequant_on_write
+        ):
+            candidates = [
+                mli for mli in range(arena.num_layers)
+                if tier.layer_stack(mli, promote=False) is not None
+            ]
+            if max_direct_layers is not None:
+                # DEEPEST-first under an HBM byte budget (the promote
+                # copies a ~E * record_bytes stack per layer when the
+                # tier memory kind is true host): deep layers carry both
+                # the worst capacity churn AND the longest replay
+                # cascades (layer l only stabilizes by replay l+1), so
+                # each deep layer made direct removes misses and shortens
+                # convergence for the whole block
+                candidates = candidates[
+                    max(0, len(candidates) - max_direct_layers):
+                ]
+            for mli in candidates:
+                stack = tier.layer_stack(mli)
+                if stack is None:
+                    continue
+                self._direct[str(mli)] = {
+                    akey: stack[tail]
+                    for akey, tail in arena._role_to_tail.items()
+                    if akey in arena._arena
+                }
+        self._direct_mlis = frozenset(int(kk) for kk in self._direct)
+        if self._direct:
+            _log.info(
+                "direct-tier dispatch for %d/%d MoE layers: %s",
+                len(self._direct), arena.num_layers,
+                sorted(self._direct_mlis),
+            )
+
         if speculative:
             # routing-margin acquisition: the spec programs' traces carry
             # the router's next-m runner-ups per (token, layer). Dispatch
@@ -187,11 +249,17 @@ class Seq2SeqOffloadEngine:
             # whole-decoder step against the arena's CURRENT slot state:
             # routing resolves inside one compiled program; the host
             # verifies the routed ids afterward and replays on miss
-            def spec_step(params, tree, slot_rows, tok, positions, step,
-                          kvs, enc_mask, cross):
+            E_ = m.spec.num_experts
+
+            def spec_step(params, tree, direct, slot_rows, tok, positions,
+                          step, kvs, enc_mask, cross):
                 weights, biases = _split_arena_tree(tree)
 
                 def for_layer(_experts, mli):
+                    d = direct.get(str(mli))
+                    if d is not None:  # direct-tier layer: identity row
+                        w, b = _split_arena_tree(d)
+                        return w, jnp.arange(E_, dtype=jnp.int32), b
                     return weights, slot_rows[mli], biases
 
                 return m.decode_step(
@@ -214,11 +282,17 @@ class Seq2SeqOffloadEngine:
             return self._spec_block_cache[k]
         m, impl = self.model, self._impl
 
-        def spec_block(params, tree, slot_rows, tok0, step0, kvs,
+        E_ = m.spec.num_experts
+
+        def spec_block(params, tree, direct, slot_rows, tok0, step0, kvs,
                        enc_mask, cross):
             weights, biases = _split_arena_tree(tree)
 
             def for_layer(_experts, mli):
+                d = direct.get(str(mli))
+                if d is not None:  # direct-tier layer: identity row
+                    w, b = _split_arena_tree(d)
+                    return w, jnp.arange(E_, dtype=jnp.int32), b
                 return weights, slot_rows[mli], biases
 
             def body(carry, _):
@@ -248,6 +322,35 @@ class Seq2SeqOffloadEngine:
         fn = jax.jit(spec_block)
         self._spec_block_cache[k] = fn
         return fn
+
+    def _direct_filtered(self, key_fn, margin_fn, mlis):
+        """Wrap (key_fn, margin_fn) so direct-tier layers drop out of
+        verification/acquisition entirely (their experts are always
+        resident in place) and margin prefetch never orders them."""
+        if not self._direct_mlis:
+            return key_fn, margin_fn
+        base = key_fn or (lambda ids, j: np.unique(ids[j]))
+        direct = self._direct_mlis
+
+        def kf(ids, j):
+            if mlis[j] in direct:
+                return np.empty(0, np.int64)
+            return base(ids, j)
+
+        mf = None
+        if margin_fn is not None:
+            def mf(ids_np):
+                return [
+                    key for key in margin_fn(ids_np)
+                    if key[0] not in direct
+                ]
+
+        return kf, mf
+
+    def is_resident(self, key):
+        """Residency including direct-tier layers (prefetch planners and
+        scorers must never order fetches for in-place tier experts)."""
+        return key[0] in self._direct_mlis or self.arena.is_resident(key)
 
     def _speculative_block(
         self, params, cur_tok, step, kvs, mask, cross, dec_mlis, seq_ids,
@@ -280,8 +383,8 @@ class Seq2SeqOffloadEngine:
 
             def run(tree, slot_rows):
                 toks, kvs2, tr = fn(
-                    params, tree, slot_rows, cur_tok, jnp.int32(step), kvs,
-                    mask, cross,
+                    params, tree, self._direct, slot_rows, cur_tok,
+                    jnp.int32(step), kvs, mask, cross,
                 )
                 # [L, B, k, K+m]: keep the column structure so the
                 # margin runner-ups stay separable from the top-k
@@ -292,7 +395,9 @@ class Seq2SeqOffloadEngine:
                 split_margin_columns,
             )
 
-            key_fn, margin_fn = margin_key_fns(dec_mlis, margin)
+            key_fn, margin_fn = self._direct_filtered(
+                *margin_key_fns(dec_mlis, margin), dec_mlis
+            )
             limit = self.max_replays or (len(dec_mlis) + 2 + k)
             on_replay, blog = make_block_monitor(
                 self, dec_mlis, margin_fn=margin_fn
@@ -324,8 +429,8 @@ class Seq2SeqOffloadEngine:
             cur = jax.device_put(cur, dev)
             kvs_ = jax.device_put(kvs_, dev)
             return fn(
-                params, tree, slot_rows, cur, jnp.int32(step + j0), kvs_,
-                mask, cross,
+                params, tree, self._direct, slot_rows, cur,
+                jnp.int32(step + j0), kvs_, mask, cross,
             )
 
         limit = self.max_replays or (len(dec_mlis) + 2) * k
@@ -333,6 +438,7 @@ class Seq2SeqOffloadEngine:
         toks, new_kvs, execs, acc_ids = run_speculative_block(
             self.arena, dec_mlis, dispatch, k, limit, cur_tok, kvs,
             margin=getattr(self.model, "route_margin", 0),
+            skip_mlis=self._direct_mlis,
         )
         t1 = _time.perf_counter()
         self.replay_counts.append(execs)
@@ -424,7 +530,7 @@ class Seq2SeqOffloadEngine:
             orders = plan_prefetch(
                 score, mli,
                 lookahead=self.lookahead, budget=self._current_budget(),
-                is_resident=self.arena.is_resident,
+                is_resident=self.is_resident,
             )
             if orders:
                 self.arena.prefetch(orders)
@@ -435,6 +541,15 @@ class Seq2SeqOffloadEngine:
     def _moe_dispatch(self, x, h, cw, ids, ids_np, keys, mli):
         """Acquire + apply one MoE layer against the slot arena (the pod
         subclass dispatches the shard_map EP program instead)."""
+        if mli in self._direct_mlis:
+            # direct-tier layer: every expert resident in place; no
+            # acquire, no slot row, no host fallback to need
+            row = jnp.arange(
+                self.model.spec.num_experts, dtype=jnp.int32
+            )
+            return self._apply(
+                x, h, cw, ids, self._direct[str(mli)], row
+            )
         if self.host_fallback:
             resident, missing = self.arena.try_acquire(
                 keys, mli, self.host_fallback_timeout
@@ -487,7 +602,7 @@ class Seq2SeqOffloadEngine:
         orders = plan_prefetch(
             score, first_dec - 1, lookahead=None,
             budget=self._current_budget() * max(1, self.spec_block),
-            is_resident=self.arena.is_resident,
+            is_resident=self.is_resident,
         )
         if orders:
             self.arena.prefetch(orders)
@@ -664,12 +779,14 @@ class Seq2SeqOffloadEngine:
 
         def run(tree, slot_rows):
             return self._spec_step(
-                params, tree, slot_rows, cur_tok, positions,
+                params, tree, self._direct, slot_rows, cur_tok, positions,
                 jnp.int32(step), kvs, mask, cross,
             )
 
         margin = getattr(self.model, "route_margin", 0)
-        key_fn, margin_fn = margin_key_fns(dec_mlis, margin)
+        key_fn, margin_fn = self._direct_filtered(
+            *margin_key_fns(dec_mlis, margin), dec_mlis
+        )
         limit = self.max_replays or (len(dec_mlis) + 2)
         (logits, new_kvs), ids_np, execs = run_speculative(
             self.arena, dec_mlis, run, limit, key_fn=key_fn
@@ -797,6 +914,8 @@ class Seq2SeqOffloadEngine:
                 from moe_infinity_tpu.runtime.engine import quantize_block
 
                 k = quantize_block(max_new_tokens - step, self.spec_block)
+                toks = None  # None after a transient error: the block
+                # made no progress, fall through to a single step below
                 try:
                     toks, kvs = self._speculative_block(
                         params, cur_tok, step, kvs, mask, cross,
@@ -831,44 +950,48 @@ class Seq2SeqOffloadEngine:
                         "block decode transient error (%s); "
                         "single-stepping this token", e,
                     )
-                # degradation recovery: a streak of clean blocks (<= 2
-                # executions) re-grows the block size toward the
-                # configured value — the halving-chain program is compiled
-                if (
-                    self.spec_block < self._spec_block_cfg
-                    and self.replay_counts
-                    and self.replay_counts[-1] <= 2
-                ):
-                    self._spec_clean_streak += 1
-                    if self._spec_clean_streak >= 8:
-                        self.spec_block = min(
-                            self._spec_block_cfg, self.spec_block * 2
-                        )
-                        self._spec_clean_streak = 0
-                        _log.info(
-                            "speculative block decode re-grown to k=%d",
-                            self.spec_block,
-                        )
-                for jj in range(toks.shape[1]):
-                    nxt = toks[:, jj].astype(np.int64)
-                    out[~finished, step + jj + 1] = nxt[~finished]
-                    num_gen[~finished] += 1
-                    if eos_token_id is not None:
-                        finished |= eos_hit(nxt, eos_token_id)
-                        if finished.all():
-                            break
-                # tokens actually committed this iteration (EOS can stop
-                # the whole batch mid-block; the steady-state throughput
-                # accounting must not count the uncommitted tail)
-                self.step_times.append(
-                    (jj + 1 if finished.all() else k,
-                     _time.perf_counter() - _it_t0)
-                )
-                if finished.all():
-                    break
-                cur_tok = self._place(jnp.asarray(toks[:, -1:], jnp.int32))
-                step += k
-                continue
+                if toks is not None:  # a transient error single-steps below
+                    # degradation recovery: a streak of clean blocks (<= 2
+                    # executions) re-grows the block size toward the
+                    # configured value — the halving chain is compiled
+                    if (
+                        self.spec_block < self._spec_block_cfg
+                        and self.replay_counts
+                        and self.replay_counts[-1] <= 2
+                    ):
+                        self._spec_clean_streak += 1
+                        if self._spec_clean_streak >= 8:
+                            self.spec_block = min(
+                                self._spec_block_cfg, self.spec_block * 2
+                            )
+                            self._spec_clean_streak = 0
+                            _log.info(
+                                "speculative block decode re-grown to "
+                                "k=%d", self.spec_block,
+                            )
+                    for jj in range(toks.shape[1]):
+                        nxt = toks[:, jj].astype(np.int64)
+                        out[~finished, step + jj + 1] = nxt[~finished]
+                        num_gen[~finished] += 1
+                        if eos_token_id is not None:
+                            finished |= eos_hit(nxt, eos_token_id)
+                            if finished.all():
+                                break
+                    # tokens actually committed this iteration (EOS can
+                    # stop the whole batch mid-block; the steady-state
+                    # throughput accounting must not count the
+                    # uncommitted tail)
+                    self.step_times.append(
+                        (jj + 1 if finished.all() else k,
+                         _time.perf_counter() - _it_t0)
+                    )
+                    if finished.all():
+                        break
+                    cur_tok = self._place(
+                        jnp.asarray(toks[:, -1:], jnp.int32)
+                    )
+                    step += k
+                    continue
             positions = self._place(jnp.full((B, 1), step, jnp.int32))
             logits = None
             if self.speculative:

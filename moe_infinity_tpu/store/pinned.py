@@ -90,6 +90,7 @@ class PinnedExpertTier:
         seg_bytes: int = 256 << 20,
         stage_threads: int = 4,
         synth_on_device: Optional[bool] = None,
+        align_rows: Optional[int] = None,
     ):
         """synth_on_device (SyntheticStore only; auto-on for non-shared
         synthetic staging): materialize tier segments ON the device
@@ -177,6 +178,12 @@ class PinnedExpertTier:
             default=1,
         )
         self._seg_rows = max(1, seg_bytes // max(1, max_field_rec))
+        if align_rows:
+            # layer-aligned segments (align_rows = num_experts with the
+            # default layer-major staging order): segment s then holds
+            # exactly one MoE layer's full expert stack, which
+            # layer_stack() hands to engines for DIRECT dispatch
+            self._seg_rows = int(align_rows)
         self.fields: Dict[str, list] = {}  # name -> [segment arrays]
         total = 0
         if synth_on_device is None:
@@ -290,6 +297,47 @@ class PinnedExpertTier:
         compiles at most twice."""
         s, local = divmod(row, self._seg_rows)
         return {n: segs[s] for n, segs in self.fields.items()}, local
+
+    def layer_stack(self, layer: int, promote: bool = True):
+        """Per-field [E, *shape] arrays for `layer` when its FULL expert
+        set is staged contiguously in one segment (build the tier with
+        ``align_rows=num_experts``; the default layer-major staging order
+        makes segment s exactly one layer). This is the DIRECT-DISPATCH
+        view: an engine computes the layer's grouped FFN straight from
+        these arrays with an identity slot row — no arena slot, no
+        fetch, no speculative replay, ever, for this layer. The
+        TPU-native answer to "the steady-state hot tier fits in HBM
+        quantized": keep it resident in place instead of caching copies
+        of it through slots (chip diagnosis: the benchmark's decode
+        working set exceeded any affordable slot count while the full
+        decoder tier already sat in device memory).
+
+        promote: move the segment to the device's default memory (HBM)
+        in place — a no-op alias when the staging memory kind already is
+        HBM (this attachment), a one-time copy-and-replace otherwise, so
+        the arena's per-record DMA writer and the direct dispatch read
+        the same buffers. Returns None when the layer is not fully and
+        contiguously staged."""
+        E = self.num_experts
+        if self.shared or self._seg_rows != E:
+            return None
+        rows = self._rec_row[layer * E:(layer + 1) * E]
+        if rows[0] < 0 or rows[0] % E != 0:
+            return None
+        if not np.array_equal(rows, np.arange(rows[0], rows[0] + E)):
+            return None
+        s = rows[0] // E
+        out = {}
+        for name, segs in self.fields.items():
+            a = segs[s]
+            if a is None or a.shape[0] != E:
+                return None
+            if promote and a.sharding.memory_kind != self._hbm.memory_kind:
+                a = jax.device_put(a, self._hbm)
+                a.block_until_ready()
+                segs[s] = a  # replace: one resident copy, not two
+            out[name] = a
+        return out
 
     def record_index(self, layer: int, expert: int) -> Optional[int]:
         """Staged row for (layer, expert), or None if it must come from

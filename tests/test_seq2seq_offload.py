@@ -310,3 +310,102 @@ def test_continuous_offload_batcher_matches_resident(setup):
     finally:
         batcher.shutdown()
         arena.shutdown()
+
+
+def test_direct_tier_dispatch_matches_resident(setup):
+    """DIRECT-TIER dispatch: a layer-aligned pinned tier (align_rows = E)
+    makes every fully-staged MoE layer compute straight from its tier
+    segment with an identity slot row — no arena slots, no fetches, no
+    speculative replays for those layers. Output must match the resident
+    path exactly, the engine must report the direct layers, and the
+    arena must see ZERO visits for them (the per-layer hit accounting
+    only covers slot-managed layers)."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(
+        store, shared_record=False, align_rows=store.num_experts
+    )
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(model, params, arena, prefetch=False)
+    try:
+        # every layer fully staged and aligned -> all direct
+        assert engine._direct_mlis == set(range(store.num_layers))
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine.stats()["visits"] == 0  # nothing slot-managed
+    finally:
+        arena.shutdown()
+
+
+def test_direct_tier_partial_staging_mixes_paths(setup):
+    """Under a byte budget only SOME layers stage fully: those dispatch
+    direct, the rest stream through the arena — still exact."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    rec = sum(
+        int(np.prod(f.shape)) * np.dtype("float32").itemsize
+        for f in store.fields
+    )
+    # budget for ~1.5 layers of 4 experts: exactly one full segment
+    tier = PinnedExpertTier(
+        store, shared_record=False, align_rows=store.num_experts,
+        max_bytes=6 * rec,
+    )
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(model, params, arena, prefetch=False)
+    try:
+        assert 0 < len(engine._direct_mlis) < store.num_layers
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine.stats()["visits"] > 0  # arena still in play
+    finally:
+        arena.shutdown()
+
+
+def test_direct_tier_speculative_blocks_no_replays(setup):
+    """Speculative block decode over an all-direct tier: every layer is
+    resident in place, so every block must accept on dispatch 1
+    (mean_step_executions == 1.0) while staying exact."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(
+        store, shared_record=False, align_rows=store.num_experts
+    )
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False,
+        speculative=True, spec_block=4,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine.replay_counts, "blocks never ran"
+        assert all(e == 1 for e in engine.replay_counts), (
+            engine.replay_counts
+        )
+    finally:
+        arena.shutdown()
