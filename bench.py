@@ -1046,6 +1046,9 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
         spec_block=spec_block if spec_block is not None
         else (args.spec_block or 4),
         max_direct_layers=n_direct,
+        stream_decode=bool(getattr(args, "stream", False) and speculative
+                           and tier is not None),
+        stream_unique=getattr(args, "stream_unique", 32),
     )
     return {
         "model": model, "spec": spec, "params": params, "store": store,
@@ -1752,6 +1755,15 @@ def build_parser():
     p.add_argument("--pressure-frac", type=float, default=0.5,
                    help="nllb-pressure: arena slots as a fraction of the "
                         "decode-phase hot set")
+    p.add_argument("--stream", action="store_true",
+                   help="nllb preset: STREAM decode — blocks gather the "
+                        "routed experts from the pinned tier inside the "
+                        "program (no decoder arena residency, no "
+                        "speculative replays; re-dispatch only on exact "
+                        "unique-overflow escalation)")
+    p.add_argument("--stream-unique", type=int, default=32,
+                   help="stream decode: initial per-(layer, step) unique-"
+                        "expert gather width (doubles on overflow)")
     p.add_argument("--direct-layers", type=int, default=0,
                    help="nllb preset: deepest decoder MoE layers promoted "
                         "to DIRECT in-place tier dispatch (each costs "

@@ -159,6 +159,17 @@ def grouped_ffn(
     optional '<key>_scale' [S,out] for quantized arenas.
     biases (NLLB): 'gate_bias' [S,F], 'down_bias' [S,D].
     """
+    if hasattr(weights, "rec_row"):
+        # StreamSource: gather the routed experts from the pinned tier
+        # INSIDE the program (ops/stream.py) — expert_to_slot is unused
+        # (the gather builds its own token->scratch mapping)
+        from moe_infinity_tpu.ops.stream import gffn_stream
+
+        return gffn_stream(
+            x, expert_ids, combine_weights, weights, activation,
+            max_unique=weights.max_unique,
+            impl=weights.impl or impl,
+        )
     # Non-resident slots are -1 (the arena clears evicted rows): mask them
     # to ZERO contribution instead of gathering a stale slot's weights.
     # Resident/per-layer paths route only >= 0 slots, so this folds away;

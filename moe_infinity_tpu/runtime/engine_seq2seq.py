@@ -66,6 +66,8 @@ class Seq2SeqOffloadEngine:
         spec_block: int = 1,
         route_margin: int = 2,
         max_direct_layers: Optional[int] = None,
+        stream_decode: bool = False,
+        stream_unique: int = 32,
         dense_arena=None,
         host_fallback: bool = False,
         host_fallback_timeout: float = 0.25,
@@ -235,6 +237,48 @@ class Seq2SeqOffloadEngine:
                 sorted(self._direct_mlis),
             )
 
+        # ---- STREAM decode (ops/stream.py) ------------------------------
+        # Decode blocks gather the routed experts from the pinned tier
+        # INSIDE the program: no arena residency for the decoder at all,
+        # no speculative replay cascade — the only re-dispatch is the
+        # exact, host-detected unique-overflow escalation (U doubles).
+        self._stream = False
+        if stream_decode:
+            if tier is None or not getattr(tier, "fields", None):
+                raise ValueError("stream_decode requires a pinned tier")
+            if dequant_on_write:
+                raise ValueError(
+                    "stream_decode computes from the tier's stored "
+                    "dtype; disable dequant_on_write"
+                )
+            if not speculative:
+                raise ValueError(
+                    "stream_decode rides the block-decode loop; pass "
+                    "speculative=True"
+                )
+            route_margin = 0  # near-tie margin is a slot-cache concern
+            self._stream_fields = {
+                akey: tier.fields[tail]
+                for akey, tail in arena._role_to_tail.items()
+                if akey in arena._arena
+            }
+            E_s = arena.num_experts
+            self._stream_rec_rows = {
+                mli: tier._rec_row[mli * E_s:(mli + 1) * E_s].copy()
+                for mli in range(arena.num_layers)
+            }
+            self._stream_hbm = tier.hbm_sharding()
+            self._stream_seg_rows = tier._seg_rows
+            self._stream_U = max(2, int(stream_unique))
+            self._stream_src_cache: dict = {}
+            self._stream_block_cache: dict = {}
+            self._stream = True
+            _log.info(
+                "stream decode: in-program gather from %d tier segments, "
+                "U0=%d", len(next(iter(self._stream_fields.values()))),
+                self._stream_U,
+            )
+
         if speculative:
             # routing-margin acquisition: the spec programs' traces carry
             # the router's next-m runner-ups per (token, layer). Dispatch
@@ -323,6 +367,117 @@ class Seq2SeqOffloadEngine:
         self._spec_block_cache[k] = fn
         return fn
 
+    def _stream_sources(self, U: int):
+        src = self._stream_src_cache.get(U)
+        if src is None:
+            from moe_infinity_tpu.ops.stream import StreamSource
+
+            src = {
+                str(mli): StreamSource(
+                    fields=self._stream_fields, rec_row=rows,
+                    seg_rows=self._stream_seg_rows, hbm=self._stream_hbm,
+                    max_unique=U, impl=self._impl,
+                )
+                for mli, rows in self._stream_rec_rows.items()
+            }
+            self._stream_src_cache[U] = src
+        return src
+
+    def _stream_block_fn(self, k: int):
+        """Jitted k-step greedy decode block whose MoE layers gather
+        their routed experts from the pinned tier in-program (U is part
+        of the sources' static treedef: one compile per (k, U))."""
+        fn = self._stream_block_cache.get(k)
+        if fn is not None:
+            return fn
+        m, impl = self.model, self._impl
+        E_ = m.spec.num_experts
+
+        def sblock(params, sources, tok0, step0, kvs, enc_mask, cross):
+            def for_layer(_experts, mli):
+                return (
+                    sources[str(mli)],
+                    jnp.arange(E_, dtype=jnp.int32),
+                    None,
+                )
+
+            def body(carry, _):
+                tok, step, kvs = carry
+                positions = jnp.full((tok.shape[0], 1), step, jnp.int32)
+                logits, kvs, trace = m.decode_step(
+                    params, None, tok, positions, kvs, step, enc_mask,
+                    cross, for_layer, impl,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(
+                    jnp.int32
+                )
+                return (nxt[:, None], step + 1, kvs), (nxt, trace)
+
+            (_, _, kvs), (toks, traces) = jax.lax.scan(
+                body, (tok0, jnp.int32(step0), kvs), None, length=k
+            )
+            if isinstance(traces, (list, tuple)):
+                traces = jnp.stack(traces, axis=1)
+            tr = jnp.moveaxis(traces, 0, 2)
+            tr = tr.reshape(tr.shape[0], tr.shape[1], k, -1)
+            return toks.T, kvs, tr
+
+        fn = jax.jit(sblock)
+        self._stream_block_cache[k] = fn
+        return fn
+
+    def _stream_block(
+        self, params, cur_tok, step, kvs, mask, cross, dec_mlis, seq_ids,
+        k: int,
+    ):
+        """k greedy decode steps with in-program expert gathering. The
+        only re-dispatch is the EXACT host-side overflow check: a
+        (layer, step) whose routing touched more than U unique experts
+        — or an unstaged one — had those contributions zero-masked, so
+        the block re-runs at doubled U (sticky: routing width is a
+        property of the workload, not of one block)."""
+        from moe_infinity_tpu.ops.stream import stream_overflow
+
+        E = self.model.spec.num_experts
+        execs = 0
+        while True:
+            fn = self._stream_block_fn(k)
+            toks, kvs2, tr = fn(
+                params, self._stream_sources(self._stream_U), cur_tok,
+                jnp.int32(step), kvs, mask, cross,
+            )
+            execs += 1
+            ids_np = np.asarray(tr)  # [L, B, k, K]
+            over = any(
+                stream_overflow(
+                    ids_np[j, :, jj], self._stream_U,
+                    self._stream_rec_rows[mli],
+                )
+                for j, mli in enumerate(dec_mlis)
+                for jj in range(k)
+            )
+            if not over:
+                break
+            if self._stream_U >= E:
+                raise RuntimeError(
+                    "stream decode: an unstaged expert was routed at "
+                    "U=E — stage the full decoder tier or disable "
+                    "stream_decode"
+                )
+            self._stream_U = min(E, self._stream_U * 2)
+            _log.info(
+                "stream decode U escalated to %d", self._stream_U
+            )
+        self.replay_counts.append(execs)
+        if self.tracer is not None and seq_ids:
+            for j, mli in enumerate(dec_mlis):
+                for b, sid in enumerate(seq_ids):
+                    if sid is not None:
+                        self.tracer.update_entry(
+                            sid, ids_np[j, b].ravel(), mli
+                        )
+        return np.asarray(toks), kvs2
+
     def _direct_filtered(self, key_fn, margin_fn, mlis):
         """Wrap (key_fn, margin_fn) so direct-tier layers drop out of
         verification/acquisition entirely (their experts are always
@@ -370,6 +525,12 @@ class Seq2SeqOffloadEngine:
             run_speculative_block,
         )
 
+        if self._stream:
+            # in-program gather: no arena verification loop at all
+            return self._stream_block(
+                params, cur_tok, step, kvs, mask, cross, dec_mlis,
+                seq_ids, k,
+            )
         if os.environ.get("MOE_SPEC_BLOCK_MODE", "whole") == "whole":
             # DEFAULT: whole-block replay. Measured A/B on the relay chip
             # (12-layer NLLB, steady state): whole 756 tok/s vs prefix 257

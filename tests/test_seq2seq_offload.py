@@ -409,3 +409,62 @@ def test_direct_tier_speculative_blocks_no_replays(setup):
         )
     finally:
         arena.shutdown()
+
+
+def test_stream_decode_matches_resident(setup):
+    """STREAM decode: blocks gather routed experts from the pinned tier
+    inside the program (no decoder arena residency at all). Greedy
+    output must match the resident oracle exactly; replay counts stay 1
+    (no verify/replay loop) unless U escalates."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(store, shared_record=False)
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False,
+        speculative=True, spec_block=4, stream_decode=True,
+        stream_unique=4,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine.replay_counts  # stream blocks ran
+    finally:
+        arena.shutdown()
+
+
+def test_stream_decode_overflow_escalates_exactly(setup):
+    """U starts BELOW the per-step unique count: the first dispatch
+    zero-masks overflow, the host check catches it exactly, U doubles,
+    and the final output is still exact."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(store, shared_record=False)
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False,
+        speculative=True, spec_block=4, stream_decode=True,
+        stream_unique=2,  # E=4: likely too small for a 6-token batch row
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9], [9, 4, 61, 3, 2, 8]])
+        want = gen_res.generate(prompt, max_new_tokens=6).sequences
+        got = engine.generate(prompt, max_new_tokens=6).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine._stream_U >= 2
+    finally:
+        arena.shutdown()
