@@ -1024,6 +1024,12 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
             // store.stride
         )
         num_slots = args.slots or max(E, min(union, budget_slots))
+        if getattr(args, "stream", False):
+            # stream decode needs NO decoder residency: the arena only
+            # serves the encoder's per-layer streaming. A full-size
+            # arena alongside the in-program gather scratch exhausted
+            # HBM (TPU worker kernel fault on the round-4 first try)
+            num_slots = max(E, min(num_slots, 2 * E))
     arena = ExpertArena(
         store, num_slots,
         policy=policy or args.policy,
@@ -1343,12 +1349,23 @@ def bench_nllb_pressure(args, shared=None):
     for r in range(rounds + 1):
         for policy in ("lru", "priority"):
             arena.swap_policy(pol[policy])
+            # self-state re-warm EVERY round: the other policy shaped
+            # the arena during its window, so without this an
+            # interleaved timed window measures cross-policy residency
+            # contamination, not the eviction policy (the first round-4
+            # artifact's priority leg started from LRU-shaped contents
+            # and lost its hit-rate signal: 0.26 vs its 0.69 when
+            # self-warmed)
+            engine.generate(
+                prompt, max_new_tokens=max(4, n // 2),
+                eos_token_id=None, cache_len=cap,
+            )
+            if r == 0:
+                continue  # round 0 purely warms the cold counters
             before = pol[policy].stats.as_dict()
             engine.generate(
                 prompt, max_new_tokens=n, eos_token_id=None, cache_len=cap
             )
-            if r == 0:
-                continue  # untimed per-policy warm round (cold counters)
             delta = _stats_delta(pol[policy].stats.as_dict(), before)
             _cliff, s_tok, s_s = _steady_split(engine.step_times, n)
             windows[policy].append({
@@ -1395,10 +1412,11 @@ def bench_nllb_pressure(args, shared=None):
         "decode_steps_per_window": n,
         "prefetch": False,
         "note": "interleaved lru/priority windows, paired per-round; "
-                "policy state persists across windows (swap_policy), "
-                "round 0 untimed; paired_tput_ratio_median is the "
-                "drift-robust statistic (median over per-round "
-                "priority/lru throughput ratios)",
+                "policy state persists across windows (swap_policy) and "
+                "each timed window follows an untimed SELF-warm window "
+                "(the other policy shaped the arena in between); "
+                "paired_tput_ratio_median is the drift-robust statistic "
+                "(median over per-round priority/lru throughput ratios)",
         "policy_legs": legs,
         "paired_tput_ratio_median": ratio,
         "priority_beats_lru_tput": (
@@ -1496,6 +1514,10 @@ def bench_switch_servable(args):
         prefetch=not args.no_prefetch, lookahead=args.lookahead,
         prefetch_budget=args.prefetch_budget, impl=args.moe_impl,
         speculative=True, spec_block=args.spec_block or 4,
+        # bounded: the layer-aligned tier would otherwise promote EVERY
+        # fully-staged layer to HBM on top of the sized arena (an
+        # unbounded promote OOM'd the round-4 artifact run)
+        max_direct_layers=max(0, int(getattr(args, "direct_layers", 0))),
     )
 
     T, n = args.prompt, args.tokens
@@ -1760,7 +1782,12 @@ def build_parser():
                         "routed experts from the pinned tier inside the "
                         "program (no decoder arena residency, no "
                         "speculative replays; re-dispatch only on exact "
-                        "unique-overflow escalation)")
+                        "unique-overflow escalation). EXPERIMENTAL on "
+                        "this attachment: the isolated gather measures "
+                        "11 ms/layer at U=8 production scale, but the "
+                        "full 6-layer NLLB block program faults the axon "
+                        "TPU worker (r4 runs; exact on CPU + isolated "
+                        "probes)")
     p.add_argument("--stream-unique", type=int, default=32,
                    help="stream decode: initial per-(layer, step) unique-"
                         "expert gather width (doubles on overflow)")
