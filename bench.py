@@ -1347,7 +1347,14 @@ def bench_nllb_pressure(args, shared=None):
     totals = {p: {"visits": 0, "hits": 0, "misses": 0, "evictions": 0}
               for p in pol}
     for r in range(rounds + 1):
-        for policy in ("lru", "priority"):
+        # alternate the pair order: with a fixed order the second slot
+        # systematically absorbs more of the relay's monotone slowdown
+        # (round-4 artifact: priority always later, 0.80 paired ratio
+        # with an in-stage 146 -> 88 tok/s environmental decline)
+        order = (
+            ("lru", "priority") if r % 2 == 0 else ("priority", "lru")
+        )
+        for policy in order:
             arena.swap_policy(pol[policy])
             # self-state re-warm EVERY round: the other policy shaped
             # the arena during its window, so without this an
@@ -1827,6 +1834,16 @@ def _free_build(build) -> None:
             arena.shutdown()
         except Exception:  # noqa: BLE001
             pass
+    tier = build.get("tier")
+    if tier is not None:
+        # release the multi-GB pinned segments NOW: leaving them to GC
+        # let a 14 GB NLLB tier linger into the switch stage (round-4
+        # artifact: the co-resident stage decoded 10x slower than the
+        # same preset isolated)
+        try:
+            tier.fields.clear()
+        except Exception:  # noqa: BLE001
+            pass
     build.clear()
     gc.collect()
 
@@ -1929,11 +1946,13 @@ def _run_secondaries(args, result, build, t_start) -> None:
                       "records", "step_ms", "pinned_tier_gb")
         }
 
+    # pressure first (it REUSES the headline build's compiled stack; a
+    # fresh rebuild costs ~855 s of relay recompiles), then switch, then
+    # the link-bound int8 sibling. The round-4 rehearsal measured the
+    # switch stage at 95 tok/s in-run vs 906.8 isolated — the 14 GB NLLB
+    # tier's pinned segments lingering into the switch stage; _free_build
+    # now clears them explicitly before the switch build
     stage("cache-pressure", pressure, min_s=700)
-    # switch before int8: the servable-switch number (VERDICT item 7) is
-    # the more important secondary, and the link-bound int8 sibling (its
-    # data point — int8 doubles offload bytes — is already made at any
-    # budget) repeatedly ate the remaining budget
     stage("switch-servable", switch_servable, min_s=420)
     stage("dtype-sibling-int8", dtype_sibling, min_s=1200)
     _free_build(build)

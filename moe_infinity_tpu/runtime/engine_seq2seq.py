@@ -289,7 +289,11 @@ class Seq2SeqOffloadEngine:
             # of cascading (chip diagnosis: deep NLLB layers flip top-2
             # per dispatch; 5 executions per 4-token block without this)
             if hasattr(model, "route_margin"):
-                model.route_margin = max(0, route_margin)
+                import os as _os
+
+                model.route_margin = max(0, int(
+                    _os.environ.get("MOE_ROUTE_MARGIN", route_margin)
+                ))
             # whole-decoder step against the arena's CURRENT slot state:
             # routing resolves inside one compiled program; the host
             # verifies the routed ids afterward and replays on miss
