@@ -1897,23 +1897,56 @@ def _run_secondaries(args, result, build, t_start) -> None:
         result["cache_pressure"] = out
         gc.collect()
 
+    def _run_sub(preset, extra, timeout_s):
+        """Run one preset in a FRESH SUBPROCESS and parse its JSON line.
+
+        The axon relay multiplexes processes (verified: a second process
+        compiles + computes while the first holds the chip), and
+        in-process state accumulated over 40+ minutes of prior stages
+        degraded late stages ~10x (round-4: switch-servable 95 tok/s
+        in-run vs 906.8 isolated; the int8 sibling OOM'd in-run) even
+        after explicit build/tier frees. Subprocess isolation gives each
+        stage the same clean environment the isolated measurements had."""
+        import subprocess as _sp
+
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--preset", preset, "--no-secondaries",
+        ] + [str(a) for a in extra]
+        r = _sp.run(cmd, capture_output=True, text=True, timeout=timeout_s)
+        line = None
+        for ln in r.stdout.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{") and '"metric"' in ln:
+                line = ln
+        if line is None:
+            raise RuntimeError(
+                f"subprocess {preset} rc={r.returncode} emitted no JSON: "
+                f"{r.stderr[-200:]}"
+            )
+        out = json.loads(line)
+        if out.get("metric") == "bench_failed":
+            raise RuntimeError(
+                f"subprocess {preset} failed: "
+                f"{str(out.get('errors'))[:200]}"
+            )
+        return out
+
     def dtype_sibling():
         _free_build(build)
-        sargs = argparse.Namespace(**vars(args))
-        sargs.arena_dtype = "int8"
         # B=8: int8 slots are 2x the bytes, so the budget-derived slot
         # count must exceed the decode union comfortably — B=16's union
-        # of 192 left 2 spare slots and thrashed (19-minute warm)
-        sargs.batch = 8
-        sargs.tokens = min(8, args.tokens)
-        # full tier budget: at 4 GB only ~1/6 of the int8 decoder tier
-        # staged and the steady path fell to ~1 s/record store fetches
-        # (run-8 sibling: 0.45 tok/s); the int4 tier is freed first so
-        # pinned capacity is not stacked
-        sargs.tier_gb = args.tier_gb
-        sargs.slots = 0
-        out = bench_nllb_offload(sargs)
-        _free_build(out.pop("_build", None))
+        # of 192 left 2 spare slots and thrashed (19-minute warm).
+        # Full tier budget: at 4 GB only ~1/6 of the int8 decoder tier
+        # staged and the steady path fell to ~1 s/record store fetches.
+        out = _run_sub(
+            "nllb-offload",
+            ["--arena-dtype", "int8", "--batch", "8",
+             "--tokens", min(8, args.tokens),
+             "--tier-gb", args.tier_gb,
+             "--moe-impl", args.moe_impl],
+            min(1800, max(600, remaining())),
+        )
         sib = {
             k: out.get(k)
             for k in ("value", "vs_baseline", "hit_rate", "num_slots",
@@ -1930,28 +1963,30 @@ def _run_secondaries(args, result, build, t_start) -> None:
             "int8 = 2x offloaded bytes/expert vs the int4 headline) — "
             "compare hit_rate and step structure, not absolute tok/s"
         )
+        sib["isolated_subprocess"] = True
         result["dtype_siblings"] = {"int8": sib}
 
     def switch_servable():
         _free_build(build)
-        sargs = argparse.Namespace(**vars(args))
-        sargs.tokens = min(32, args.tokens)
-        sargs.tier_gb = min(4.0, args.tier_gb)  # bounded: stacked pinned
-        sargs.slots = 0                         # tiers wedged the remote
-        out = bench_switch_servable(sargs)
-        _free_build(out.pop("_build", None))
+        out = _run_sub(
+            "switch-servable",
+            ["--tokens", min(32, args.tokens),
+             "--tier-gb", min(4.0, args.tier_gb),
+             "--moe-impl", args.moe_impl],
+            min(1500, max(600, remaining())),
+        )
         result["switch_servable"] = {
             k: out.get(k)
             for k in ("value", "vs_baseline", "hit_rate", "num_slots",
-                      "records", "step_ms", "pinned_tier_gb")
+                      "records", "step_ms", "pinned_tier_gb",
+                      "mean_step_executions")
         }
+        result["switch_servable"]["isolated_subprocess"] = True
 
     # pressure first (it REUSES the headline build's compiled stack; a
-    # fresh rebuild costs ~855 s of relay recompiles), then switch, then
-    # the link-bound int8 sibling. The round-4 rehearsal measured the
-    # switch stage at 95 tok/s in-run vs 906.8 isolated — the 14 GB NLLB
-    # tier's pinned segments lingering into the switch stage; _free_build
-    # now clears them explicitly before the switch build
+    # fresh rebuild costs ~855 s of relay recompiles); switch and the
+    # int8 sibling run as ISOLATED SUBPROCESSES (see _run_sub: explicit
+    # frees were not enough — late in-process stages degraded ~10x)
     stage("cache-pressure", pressure, min_s=700)
     stage("switch-servable", switch_servable, min_s=420)
     stage("dtype-sibling-int8", dtype_sibling, min_s=1200)
