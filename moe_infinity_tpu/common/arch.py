@@ -134,3 +134,16 @@ FFN_ROLES: Dict[str, Dict[str, str]] = {
         "down": "down_proj.weight",
     },
 }
+
+
+# TP x EP: which dim of each STACKED expert array ([slots, ...]) shards
+# over the `model` mesh axis (the d_ff hidden dim; store/column.py slices
+# records along the same dims minus the leading slot dim). Keys absent
+# here — down_bias [S, d_model], quant scales — replicate across columns.
+TP_MODEL_DIMS: Dict[str, int] = {
+    "gate": 2,
+    "up": 2,
+    "gateup": 2,
+    "down": 1,
+    "gate_bias": 1,
+}

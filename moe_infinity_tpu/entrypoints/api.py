@@ -335,11 +335,11 @@ class MoE:
                         "multihost serving needs expert_parallel > 1 (the "
                         "expert axis spans every addressable device)"
                     )
-                if config.data_parallel != 1 or config.tensor_parallel != 1:
+                if config.data_parallel != 1:
                     raise NotImplementedError(
-                        "seq2seq multihost serving is pure expert-parallel "
-                        "for now (data/tensor_parallel must be 1; the "
-                        "decoder-only pod path composes data x expert)"
+                        "seq2seq multihost serving composes model x expert "
+                        "(data_parallel must be 1; the decoder-only pod "
+                        "path additionally composes the data axis)"
                     )
                 if self.dense_arena is not None:
                     # DELIBERATE pod-scale trade, not a gap (VERDICT r3
@@ -360,18 +360,21 @@ class MoE:
                         "exploit; shard them over the model axis instead "
                         "— see this guard's comment)"
                     )
-                self.mesh = global_mesh(MeshPlan(data=1, model=1, expert=ep))
+                tp = config.tensor_parallel
+                self.mesh = global_mesh(
+                    MeshPlan(data=1, model=tp, expert=ep)
+                )
                 self.model = model_cls(
                     spec_cls.from_hf(hf_config), compute_dtype,
                     mesh=self.mesh,
                 )
                 per_coord = config.num_slots or max(
                     -(-store.num_experts // ep),
-                    int((budget_all - dense_bytes_all) // store.stride),
+                    int((budget_all - dense_bytes_all) * tp // store.stride),
                 )
                 logger.info(
-                    "seq2seq pod offload plan: expert axis %d, %d "
-                    "slots/coordinate", ep, per_coord,
+                    "seq2seq pod offload plan: model axis %d x expert "
+                    "axis %d, %d slots/coordinate", tp, ep, per_coord,
                 )
                 executor = PodOffloadExecutor(
                     self.mesh, store, per_coord,
@@ -526,12 +529,6 @@ class MoE:
                     "multihost serving needs expert_parallel > 1 (the "
                     "expert axis spans every addressable device)"
                 )
-            if config.tensor_parallel != 1:
-                raise NotImplementedError(
-                    "multihost offload serving composes data x expert; "
-                    "tensor_parallel must be 1 on the arena path (TP of "
-                    "the dense side composes on the resident plan)"
-                )
             if self.dense_arena is not None:
                 # same deliberate trade as the seq2seq guard above: dense
                 # layers have no sparsity — paging refetches 100% of their
@@ -543,17 +540,20 @@ class MoE:
                     "shard them over the model axis instead)"
                 )
             dp = config.data_parallel
-            self.mesh = global_mesh(MeshPlan(data=dp, model=1, expert=ep))
+            tp = config.tensor_parallel
+            self.mesh = global_mesh(MeshPlan(data=dp, model=tp, expert=ep))
             self.model = model_cls(
                 spec_cls.from_hf(hf_config), compute_dtype, mesh=self.mesh
             )
+            # TP x EP: each slot holds 1/tp of a record, so the byte
+            # budget affords tp x the slots per coordinate
             per_coord = config.num_slots or max(
                 -(-store.num_experts // ep),
-                int((budget - dense_bytes) // store.stride),
+                int((budget - dense_bytes) * tp // store.stride),
             )
             logger.info(
-                "pod offload plan: data axis %d x expert axis %d, %d "
-                "slots/coordinate", dp, ep, per_coord,
+                "pod offload plan: data axis %d x model axis %d x expert "
+                "axis %d, %d slots/coordinate", dp, tp, ep, per_coord,
             )
             executor = PodOffloadExecutor(
                 self.mesh, store, per_coord,

@@ -382,6 +382,7 @@ def grouped_ffn_ep(
     biases: Optional[Dict[str, jax.Array]] = None,
     expert_axis: str = "expert",
     data_axis: str = "data",
+    model_axis: str = "model",
     impl: str = "ragged",
 ) -> jax.Array:
     """Expert-parallel grouped FFN via shard_map over the `expert` mesh axis.
@@ -410,13 +411,33 @@ def grouped_ffn_ep(
 
     joint = expert_to_slot.ndim == 2
     w_axes = (data_axis, expert_axis) if joint else expert_axis
-    w_specs = {
-        k: P(w_axes, *([None] * (v.ndim - 1))) for k, v in weights.items()
-    }
+    tp = mesh.shape.get(model_axis, 1)
+    if tp > 1 and any(
+        k.endswith("4") or k.endswith("_scale") for k in weights
+    ):
+        raise NotImplementedError(
+            "TP x EP dispatch over quantized expert slots is not "
+            "supported (group-quant scales are blocked along d_ff)"
+        )
+
+    def _mdim(k: str, ndim: int):
+        # d_ff dim sharded over `model` under TP x EP (store/column.py
+        # slicing plan; +1 for the leading slot dim)
+        if tp == 1:
+            return None
+        from moe_infinity_tpu.common.arch import TP_MODEL_DIMS
+
+        return TP_MODEL_DIMS.get(k)
+
+    def _wspec(k, v):
+        mdim = _mdim(k, v.ndim)
+        return P(w_axes, *(
+            (model_axis if i == mdim else None) for i in range(1, v.ndim)
+        ))
+
+    w_specs = {k: _wspec(k, v) for k, v in weights.items()}
     b_specs = (
-        {k: P(w_axes, *([None] * (v.ndim - 1))) for k, v in biases.items()}
-        if biases
-        else None
+        {k: _wspec(k, v) for k, v in biases.items()} if biases else None
     )
     tok_spec = P(data_axis, None)
     row_spec = P(data_axis, None) if joint else P(None)
@@ -434,6 +455,12 @@ def grouped_ffn_ep(
         valid = (local >= 0) & (local < s_local)
         local_ids = jnp.clip(local, 0, s_local - 1)
         cw_masked = cw * valid.astype(cw.dtype)
+        if tp > 1 and b is not None and "down_bias" in b:
+            # d_model bias is replicated across TP columns; zero it on
+            # columns != 0 so the (expert, model) psum adds it exactly once
+            col = jax.lax.axis_index(model_axis)
+            b = dict(b)
+            b["down_bias"] = jnp.where(col == 0, b["down_bias"], 0.0)
         out = grouped_ffn(
             x,
             local_ids,
@@ -444,7 +471,10 @@ def grouped_ffn_ep(
             biases=b,
             impl=impl,
         )
-        return jax.lax.psum(out, expert_axis)
+        # TP columns hold d_ff slices: the model-axis psum reassembles
+        # each expert's full FFN output from its column partials
+        axes = (expert_axis, model_axis) if tp > 1 else expert_axis
+        return jax.lax.psum(out, axes)
 
     fn = jax.shard_map(
         local_ffn,

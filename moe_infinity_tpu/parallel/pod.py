@@ -200,10 +200,23 @@ class PodOffloadExecutor:
     batch's routing. The psum combine stays over `expert` only — tokens
     and their experts never cross data rows.
 
-    Requires the model mesh axis of size 1 (TP of the dense side composes
-    on the resident path; the arena path's dense stages are replicated);
-    num_experts must divide over the expert axis and the batch over the
-    data axis.
+    TP x EP composition (model axis > 1): each (data, expert)
+    coordinate's arena splits into tp COLUMN buffers — one per
+    (d, c, m) device — holding the 1/tp d_ff slice of every resident
+    expert (store/column.py ColumnShardStore; one residency decision per
+    coordinate governs all columns, so the jointly-sharded view stays
+    coherent by construction). The weights view then shards d_ff over
+    `model` on top of the slot-dim sharding, and grouped_ffn_ep's psum
+    runs over (expert, model): each routed expert's GEMMs split across
+    the model columns — per-device arena bytes and upload traffic drop
+    by tp, buying tp x the resident expert capacity per HBM byte. The
+    reference replicates whole experts per GPU instead
+    (expert_executor.py:49-54). The arena path's dense stages stay
+    replicated (TP of the dense side composes on the resident path);
+    quantized stores are not column-shardable yet.
+
+    num_experts must divide over the expert axis, the batch over the
+    data axis, and d_ff over the model axis.
     """
 
     def __init__(
@@ -226,17 +239,12 @@ class PodOffloadExecutor:
 
         from moe_infinity_tpu.runtime.arena import ExpertArena
 
-        if mesh.shape.get("model", 1) != 1:
-            raise NotImplementedError(
-                "PodOffloadExecutor supports (data x expert) meshes; the "
-                "model axis must be 1 on the arena path (TP of the dense "
-                "side composes on the resident path)"
-            )
         self.mesh = mesh
         self.store = store
         self.plan = PodExpertPlan(mesh, store.num_experts)
         self.ep = mesh.shape["expert"]
         self.dp = mesh.shape.get("data", 1)
+        self.tp = mesh.shape.get("model", 1)
         self.s_local = num_slots_per_coord
         self.num_experts = store.num_experts
         self.host_fallback = host_fallback
@@ -253,47 +261,72 @@ class PodOffloadExecutor:
                 store, activation_for(store.meta)
             )
 
-        # device grid indexed (data_coord, expert_coord): transpose the
-        # mesh device array to (data, expert, rest) and collapse rest
-        # (model is size 1)
+        # device grid indexed (data_coord, expert_coord, model_col):
+        # transpose the mesh device array to (data, expert, model, rest)
+        # and collapse rest
         names = list(mesh.axis_names)
         grid = np.asarray(mesh.devices)
         perm = ([names.index("data")] if "data" in names else []) + [
             names.index("expert")
         ]
+        perm += [names.index("model")] if "model" in names else []
         perm += [i for i in range(grid.ndim) if i not in perm]
-        grid = np.transpose(grid, perm).reshape(self.dp, self.ep)
+        grid = np.transpose(grid, perm).reshape(self.dp, self.ep, self.tp)
         local_ids = {d.id for d in mesh.local_devices}
         self.device_at = {
-            (d, c): grid[d, c]
+            (d, c): grid[d, c, 0]
             for d in range(self.dp)
             for c in range(self.ep)
         }
-        self.coord_device = {c: grid[0, c] for c in range(self.ep)}
+        self.coord_device = {c: grid[0, c, 0] for c in range(self.ep)}
+        if self.tp > 1:
+            from moe_infinity_tpu.store.column import column_views
 
-        def make_arena(dev):
-            return ExpertArena(
-                store, num_slots_per_coord,
+            # every TP column of a locally-owned (d, c) must be local:
+            # the primary arena lands mirror slices on column devices
+            for d in range(self.dp):
+                for c in range(self.ep):
+                    cols_local = [
+                        grid[d, c, m].id in local_ids for m in range(self.tp)
+                    ]
+                    if any(cols_local) and not all(cols_local):
+                        raise NotImplementedError(
+                            "TP x EP requires each (data, expert) "
+                            "coordinate's model columns to live on ONE "
+                            "process (put `model` innermost in the mesh)"
+                        )
+
+        def make_arena(d, c):
+            kw = dict(
                 policy=policy,
                 compute_dtype=compute_dtype or jnp.bfloat16,
-                device=dev,
+                device=grid[d, c, 0],
                 num_threads=num_threads,
                 reserve_zero_slot=False,
+            )
+            if self.tp == 1:
+                return ExpertArena(store, num_slots_per_coord, **kw)
+            views = column_views(store, self.tp)
+            mirrors = [
+                (grid[d, c, m], views[m]) for m in range(1, self.tp)
+            ]
+            return ExpertArena(
+                views[0], num_slots_per_coord, tp_mirrors=mirrors, **kw
             )
 
         if self.dp == 1:
             # legacy keying by expert coordinate (tests/engines index it)
             self.arenas = {
-                c: make_arena(self.coord_device[c])
+                c: make_arena(0, c)
                 for c in range(self.ep)
                 if self.coord_device[c].id in local_ids
             }
         else:
             self.arenas = {
-                (d, c): make_arena(grid[d, c])
+                (d, c): make_arena(d, c)
                 for d in range(self.dp)
                 for c in range(self.ep)
-                if grid[d, c].id in local_ids
+                if grid[d, c, 0].id in local_ids
             }
         # key consensus is SPMD-derived (routed ids are replicated, so
         # every process computes the identical key set); only the
@@ -411,22 +444,33 @@ class PodOffloadExecutor:
         arrays, sharded on the expert axis — or [dp*ep*S, ...] sharded
         jointly over (data, expert) when dp > 1 (each (d, c) device
         contributes its own arena's buffers; assembly matches buffers to
-        shards by device). MUST be consumed under `dispatch_leases()` —
-        slot landings donate the underlying buffers."""
+        shards by device). Under TP x EP (tp > 1) each arena contributes
+        tp COLUMN buffers and the d_ff dim (common/arch.py TP_MODEL_DIMS)
+        additionally shards over `model`; unsliced keys (down_bias)
+        replicate across columns. MUST be consumed under
+        `dispatch_leases()` — slot landings donate the underlying
+        buffers."""
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from moe_infinity_tpu.common.arch import TP_MODEL_DIMS
 
         out = {}
         coords = sorted(self.arenas)
-        trees = {c: self.arenas[c].pytree() for c in coords}
+        trees = {c: self.arenas[c].column_pytrees() for c in coords}
         axes = "expert" if self.dp == 1 else ("data", "expert")
         rows = self.ep * self.dp
-        for key, a0 in trees[coords[0]].items():
-            shape = (rows * a0.shape[0],) + a0.shape[1:]
-            sharding = NamedSharding(
-                self.mesh, P(axes, *([None] * (a0.ndim - 1)))
-            )
+        tp = self.tp
+        for key, a0 in trees[coords[0]][0].items():
+            mdim = TP_MODEL_DIMS.get(key) if tp > 1 else None
+            shape = [rows * a0.shape[0]] + list(a0.shape[1:])
+            spec = [axes] + [None] * (a0.ndim - 1)
+            if mdim is not None:
+                shape[mdim] = a0.shape[mdim] * tp
+                spec[mdim] = "model"
+            sharding = NamedSharding(self.mesh, P(*spec))
             out[key] = self._jax.make_array_from_single_device_arrays(
-                shape, sharding, [trees[c][key] for c in coords]
+                tuple(shape), sharding,
+                [trees[c][m][key] for c in coords for m in range(tp)],
             )
         return out
 

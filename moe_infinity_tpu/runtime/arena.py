@@ -116,6 +116,7 @@ class ExpertArena:
         upload_threads: int = 4,
         reserve_zero_slot: bool = False,
         pinned_tier=None,
+        tp_mirrors=None,
     ):
         """dequant_on_write: upload quantized bytes but store compute-dtype
         slots (no per-step dequant on the jnp path; the Pallas kernel path
@@ -133,7 +134,17 @@ class ExpertArena:
         host read + upload entirely: one jitted program slices the record
         out of the pinned_host tier and writes the slot as a device-side
         DMA (~1 ms vs ~100s of ms per record on a relay link), fully
-        overlapping compute."""
+        overlapping compute.
+
+        tp_mirrors: ``[(device, column_store), ...]`` — tensor-parallel
+        column buffers (parallel/pod.py TP x EP). `store` must then be
+        column 0's ColumnShardStore view; each mirror holds the SAME slot
+        layout on its own device with its own column's weight slices, so
+        ONE residency decision (this arena's policy/bookkeeping) governs
+        all tp columns and the jointly-sharded weights view stays
+        coherent by construction. Fetch workers land every column of a
+        record under the same lock/lease discipline; reads share one
+        base-store read (store.column._BaseRecordCache)."""
         if num_slots < 1:
             raise ValueError("num_slots must be >= 1")
         self.store = store
@@ -200,6 +211,17 @@ class ExpertArena:
                 self._arena_np_dtype[key] = np_dtype(f.dtype)
                 arena[key] = jnp.zeros((rows,) + f.shape, dtype=jnp.float32)
         self._arena = jax.device_put(arena, self.device)
+        self._mirrors: List[Tuple[jax.Device, object]] = list(tp_mirrors or [])
+        if self._mirrors and pinned_tier is not None:
+            raise NotImplementedError(
+                "tp_mirrors and pinned_tier are mutually exclusive (the "
+                "tier DMA writer lands whole records on one device)"
+            )
+        # mirror columns share the primary's field shapes (ColumnShardStore
+        # requires d_ff % tp == 0), so the zero templates are reusable
+        self._mirror_arenas: List[Dict[str, jax.Array]] = [
+            jax.device_put(arena, dev) for dev, _ in self._mirrors
+        ]
         self._tier = pinned_tier
         self._tier_write = self._make_tier_writer() if pinned_tier else None
 
@@ -265,6 +287,12 @@ class ExpertArena:
     def pytree(self) -> Dict[str, jax.Array]:
         """The arena arrays, to be threaded through jit each step."""
         return self._arena
+
+    def column_pytrees(self) -> List[Dict[str, jax.Array]]:
+        """Primary + TP-mirror column arrays (one dict per model column,
+        each on its column's device, identical shapes and slot layout).
+        Consume under locked_tree(), like pytree()."""
+        return [self._arena] + list(self._mirror_arenas)
 
     @property
     def num_workers(self) -> int:
@@ -698,23 +726,19 @@ class ExpertArena:
             # copy; sched mode orders reads by priority with block-granular
             # preemption in the native scheduler)
             record = self.store.get_expert(layer, expert, prio=prio, gen=gen)
-            new = {}
-            for akey, tail in self._role_to_tail.items():
-                a = record[tail]
-                base = akey[:-1] if akey.endswith("4") else akey
-                quantized = (base + "_scale") in self._role_to_tail
-                if quantized and not akey.endswith("_scale"):
-                    pass  # upload quantized bytes exactly as stored
-                elif akey in self._arena:
-                    # unquantized role / arena-held scale: cast on host so
-                    # the upload already carries arena-dtype bytes
-                    target_np = np_dtype(jnp.dtype(self._arena[akey].dtype).name)
-                    if a.dtype != target_np:
-                        a = a.astype(target_np)
-                new[akey] = a
+            new = self._cast_record(record)
+            # TP column mirrors: the 1/tp slices of the same base record
+            # (shared base read via _BaseRecordCache) land on each
+            # column's device at the SAME slot
+            mirror_new = [
+                self._cast_record(
+                    mstore.get_expert(layer, expert, prio=prio, gen=gen)
+                )
+                for _dev, mstore in self._mirrors
+            ]
             # H2D copies dispatch + proceed outside the lock so concurrent
             # workers' uploads overlap on the interconnect
-            self._land_record(new, slot)
+            self._land_record(new, slot, mirror_new)
             self._finish_fetch(key, slot, prio, t_fetch)
 
     def _finish_fetch(self, key: Key, slot: int, prio: int, t_fetch: float):
@@ -737,7 +761,29 @@ class ExpertArena:
         if ev is not None:
             ev.set()
 
-    def _land_record(self, new: Dict[str, np.ndarray], slot: int) -> None:
+    def _cast_record(self, record: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        new = {}
+        for akey, tail in self._role_to_tail.items():
+            a = record[tail]
+            base = akey[:-1] if akey.endswith("4") else akey
+            quantized = (base + "_scale") in self._role_to_tail
+            if quantized and not akey.endswith("_scale"):
+                pass  # upload quantized bytes exactly as stored
+            elif akey in self._arena:
+                # unquantized role / arena-held scale: cast on host so
+                # the upload already carries arena-dtype bytes
+                target_np = np_dtype(jnp.dtype(self._arena[akey].dtype).name)
+                if a.dtype != target_np:
+                    a = a.astype(target_np)
+            new[akey] = a
+        return new
+
+    def _land_record(
+        self,
+        new: Dict[str, np.ndarray],
+        slot: int,
+        mirror_new: Optional[List[Dict[str, np.ndarray]]] = None,
+    ) -> None:
         """Upload one expert record and write it into arena slot `slot`.
 
         Roles larger than `upload_chunk_bytes` are split row-wise and
@@ -752,6 +798,12 @@ class ExpertArena:
             if akey in self._arena
         )
         slot_i = jnp.int32(slot)
+        # TP mirror columns: 1/tp-sized records, whole-record path; copies
+        # dispatch outside the lock, writes join the same lease window
+        dev_mirror = [
+            jax.device_put(mn, self._mirrors[m][0])
+            for m, mn in enumerate(mirror_new or [])
+        ]
         if not chunked:
             dev_new = jax.device_put(new, self.device)
             self._yield_to_dispatch()
@@ -759,6 +811,10 @@ class ExpertArena:
                 while self._leases > 0:  # donation must not race a dispatch
                     self._cv.wait()
                 self._arena = _write_slot(self._arena, dev_new, slot_i)
+                for m, dn in enumerate(dev_mirror):
+                    self._mirror_arenas[m] = _write_slot(
+                        self._mirror_arenas[m], dn, slot_i
+                    )
             return
 
         def put(h):
@@ -795,6 +851,10 @@ class ExpertArena:
                         arena[akey], fut.result(), slot_i, jnp.int32(off)
                     )
             self._arena = arena
+            for m, dn in enumerate(dev_mirror):
+                self._mirror_arenas[m] = _write_slot(
+                    self._mirror_arenas[m], dn, slot_i
+                )
 
     def _allocate_slot_locked(
         self, key: Key, ondemand: bool = True

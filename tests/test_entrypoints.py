@@ -188,9 +188,15 @@ def test_continuous_serving_through_facade(tiny_ckpt):
 
 
 def test_metrics_endpoint(server):
+    # logit_bias suppresses <eos> (id 124) so at least one token is
+    # counted even when this runs first in its module (greedy "hello"
+    # continuation EOSes immediately on the seed-1 tiny model; without
+    # the bias the tokens_generated assert is satisfied only by counter
+    # accumulation from earlier tests — order-dependent)
     _post(
         server + "/v1/completions",
-        {"prompt": "hello", "max_tokens": 2, "temperature": 0.0},
+        {"prompt": "hello", "max_tokens": 2, "temperature": 0.0,
+         "logit_bias": {"124": -100}},
     )
     with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
         m = json.loads(r.read())
