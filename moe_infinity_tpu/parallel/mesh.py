@@ -41,16 +41,30 @@ class MeshPlan:
 
 
 def make_mesh(
-    plan: MeshPlan, devices: Optional[Sequence[jax.Device]] = None
+    plan: MeshPlan,
+    devices: Optional[Sequence[jax.Device]] = None,
+    *,
+    tp_inner: bool = False,
 ) -> Mesh:
+    """tp_inner: place `model` innermost (varying fastest) instead of
+    outer of `expert`. TP x EP offload serving wants this: one expert's
+    GEMM columns split over the model axis every layer (the chattiest
+    psum), so its columns should sit on the closest devices — and across
+    processes it keeps each expert-coordinate's columns on ONE host,
+    which the column-sharded arena requires (parallel/pod.py)."""
     devices = list(devices if devices is not None else jax.devices())
     n = plan.num_devices
     if len(devices) < n:
         raise ValueError(f"need {n} devices for {plan}, have {len(devices)}")
     # `seq` innermost: ring ppermute hops ride neighbor ICI links
-    arr = np.array(devices[:n]).reshape(
-        plan.data, plan.model, plan.expert, plan.seq
-    )
+    if tp_inner:
+        arr = np.array(devices[:n]).reshape(
+            plan.data, plan.expert, plan.model, plan.seq
+        ).transpose(0, 2, 1, 3)
+    else:
+        arr = np.array(devices[:n]).reshape(
+            plan.data, plan.model, plan.expert, plan.seq
+        )
     return Mesh(arr, (DATA, MODEL, EXPERT, SEQ))
 
 

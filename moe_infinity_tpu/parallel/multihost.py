@@ -40,8 +40,13 @@ def init_multihost(
 def global_mesh(plan: MeshPlan):
     """Mesh over ALL addressable devices across hosts. Axis order places
     `expert` innermost so expert-parallel all-to-all/psum traffic stays on
-    ICI within a slice."""
-    return make_mesh(plan, devices=jax.devices())
+    ICI within a slice — except under TP x EP (model > 1), where `model`
+    goes innermost instead: a TP column pair psums every layer (the
+    chattiest axis) and the column-sharded arenas require each
+    expert-coordinate's columns to live on one host (parallel/pod.py)."""
+    return make_mesh(
+        plan, devices=jax.devices(), tp_inner=plan.model > 1
+    )
 
 
 class PrefetchHints:

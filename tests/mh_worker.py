@@ -331,6 +331,33 @@ np.testing.assert_array_equal(got_dp, want_dp)
 assert moe_dp.hit_rate() > 0
 moe_dp.shutdown()
 
+# ---- TP x EP pod serving across 2 real processes (round 4) ----------------
+# model=2 x expert=4 over 2 processes with `model` innermost
+# (global_mesh tp_inner): each process owns TWO expert coordinates, each
+# coordinate's arena holding BOTH column buffers locally (primary +
+# mirror on adjacent devices); the weights view shards d_ff over `model`
+# on top of the slot dim and grouped_ffn_ep psums over (expert, model).
+# Greedy output must stay HF-exact on both processes.
+moe_tp = MoE(ckpt, {
+    "offload_path": ckpt + "/store", "expert_dtype": "float32",
+    "multihost": True, "expert_parallel": 2 * nprocs,
+    "tensor_parallel": 2, "num_slots": 4, "max_seq_len": 64,
+    "prefetch": True,
+})
+assert isinstance(moe_tp.engine, PodOffloadEngine)
+assert moe_tp.engine.executor.tp == 2
+# host-affinity: this process owns its 2 coordinates, columns co-located
+assert set(moe_tp.engine.executor.arenas) == {pid * 2, pid * 2 + 1}, (
+    sorted(moe_tp.engine.executor.arenas)
+)
+for arena in moe_tp.engine.executor.arenas.values():
+    assert len(arena._mirrors) == 1
+    assert arena._mirrors[0][0] in jax.local_devices()
+got_tp = moe_tp.generate(prompt, max_new_tokens=5, eos_token_id=None)
+np.testing.assert_array_equal(got_tp, want)
+assert moe_tp.hit_rate() > 0
+moe_tp.shutdown()
+
 # ---- SEQ2SEQ pod serving across 2 real processes (VERDICT r3 item 4) ------
 # The reference's flagship models are encoder-decoder; the facade's
 # multihost config must serve them too. Tiny Switch, deterministic on both
