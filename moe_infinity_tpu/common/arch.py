@@ -146,4 +146,15 @@ TP_MODEL_DIMS: Dict[str, int] = {
     "gateup": 2,
     "down": 1,
     "gate_bias": 1,
+    # quantized arena keys: '<role>4' packed-int4 slots share the role's
+    # sliced dim (packed out axis holds d_ff/2 per column); per-channel
+    # '<role>_scale' [slots, out] slices with gate/up's d_ff, while
+    # down_scale [slots, d_model] replicates across columns
+    "gate4": 2,
+    "up4": 2,
+    "gateup4": 2,
+    "down4": 1,
+    "gate_scale": 1,
+    "up_scale": 1,
+    "gateup_scale": 1,
 }

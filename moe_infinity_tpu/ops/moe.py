@@ -412,13 +412,6 @@ def grouped_ffn_ep(
     joint = expert_to_slot.ndim == 2
     w_axes = (data_axis, expert_axis) if joint else expert_axis
     tp = mesh.shape.get(model_axis, 1)
-    if tp > 1 and any(
-        k.endswith("4") or k.endswith("_scale") for k in weights
-    ):
-        raise NotImplementedError(
-            "TP x EP dispatch over quantized expert slots is not "
-            "supported (group-quant scales are blocked along d_ff)"
-        )
 
     def _mdim(k: str, ndim: int):
         # d_ff dim sharded over `model` under TP x EP (store/column.py

@@ -212,8 +212,10 @@ class PodOffloadExecutor:
     by tp, buying tp x the resident expert capacity per HBM byte. The
     reference replicates whole experts per GPU instead
     (expert_executor.py:49-54). The arena path's dense stages stay
-    replicated (TP of the dense side composes on the resident path);
-    quantized stores are not column-shardable yet.
+    replicated (TP of the dense side composes on the resident path).
+    Row-wise-quantized stores (int8/int4/fp8) column-shard too — scales
+    follow their weight's slice (store/column.py); only block-scaled
+    records (DeepSeek FP8 128x128) are rejected.
 
     num_experts must divide over the expert axis, the batch over the
     data axis, and d_ff over the model axis.

@@ -32,8 +32,15 @@ only its 1/tp slice. The reference has no TP of experts at all: its
 multi-GPU dispatch replicates whole experts per GPU
 (/root/reference/moe_infinity/distributed/expert_executor.py:49-54).
 
-Quantized stores (any ``*.scale`` field) are rejected: group-quant scales
-are blocked along d_ff and slicing them is a follow-up.
+Quantized stores (store/quant.py row-wise int8/int4/fp8) slice too:
+per-OUT-channel scales follow their weight's slice — gate/up scales
+([d_ff]) slice with the d_ff columns, down's scale ([d_model]) replicates
+across columns like fc2.bias. int4 records are packed split-wise along
+the OUT axis (quant.pack_int4_np), so a d_ff column slice of gate/up is
+not a byte slice: the view unpacks, slices the channels, and repacks per
+column (host numpy at fetch time; d_ff/tp must stay even). Only BLOCK
+scales (2-D, e.g. DeepSeek FP8 128x128 blocks) are rejected — slicing a
+block grid along d_ff needs block-aligned tp splits, a follow-up.
 """
 
 from __future__ import annotations
@@ -51,11 +58,17 @@ def _slice_dims_for(store) -> Dict[str, Optional[int]]:
     """tail name -> record dim sliced over the model axis (None = whole)."""
     roles = role_map_for(store.meta)
     dims: Dict[str, Optional[int]] = {}
+    names = set(store.field_names)
     for role, tail in roles.items():
         if tail is None:
             continue
         dims[tail] = 0 if role == "down" else 1
-    names = set(store.field_names)
+        if tail + ".scale" in names:
+            # per-OUT-channel scale [out]: slices with gate/up's d_ff
+            # columns; down's [d_model] scale replicates (added once by
+            # the dequantized matmul on every column — it scales the
+            # OUTPUT channels, identical across column partials)
+            dims[tail + ".scale"] = None if role == "down" else 0
     if "fc1.bias" in names:
         dims["fc1.bias"] = 0
     if "fc2.bias" in names:
@@ -102,12 +115,6 @@ class ColumnShardStore:
                  shared: Optional[_BaseRecordCache] = None):
         if not 0 <= col < tp:
             raise ValueError(f"col {col} out of range for tp={tp}")
-        if any(n.endswith(".scale") for n in store.field_names):
-            raise NotImplementedError(
-                "tensor-parallel column sharding of quantized expert "
-                "records is not supported (group-quant scales are blocked "
-                "along d_ff)"
-            )
         self.base = store
         self.col = col
         self.tp = tp
@@ -116,13 +123,33 @@ class ColumnShardStore:
         self.meta = store.meta
         self._dims = _slice_dims_for(store)
         self._shared = shared or _BaseRecordCache(store, 1)
+        # int4 tails packed split-wise along a SLICED out axis need
+        # unpack -> channel-slice -> repack instead of a byte slice
+        self._repack4: set = set()
         fields = []
         for f in store.fields if hasattr(store, "fields") else [
             store._field_by_name[n] for n in store.field_names
         ]:
+            if f.name.endswith(".scale") and len(f.shape) != 1:
+                raise NotImplementedError(
+                    f"column sharding of BLOCK-scaled records is not "
+                    f"supported ({f.name} scale shape {f.shape}; needs "
+                    f"block-aligned tp splits)"
+                )
             dim = self._dims.get(f.name)
             shape = f.shape
             if dim is not None:
+                if f.dtype == "int4" and dim == len(shape) - 1:
+                    # packed axis holds out/2 bytes; each column gets
+                    # (out/tp)/2 — the generic divide below is right but
+                    # the CONTENT must be re-packed per column
+                    if (shape[dim] * 2 // tp) % 2:
+                        raise ValueError(
+                            f"int4 field {f.name}: d_ff/tp "
+                            f"({shape[dim] * 2 // tp}) must stay even "
+                            f"for split-wise packing"
+                        )
+                    self._repack4.add(f.name)
                 if shape[dim] % tp:
                     raise ValueError(
                         f"field {f.name} dim {dim} ({shape[dim]}) must "
@@ -149,6 +176,20 @@ class ColumnShardStore:
         dim = self._dims.get(name)
         if dim is None:
             return a
+        if name in self._repack4:
+            # split-wise int4 packing interleaves channel i with
+            # i + out/2 in one byte, so a d_ff column is NOT a byte
+            # range: unpack to channels, slice, repack per column
+            from moe_infinity_tpu.store.quant import (
+                pack_int4_np,
+                unpack_int4_np,
+            )
+
+            ch = unpack_int4_np(a)
+            n = ch.shape[dim] // self.tp
+            idx = [slice(None)] * ch.ndim
+            idx[dim] = slice(self.col * n, (self.col + 1) * n)
+            return np.ascontiguousarray(pack_int4_np(ch[tuple(idx)]))
         n = a.shape[dim] // self.tp
         idx = [slice(None)] * a.ndim
         idx[dim] = slice(self.col * n, (self.col + 1) * n)

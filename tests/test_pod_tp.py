@@ -181,20 +181,88 @@ def test_pod_tp_speculative_exact(tiny):
         ex.shutdown()
 
 
-def test_pod_tp_quantized_rejected(tiny):
+@pytest.fixture(scope="module")
+def tiny_quant(tiny, tmp_path_factory):
+    """int8 + int4 stores of the same tiny checkpoint."""
+    cfg, hf, _ = tiny
+    ckpt = tmp_path_factory.mktemp("podtpq") / "ckpt"
+    hf.save_pretrained(ckpt, safe_serialization=True)
+    stores = {}
+    for dt in ("int8", "int4"):
+        sd = str(tmp_path_factory.mktemp("podtpq") / f"store_{dt}")
+        ingest_checkpoint(
+            str(ckpt), sd, cfg, expert_dtype=dt, dense_dtype="float32"
+        )
+        stores[dt] = sd
+    return stores
+
+
+def test_column_store_int4_repack_roundtrip(tiny_quant):
+    """A packed-int4 gate column slice must carry exactly that column's
+    channels: split-wise packing interleaves channel i with i + F/2, so
+    the view unpacks/slices/repacks — verify against the full record."""
+    from moe_infinity_tpu.store.quant import unpack_int4_np
+
+    store = ExpertStore(tiny_quant["int4"])
+    views = column_views(store, 2)
+    full = unpack_int4_np(store.get_expert(0, 1)["w1.weight"])  # [D, F]
+    a = unpack_int4_np(views[0].get_expert(0, 1)["w1.weight"])
+    b = unpack_int4_np(views[1].get_expert(0, 1)["w1.weight"])
+    np.testing.assert_array_equal(np.concatenate([a, b], axis=1), full)
+    # scales slice with the channels; down's scale replicates
+    sa = views[0].get_expert(0, 1)["w1.weight.scale"]
+    sfull = store.get_expert(0, 1)["w1.weight.scale"]
+    np.testing.assert_array_equal(sa, sfull[: sfull.shape[0] // 2])
+    np.testing.assert_array_equal(
+        views[1].get_expert(0, 1)["w2.weight.scale"],
+        store.get_expert(0, 1)["w2.weight.scale"],
+    )
+
+
+def test_column_store_block_scales_rejected(tiny):
     _, _, store_dir = tiny
     store = ExpertStore(store_dir)
 
-    class FakeQuantStore:
+    class FakeField:
+        name = "w1.weight.scale"
+        shape = (4, 4)
+        dtype = "float32"
+
+    class FakeBlockStore:
         def __getattr__(self, name):
             return getattr(store, name)
+
+        @property
+        def fields(self):
+            return list(store.fields) + [FakeField()]
 
         @property
         def field_names(self):
             return store.field_names + ["w1.weight.scale"]
 
-    with pytest.raises(NotImplementedError, match="quantized"):
-        ColumnShardStore(FakeQuantStore(), 0, 2)
+    with pytest.raises(NotImplementedError, match="BLOCK"):
+        ColumnShardStore(FakeBlockStore(), 0, 2)
+
+
+@pytest.mark.parametrize("dt", ["int8", "int4"])
+def test_pod_tp_quantized_matches_pure_ep(tiny_quant, tiny, dt):
+    """TP=2 column-sharded dispatch over a quantized store decodes the
+    same greedy tokens as the pure-EP pod path on the same store (the
+    established quantized oracle — fp32 HF differs by quantization)."""
+    cfg, _, _ = tiny
+    store_dir = tiny_quant[dt]
+    prompt = np.array([[3, 17, 9, 42]])
+    seqs = {}
+    for tp in (1, 2):
+        eng, ex, _ = _pod_tp_engine(
+            cfg, store_dir, tp=tp, ep=2, s_local=E
+        )
+        try:
+            gen = Generator(stepper=eng, max_seq_len=32)
+            seqs[tp] = gen.generate(prompt, max_new_tokens=6).sequences
+        finally:
+            ex.shutdown()
+    np.testing.assert_array_equal(seqs[2], seqs[1])
 
 
 def test_pod_tp_seq2seq_nllb_facade(tmp_path):
