@@ -572,7 +572,7 @@ class MoE:
                 self.model, self.params, executor,
                 tracer=tracer, predictor=ExpertPredictor(tracer),
                 prefetch=config.prefetch, impl=config.moe_impl,
-                speculative=(config.speculative_decode and dp == 1),
+                speculative=config.speculative_decode,
                 spec_block=config.speculative_block,
             )
             self.generator = Generator(

@@ -622,14 +622,18 @@ class PodSpecView:
 
     # ---- speculative protocol ------------------------------------------
     def dispatch_snapshot(self):
+        """DP x EP (dp > 1) snapshots use UNION semantics: the exchanged
+        fragments carry (data_row, layer, expert, global_slot), the slot
+        rows come back per-row ([L, dp, E] — each row's table indexes its
+        own arenas), and a key counts resident only when EVERY row holds
+        it. The spec executors then verify/acquire plain (layer, expert)
+        keys and every row warms the whole block union — conservative
+        (rows lose per-row cache affinity on the spec path) but exact and
+        SPMD-deterministic; the per-layer path keeps row-affine warming."""
         from contextlib import ExitStack, contextmanager
 
-        if self.ex.dp != 1:
-            raise NotImplementedError(
-                "speculative pod decode is pure expert-parallel for now "
-                "(data axis must be 1)"
-            )
         ex = self.ex
+        dp = ex.dp
 
         @contextmanager
         def snapshot():
@@ -638,22 +642,25 @@ class PodSpecView:
             with ExitStack() as stack:
                 coords = sorted(ex.arenas)
                 snaps = {
-                    c: stack.enter_context(ex.arenas[c].dispatch_snapshot())
-                    for c in coords
+                    k: stack.enter_context(ex.arenas[k].dispatch_snapshot())
+                    for k in coords
                 }
                 frag = []
-                for c in coords:
-                    _tree, rows, resident = snaps[c]
+                for k in coords:
+                    d, c = k if isinstance(k, tuple) else (0, k)
+                    _tree, rows, resident = snaps[k]
                     for (layer, e) in resident:
-                        frag.append(
-                            (layer, e, c * ex.s_local + int(rows[layer, e]))
-                        )
+                        frag.append((
+                            d, layer, e,
+                            (d * ex.ep + c) * ex.s_local
+                            + int(rows[layer, e]),
+                        ))
                 frag.sort()
                 ex._slot_hints.publish(f"spec{step}/{pid}", frag)
                 rows_g = np.full(
-                    (self.num_layers, ex.num_experts), -1, np.int32
+                    (self.num_layers, dp, ex.num_experts), -1, np.int32
                 )
-                resident_g = set()
+                per_row = [set() for _ in range(dp)]
                 for p in range(ex._jax.process_count()):
                     f = (
                         frag
@@ -662,13 +669,16 @@ class PodSpecView:
                             f"spec{step}/{p}", timeout_ms=60_000
                         )
                     )
-                    for layer, e, g in f:
-                        rows_g[int(layer), int(e)] = int(g)
-                        resident_g.add((int(layer), int(e)))
+                    for d, layer, e, g in f:
+                        rows_g[int(layer), int(d), int(e)] = int(g)
+                        per_row[int(d)].add((int(layer), int(e)))
+                resident_g = set.intersection(*per_row)
                 ex._barrier.barrier(f"spec{step}")
                 ex.barrier_joins += 1
                 tree = ex.weights_view()  # zero-copy; leases held by snaps
-                yield tree, rows_g, resident_g
+                yield tree, (
+                    rows_g[:, 0, :] if dp == 1 else rows_g
+                ), resident_g
             ex._slot_hints.delete(f"spec{step}/{pid}")
 
         return snapshot()

@@ -57,7 +57,7 @@ class PodOffloadEngine:
     * per-layer (default): each MoE layer costs one consensus round
       (arena warm + slot-row exchange + barrier) before its collective
       dispatch — L_moe barriers per token.
-    * speculative (speculative=True, pure EP): whole decode steps — and
+    * speculative (speculative=True): whole decode steps — and
       k-step greedy BLOCKS (decode_block) — run as ONE compiled program
       against a pod-wide residency snapshot (PodSpecView), verified from
       the snapshot's shared resident set and replayed on miss. A
@@ -90,11 +90,6 @@ class PodOffloadEngine:
             raise ValueError(
                 "PodOffloadEngine needs a model built with an expert-axis "
                 "mesh (model.mesh)"
-            )
-        if speculative and executor.dp != 1:
-            raise NotImplementedError(
-                "speculative pod decode is pure expert-parallel for now "
-                "(data axis must be 1)"
             )
         self.model = model
         self.executor = executor

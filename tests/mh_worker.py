@@ -331,6 +331,22 @@ np.testing.assert_array_equal(got_dp, want_dp)
 assert moe_dp.hit_rate() > 0
 moe_dp.shutdown()
 
+# ---- speculative DP x EP across 2 real processes (round 4, r5 item 3) -----
+# Whole decode steps under data=2: the pod snapshot exchanges per-row
+# slot tables ([L, dp, E]) and union residency; both processes take
+# identical accept/replay decisions; greedy output stays HF-exact.
+moe_dsp = MoE(ckpt, {
+    "offload_path": ckpt + "/store", "expert_dtype": "float32",
+    "multihost": True, "expert_parallel": 4, "data_parallel": nprocs,
+    "num_slots": 8, "max_seq_len": 64, "prefetch": False,
+    "speculative_decode": True,
+})
+assert moe_dsp.engine.speculative and moe_dsp.engine.executor.dp == nprocs
+got_dsp = moe_dsp.generate(dp_prompt, max_new_tokens=4, eos_token_id=None)
+np.testing.assert_array_equal(got_dsp, want_dp)
+assert moe_dsp.engine.replay_counts  # spec path actually ran
+moe_dsp.shutdown()
+
 # ---- TP x EP pod serving across 2 real processes (round 4) ----------------
 # model=2 x expert=4 over 2 processes with `model` innermost
 # (global_mesh tp_inner): each process owns TWO expert coordinates, each

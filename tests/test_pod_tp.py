@@ -164,6 +164,28 @@ def test_pod_dp_tp_ep_exact(tiny):
         ex.shutdown()
 
 
+def test_pod_dp_speculative_exact(tiny):
+    """Speculative whole-step decode under data > 1 (round-5 item):
+    per-row slot tables in the snapshot ([L, dp, E]), union residency
+    semantics (a key is resident only when every row holds it), one
+    barrier per dispatch. Greedy == HF for both batch rows."""
+    cfg, hf, store_dir = tiny
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    eng, ex, _ = _pod_tp_engine(
+        cfg, store_dir, dp=2, tp=2, ep=2, s_local=E, speculative=True
+    )
+    try:
+        prompt = np.array([[3, 17, 9, 42], [8, 77, 5, 31]])
+        want = _hf_greedy(hf, prompt, 6)
+        gen = Generator(stepper=eng, max_seq_len=32)
+        got = gen.generate(prompt, max_new_tokens=6).sequences
+        np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+        assert eng.replay_counts  # the speculative path actually ran
+    finally:
+        ex.shutdown()
+
+
 def test_pod_tp_speculative_exact(tiny):
     """Speculative whole-step decode over TP-column snapshots."""
     cfg, hf, store_dir = tiny
