@@ -102,15 +102,18 @@ def test_column_store_shares_base_read(tiny):
 
 
 def _pod_tp_engine(cfg, store_dir, *, dp=1, tp=2, ep=2, s_local=2,
-                   speculative=False):
+                   speculative=False, store_wrap=None, **ex_kw):
     mesh = make_mesh(MeshPlan(data=dp, model=tp, expert=ep))
     store = ExpertStore(store_dir)
+    if store_wrap is not None:
+        store = store_wrap(store)
     model = MixtralModel(
         MixtralSpec.from_hf(cfg), compute_dtype=jnp.float32, mesh=mesh
     )
     params = model.load_params(DenseArchive(store_dir))
     ex = PodOffloadExecutor(
         mesh, store, s_local, compute_dtype=jnp.float32, num_threads=1,
+        **ex_kw,
     )
     eng = PodOffloadEngine(
         model, params, ex, prefetch=False, impl="ragged",
@@ -285,6 +288,41 @@ def test_pod_tp_quantized_matches_pure_ep(tiny_quant, tiny, dt):
         finally:
             ex.shutdown()
     np.testing.assert_array_equal(seqs[2], seqs[1])
+
+
+def test_pod_tp_host_fallback_exact(tiny):
+    """Run-on-host escape hatch under TP columns: a deadline-missed
+    expert's slot row stays -1, so EVERY column's partial contributes
+    zero for it, and the full host-computed delta is added exactly once
+    — greedy output stays HF-exact and the counter proves it fired."""
+    import time as _t
+
+    cfg, hf, store_dir = tiny
+
+    class SlowStore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def get_expert(self, layer, expert, **kw):
+            _t.sleep(0.08)  # > host_fallback_timeout for every fetch
+            return self._inner.get_expert(layer, expert, **kw)
+
+    eng, ex, _ = _pod_tp_engine(
+        cfg, store_dir, tp=2, ep=2, store_wrap=SlowStore,
+        host_fallback=True, host_fallback_timeout=0.02,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77]])
+        want = _hf_greedy(hf, prompt, 4)
+        gen = Generator(stepper=eng, max_seq_len=32)
+        got = gen.generate(prompt, max_new_tokens=4).sequences
+        np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+        assert ex.host_exec_count > 0  # the escape hatch actually fired
+    finally:
+        ex.shutdown()
 
 
 def test_pod_tp_seq2seq_nllb_facade(tmp_path):
