@@ -106,14 +106,29 @@ def mixtral_param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any
 
 def expert_shardings(mesh: Mesh, expert_tree: Dict[str, Any]) -> Dict[str, Any]:
     """Shard every stacked expert array on dim 0 (experts/slots) over the
-    `expert` axis; slot maps replicated."""
+    `expert` axis; slot maps replicated. With a model axis > 1, the d_ff
+    dim (common/arch.py TP_MODEL_DIMS, keyed by the tree's role names)
+    additionally shards over `model` — matching grouped_ffn_ep's
+    (expert, model) dispatch specs so placement equals the compute
+    layout and no reshard happens at dispatch."""
+    from moe_infinity_tpu.common.arch import TP_MODEL_DIMS
 
-    def spec_for(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
-            return _ns(mesh, EXPERT, *([None] * (leaf.ndim - 1)))
-        return _ns(mesh)
+    tp = mesh.shape.get(MODEL, 1)
 
-    return jax.tree.map(spec_for, expert_tree)
+    def spec_for(path, leaf):
+        if not (hasattr(leaf, "ndim") and leaf.ndim >= 2):
+            return _ns(mesh)
+        spec = [EXPERT] + [None] * (leaf.ndim - 1)
+        if tp > 1:
+            key = next(
+                (p.key for p in reversed(path) if hasattr(p, "key")), None
+            )
+            mdim = TP_MODEL_DIMS.get(key)
+            if mdim is not None and mdim < leaf.ndim:
+                spec[mdim] = MODEL
+        return _ns(mesh, *spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, expert_tree)
 
 
 def shard_params(tree, shardings):
