@@ -1072,6 +1072,133 @@ def _nllb_build(args, *, num_slots=None, policy=None, speculative=True,
     }
 
 
+def _skew_router_biases(params, spec, alpha: float, tau: float, seed=1234):
+    """Inject a Zipf expert-popularity bias into the DECODER routers for
+    the skewed-locality leg (VERDICT r4 item 2).
+
+    The round-4 headline's synthetic near-uniform routing routed 556
+    distinct experts per 48-step window against ~384 slots — an
+    adversarial regime where the activation-aware machinery provably
+    cannot win (capacity-bound churn). Real MoE routing is skewed and
+    temporally local: the reference's tracer exists BECAUSE per-sequence
+    activation matrices recur (cosine-similarity EAMC matching,
+    /root/reference/moe_infinity/memory/expert_tracer.py:94-125), and its
+    published numbers come from real LongBench/GSM8K/FLAN/MMLU workloads
+    (/root/reference/README.md:36-37). This generator states its model
+    honestly: per-layer expert popularity p(rank) ∝ rank^-alpha (Zipf —
+    the standard model for MoE expert-load skew), injected as an additive
+    router-logit bias of magnitude tau × sigma_logit, where sigma_logit
+    is MEASURED from this build's router weights against unit-variance
+    (LayerNorm-output) activations:
+
+        bias[e] = tau * sigma * (-alpha * log(rank_e) / log(E))
+
+    so rank-1 vs rank-E separation is tau*alpha*sigma while adjacent top
+    ranks stay within the per-token logit noise — tokens still flip
+    among the popular set (per-row trajectories differentiate inside
+    it), but the tail is rarely routed. tau=0 recovers the adversarial
+    uniform leg. Popularity order is permuted per layer (hot experts
+    differ across layers, as in real models)."""
+    import jax.numpy as jnp
+
+    E, D = spec.num_experts, spec.d_model
+    first = next(
+        b for i, b in enumerate(params["dec_blocks"])
+        if spec.is_sparse(i, True)
+    )
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((512, D)).astype(np.float32)
+    logits = h @ np.asarray(first["router"], np.float32).T
+    sigma = float(logits.std())
+    ranks = np.arange(1, E + 1, dtype=np.float64)
+    shape = -alpha * np.log(ranks) / np.log(E)
+    n_pat = 0
+    for i, b in enumerate(params["dec_blocks"]):
+        if not spec.is_sparse(i, True):
+            continue
+        perm = rng.permutation(E)
+        bias = np.empty(E, np.float32)
+        bias[perm] = (tau * sigma * shape).astype(np.float32)
+        b["router_bias"] = jnp.asarray(bias)
+        n_pat += 1
+    return {
+        "skew_alpha": alpha,
+        "skew_tau": tau,
+        "sigma_logit": round(sigma, 2),
+        "bias_formula": "tau*sigma*(-alpha*log(rank)/log(E)), per-layer "
+                        "rank permutation; tau=0 = uniform leg",
+        "patched_layers": n_pat,
+    }
+
+
+def _nllb_skewed_leg(args, b, cap, prompt, n):
+    """Run the realistic-locality companion leg on the SAME engine and
+    compiled programs as the uniform headline (router_bias is a params
+    leaf — same treedef, no recompile): patch the biases, converge the
+    arena to the skewed hot set with one untimed window, then time a
+    full window. Returns the leg's result dict."""
+    engine, spec = b["engine"], b["spec"]
+    B = b["B"]
+    skew = _skew_router_biases(
+        b["params"], spec, args.skew_alpha, args.skew_tau
+    )
+    print(f"[bench] skewed leg: {skew}", file=sys.stderr, flush=True)
+    t_w = time.perf_counter()
+    engine.generate(
+        prompt, max_new_tokens=max(4, n // 2), eos_token_id=None,
+        cache_len=cap,
+    )  # untimed: converge the arena/tracer to the skewed hot set
+    warm_s = time.perf_counter() - t_w
+    engine.spec_log = []
+    n_replay0 = len(engine.replay_counts)
+    t0 = time.perf_counter()
+    engine.generate(
+        prompt, max_new_tokens=n, eos_token_id=None, cache_len=cap
+    )
+    tn = time.perf_counter() - t0
+    decode_s = sum(dt_i for _, dt_i in engine.step_times)
+    cliff_s, steady_tok, steady_s = _steady_split(engine.step_times, n)
+    dt = max(steady_s, 1e-9)
+    tput = B * steady_tok / dt
+    out = {
+        "value": round(tput, 2),
+        "vs_baseline": round(tput / 30.300, 3),
+        "unit": "tokens/s",
+        "decode_steps": steady_tok,
+        "step_ms": round(1000 * dt / max(1, steady_tok), 1),
+        "rewarm_cliff_s": round(cliff_s, 1),
+        "prefill_s": round(tn - decode_s, 1),
+        "warm_s": round(warm_s, 1),
+        "mean_step_executions": round(
+            float(np.mean(engine.replay_counts[n_replay0:])), 3
+        ) if len(engine.replay_counts) > n_replay0 else None,
+        "programs_per_token": round(
+            sum(engine.replay_counts[n_replay0:]) / max(1, n), 3
+        ) if len(engine.replay_counts) > n_replay0 else None,
+        **skew,
+    }
+    dw = engine.decode_window_stats()
+    if dw:
+        out["decode_hit_rate"] = round(dw["decode_hit_rate"], 4)
+        out["decode_misses"] = dw["misses"]
+        out["decode_distinct_routed"] = dw.get("distinct_routed")
+        out["decode_miss_churn"] = dw.get("miss_churn")
+        out["decode_miss_fresh"] = dw.get("miss_fresh")
+    from moe_infinity_tpu.runtime.engine import spec_block_diag
+
+    sd = spec_block_diag(getattr(engine, "spec_log", []))
+    if sd:
+        out["spec_diag"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in sd.items()
+        }
+        kt = getattr(engine, "_k_trace", None)
+        if kt:
+            out["spec_diag"]["k_trace"] = kt[-16:]
+        out["spec_k_final"] = engine.spec_block
+    return out
+
+
 def bench_nllb_offload(args, shared=None, _build=None):
     """NLLB-MoE-54B decode throughput at batch 32 through the enc-dec
     offload engine (the reference's bs=32 throughput table: 30.300 tok/s
@@ -1171,6 +1298,12 @@ def bench_nllb_offload(args, shared=None, _build=None):
         "mean_step_executions": round(
             float(np.mean(engine.replay_counts[n_replay0:])), 3
         ) if len(engine.replay_counts) > n_replay0 else None,
+        # dispatched programs per committed token over the whole timed
+        # call (cliff included): the quantity comparable across block
+        # sizes — the adaptive-k done-bar (VERDICT r4 item 4)
+        "programs_per_token": round(
+            sum(engine.replay_counts[n_replay0:]) / max(1, n), 3
+        ) if len(engine.replay_counts) > n_replay0 else None,
     }
     # decode-regime evidence: the cumulative hit_rate above conflates the
     # encoder's one-shot streaming (which must miss) with decode — the
@@ -1194,6 +1327,11 @@ def bench_nllb_offload(args, shared=None, _build=None):
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in sd.items()
         }
+        # acceptance-gated block adaptation evidence (VERDICT r4 item 4)
+        kt = getattr(engine, "_k_trace", None)
+        if kt:
+            result["spec_diag"]["k_trace"] = kt[-16:]
+            result["spec_diag"]["k_final"] = engine.spec_block
     if tier is not None:
         result.update(tier.stats())
         result["tier_aliased"] = bool(tier.shared)
@@ -1207,6 +1345,35 @@ def bench_nllb_offload(args, shared=None, _build=None):
             "trip through the measurement relay; ~0.1 ms directly "
             "attached) — hbm_bw_util reflects the relay, not the design"
         )
+    # ---- realistic-locality companion leg (VERDICT r4 item 2) ----------
+    # The top-level headline stays the ADVERSARIAL near-uniform leg (the
+    # r2→r4 comparable series); the skewed leg runs on the same engine
+    # and compiled programs and reports beside it. README states which
+    # regime real workloads resemble (the skewed one — the reference's
+    # premise and published numbers are from real, skewed workloads).
+    if (
+        not getattr(args, "no_skewed_leg", False)
+        and getattr(args, "skew_tau", 0.0) > 0
+    ):
+        result["nllb_offload_uniform"] = {
+            "value": result["value"],
+            "vs_baseline": result["vs_baseline"],
+            "decode_hit_rate": result.get("decode_hit_rate"),
+            "decode_distinct_routed": result.get("decode_distinct_routed"),
+            "note": "adversarial near-uniform synthetic routing "
+                    "(the round-2..4 headline series)",
+        }
+        try:
+            result["nllb_offload_skewed"] = _nllb_skewed_leg(
+                args, b, cap, prompt, n
+            )
+        except Exception as e:  # noqa: BLE001 — keep the verified headline
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result.setdefault("secondaries_skipped", []).append(
+                f"nllb-offload-skewed: {type(e).__name__}: {str(e)[:160]}"
+            )
     result["_build"] = b  # consumed (and stripped) by main's secondaries
     return result
 
@@ -2050,7 +2217,7 @@ def _run_secondaries(args, result, build, t_start) -> None:
             "nllb-offload",
             ["--arena-dtype", "int8", "--batch", "8", "--layers", "12",
              "--tokens", min(16, args.tokens),
-             "--hbm-gb", "10", "--tier-gb", "6",
+             "--hbm-gb", "10", "--tier-gb", "6", "--no-skewed-leg",
              "--moe-impl", args.moe_impl],
             min(1800, max(600, remaining())),
         )

@@ -140,6 +140,13 @@ class NllbModel:
                     b["lnc_b"] = get(p + "cross_attention_layer_norm.bias")
                 if s.is_sparse(i, decoder):
                     b["router"] = get(p + "ffn.router.classifier.weight", jnp.float32)
+                    # zero by default (HF NLLB's router classifier has no
+                    # bias); benches inject expert-popularity skew here
+                    # (bench.py skewed-locality leg) without changing the
+                    # params treedef of compiled programs
+                    b["router_bias"] = jnp.zeros(
+                        s.num_experts, jnp.float32
+                    )
                 else:
                     b["fc1"] = get(p + "ffn.fc1.weight")
                     b["fc1b"] = get(p + "ffn.fc1.bias")
@@ -204,6 +211,7 @@ class NllbModel:
                 b["lnc_b"] = jnp.zeros(D, jnp.float32)
             if s.is_sparse(i, decoder):
                 b["router"] = mat(ks[2], (E, D), jnp.float32, scale=0.5)
+                b["router_bias"] = jnp.zeros(E, jnp.float32)
                 if with_experts:
                     experts.append(
                         {
@@ -274,6 +282,13 @@ class NllbModel:
         E = self.spec.num_experts
         B, T, D = h.shape
         logits = linear(h.astype(jnp.float32), b["router"]).reshape(B * T, E)
+        rb = b.get("router_bias")
+        if rb is not None:
+            # additive per-expert popularity bias: zero in every served
+            # configuration (HF NLLB routers are bias-free); the bench's
+            # skewed-locality leg sets Zipf-shaped values to model the
+            # skewed, temporally local routing of real workloads
+            logits = logits + rb
         probs = jax.nn.softmax(logits, axis=-1)
         top1 = jnp.argmax(probs, axis=-1)
         masked = jnp.where(

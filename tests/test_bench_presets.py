@@ -168,3 +168,41 @@ def test_real_ckpt_ppl_gate(bench, tmp_path):
     assert "nll" in out, out
     if "ppl_delta" in out:
         assert abs(out["ppl_delta"]) < 5.0  # bf16-vs-f32 drift bound
+
+
+def test_nllb_skewed_leg_smoke(bench, monkeypatch):
+    """The realistic-locality companion leg (VERDICT r4 item 2): runs on
+    the headline's engine with Zipf-biased decoder routers, states its
+    generator parameters, and concentrates routing (distinct routed
+    experts must not exceed the uniform leg's)."""
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "vocab_size", 512)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "d_model", 64)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_heads", 4)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "encoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "decoder_ffn_dim", 128)
+    monkeypatch.setitem(bench.NLLB_54B_SPEC, "num_experts", 8)
+    args = _args(slots=40, moe_impl="ragged", tokens=8)
+    out = bench.bench_nllb_offload(args)
+    out.pop("_build", None)
+    assert "nllb_offload_uniform" in out
+    assert "nllb_offload_skewed" in out
+    sk = out["nllb_offload_skewed"]
+    # generator parameters stated IN the artifact
+    assert sk["skew_alpha"] == args.skew_alpha
+    assert sk["skew_tau"] == args.skew_tau
+    assert sk["sigma_logit"] > 0
+    assert "rank" in sk["bias_formula"]
+    assert sk["value"] > 0
+    if (
+        sk.get("decode_distinct_routed") is not None
+        and out.get("decode_distinct_routed") is not None
+    ):
+        assert (
+            sk["decode_distinct_routed"] <= out["decode_distinct_routed"]
+        )
+    # --no-skewed-leg suppresses the companion (the int8 sibling path)
+    args2 = _args(slots=40, moe_impl="ragged", tokens=3,
+                  no_skewed_leg=True)
+    out2 = bench.bench_nllb_offload(args2)
+    out2.pop("_build", None)
+    assert "nllb_offload_skewed" not in out2

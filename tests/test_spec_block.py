@@ -122,3 +122,77 @@ def test_nonconvergence_raises_capacity_error():
         assert not arena.policy.protected_ondemand
     finally:
         arena.shutdown()
+
+
+# ---- acceptance-gated adaptive block sizing (engine_seq2seq) -----------
+
+
+def _adapt_stub(cfg=4):
+    """Bare attribute carrier for Seq2SeqOffloadEngine._adapt_spec_block
+    (unit-tests the adaptation policy without building an engine)."""
+    import types
+
+    return types.SimpleNamespace(
+        replay_counts=[], spec_block=cfg, _spec_block_cfg=cfg,
+        _spec_clean_streak=0, adaptive_spec=True, _accept_ewma=None,
+        _k_trace=[],
+    )
+
+
+def _adapt(stub):
+    from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
+
+    Seq2SeqOffloadEngine._adapt_spec_block(stub)
+
+
+def test_adaptive_block_shrinks_on_zero_acceptance():
+    """Round-4 regime: accept_at_1 = 0.062 — blocks nearly never accept
+    on the first dispatch. k must walk down the halving chain to 1."""
+    s = _adapt_stub(cfg=4)
+    for _ in range(24):
+        s.replay_counts.append(5)  # many replays per block
+        _adapt(s)
+    assert s.spec_block == 1
+    # and the trace records the walk for the bench diagnostics
+    assert 4 in s._k_trace and 2 in s._k_trace and 1 in s._k_trace
+
+
+def test_adaptive_block_regrows_on_clean_streak():
+    """Skewed-locality regime: steady-state dispatches accept — k must
+    re-grow toward the configured size."""
+    s = _adapt_stub(cfg=4)
+    for _ in range(24):
+        s.replay_counts.append(5)
+        _adapt(s)
+    assert s.spec_block == 1
+    for _ in range(40):
+        s.replay_counts.append(1)  # clean
+        _adapt(s)
+    assert s.spec_block == 4
+
+
+def test_adaptive_block_stable_at_high_acceptance():
+    s = _adapt_stub(cfg=4)
+    for _ in range(50):
+        s.replay_counts.append(1)
+        _adapt(s)
+    assert s.spec_block == 4
+
+
+def test_adaptive_block_respects_disable_flag():
+    s = _adapt_stub(cfg=4)
+    s.adaptive_spec = False
+    for _ in range(24):
+        s.replay_counts.append(6)
+        _adapt(s)
+    assert s.spec_block == 4
+
+
+def test_adaptive_block_survives_mixed_workload_without_thrash():
+    """Alternating accept/miss (EWMA ~0.5): k must not collapse — the
+    shrink threshold is deliberately far below the mixed regime."""
+    s = _adapt_stub(cfg=4)
+    for i in range(60):
+        s.replay_counts.append(1 if i % 2 == 0 else 4)
+        _adapt(s)
+    assert s.spec_block >= 2
