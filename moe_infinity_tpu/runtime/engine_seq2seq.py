@@ -1135,9 +1135,16 @@ class Seq2SeqOffloadEngine:
         while step < max_new_tokens:
             _it_t0 = _time.perf_counter()
             # ---- k-step speculative block (greedy-only fast path) -------
+            # stream mode enters the block path even at k=1: its "block"
+            # is the in-program tier gather — one whole-decoder-step
+            # program with no arena verification loop. (The round-4
+            # full-size stream program — k=4 x 6 MoE layers x U=32
+            # unrolled gathers — faulted the axon TPU worker; k=1 and a
+            # smaller U shrink the compiled program ~16x, landing the
+            # same design in chunks.)
             if (
                 self.speculative
-                and self.spec_block > 1
+                and (self.spec_block > 1 or self._stream)
                 and sp.trivial
                 and sp.logprobs == 0
             ):

@@ -284,6 +284,7 @@ def test_mla_decode_matches_einsum(rng):
     _check(out, ref)
 
 
+@pytest.mark.slow  # >=9 s: fast-suite budget (VERDICT r4 item 8)
 def test_mla_flash_through_model_decode(rng):
     """DeepSeek decode step with the MLA kernel forced == einsum path."""
     from moe_infinity_tpu.models import layers

@@ -33,6 +33,7 @@ def _fwd(model, params, experts, tokens, positions, kv, kv_len):
     )
 
 
+@pytest.mark.slow  # >=9 s: fast-suite budget (VERDICT r4 item 8)
 @pytest.mark.parametrize("q_lora", [None, 24])
 def test_fold_mla_exact(q_lora):
     spec = DeepseekV2Spec(**BASE, q_lora_rank=q_lora)

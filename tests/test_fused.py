@@ -91,6 +91,7 @@ def test_shared_in_pool_matches_default(setup):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # >=9 s: fast-suite budget (VERDICT r4 item 8)
 def test_fused_decode_matches_stepwise(setup):
     model, params, experts, runner = setup
     B, T, CAP, N = 1, 4, 16, 5

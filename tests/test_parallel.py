@@ -61,6 +61,7 @@ def test_grouped_ffn_ep_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # >=9 s: fast-suite budget (VERDICT r4 item 8)
 def test_sharded_forward_matches_unsharded(rng):
     mesh = make_mesh(MeshPlan(data=2, model=2, expert=2))
     model_single = MixtralModel(SPEC, compute_dtype=jnp.float32)

@@ -325,6 +325,7 @@ def test_pod_tp_host_fallback_exact(tiny):
         ex.shutdown()
 
 
+@pytest.mark.slow  # >=9 s: fast-suite budget (VERDICT r4 item 8)
 def test_pod_tp_seq2seq_nllb_facade(tmp_path):
     """NLLB (fc1/fc2 BIASES) under multihost model=2 x expert=2 through
     the facade: fc2.bias is replicated across TP columns and must be

@@ -468,3 +468,38 @@ def test_stream_decode_overflow_escalates_exactly(setup):
         assert engine._stream_U >= 2
     finally:
         arena.shutdown()
+
+
+def test_stream_decode_k1_whole_step_program(setup):
+    """Stream decode at spec_block=1: the stream path must still take
+    the block route (one whole-decoder-step program with the in-program
+    tier gather), NOT the arena's verify/replay step — the chunked shape
+    that lands the design on attachments where the k=4 full program is
+    too large to compile (VERDICT r4 item 3)."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(store, shared_record=False)
+    arena = ExpertArena(
+        store, 4, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False,
+        speculative=True, spec_block=1, stream_decode=True,
+        stream_unique=4,
+    )
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=8).sequences
+        got = engine.generate(prompt, max_new_tokens=8).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        # one stream dispatch per token, no U escalation needed
+        assert len(engine.replay_counts) == 8
+        assert all(e == 1 for e in engine.replay_counts)
+        # only the k=1 stream block ever compiled
+        assert set(engine._stream_block_cache) == {1}
+    finally:
+        arena.shutdown()
