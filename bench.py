@@ -2242,13 +2242,51 @@ def _run_secondaries(args, result, build, t_start) -> None:
         sib["isolated_subprocess"] = True
         result["dtype_siblings"] = {"int8": sib}
 
+    def stream_probe():
+        _free_build(build)
+        # stream decode as a driver-visible secondary (VERDICT r4 item
+        # 3): the k=1 whole-step program with the in-program tier gather
+        # — no arena residency for the decoder, no replay cascade
+        # (chip-proven: mean_step_executions = 1.0, zero misses). Run at
+        # the 12-layer geometry the attachment compiles reliably (the
+        # 24-layer program still faults the axon worker) and U=8.
+        out = _run_sub(
+            "nllb-offload",
+            ["--stream", "--spec-block", "1", "--stream-unique", "8",
+             "--layers", "12",
+             "--tokens", min(8, args.tokens), "--no-skewed-leg",
+             "--tier-gb", args.tier_gb, "--moe-impl", args.moe_impl],
+            min(1500, max(600, remaining())),
+        )
+        result["stream_decode"] = {
+            k: out.get(k)
+            for k in ("value", "vs_baseline", "step_ms",
+                      "decode_hit_rate", "mean_step_executions",
+                      "programs_per_token", "warm_s")
+        }
+        result["stream_decode"]["layers"] = 12
+        # the caveat next to the number: the mechanism is exact and
+        # replay-free on-chip; the absolute tok/s is bound by THIS
+        # attachment's pinned_host→HBM copy rate (~0.3-1 GB/s measured;
+        # the step moves every routed record's bytes, ~400 MB at this
+        # geometry), not by the design — stream wins where tier DMA
+        # approaches real HBM-adjacent rates
+        result["stream_decode"]["bw_note"] = (
+            "DMA-bound on this attachment: step moves all routed "
+            "record bytes through a ~0.3-1 GB/s pinned→HBM path; "
+            "programs_per_token=1.0 (no replay cascade) is the "
+            "transferable result"
+        )
+        result["stream_decode"]["isolated_subprocess"] = True
+
     # pressure first (it REUSES the headline build's compiled stack; a
-    # fresh rebuild costs ~855 s of relay recompiles); the int8 sibling
-    # runs as an ISOLATED SUBPROCESS (see _run_sub). switch-servable
+    # fresh rebuild costs ~855 s of relay recompiles); stream + int8
+    # run as ISOLATED SUBPROCESSES (see _run_sub). switch-servable
     # moved BEFORE the headline (run_pre_stages): even subprocess
     # isolation did not rescue it while this process held the 14 GB NLLB
     # tier (round-4 artifact: 101.5 tok/s vs 906.8 isolated).
     stage("cache-pressure", pressure, min_s=700)
+    stage("stream-decode", stream_probe, min_s=900)
     stage("dtype-sibling-int8", dtype_sibling, min_s=600)
     _free_build(build)
 

@@ -541,10 +541,26 @@ class Seq2SeqOffloadEngine:
 
         if self._stream:
             # in-program gather: no arena verification loop at all
-            return self._stream_block(
-                params, cur_tok, step, kvs, mask, cross, dec_mlis,
-                seq_ids, k,
-            )
+            try:
+                return self._stream_block(
+                    params, cur_tok, step, kvs, mask, cross, dec_mlis,
+                    seq_ids, k,
+                )
+            except Exception as e:  # noqa: BLE001
+                if "unstaged expert was routed" in str(e):
+                    raise  # exactness violation, not a compile problem
+                # a stream program that cannot compile on this backend
+                # (e.g. the axon concatenate memory-space RET_CHECK at
+                # full NLLB depth) would otherwise re-attempt its ~80 s
+                # compile EVERY block; disable stream once and serve
+                # through the arena path for the rest of this engine's
+                # life
+                self._stream = False
+                _log.warning(
+                    "stream decode disabled (%s: %.200s); serving via "
+                    "the arena path", type(e).__name__, e,
+                )
+                raise RuntimeError(f"stream dispatch failed: {e}") from e
         if os.environ.get("MOE_SPEC_BLOCK_MODE", "whole") == "whole":
             # DEFAULT: whole-block replay. Measured A/B on the relay chip
             # (12-layer NLLB, steady state): whole 756 tok/s vs prefix 257

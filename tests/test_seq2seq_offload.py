@@ -503,3 +503,38 @@ def test_stream_decode_k1_whole_step_program(setup):
         assert set(engine._stream_block_cache) == {1}
     finally:
         arena.shutdown()
+
+
+def test_stream_decode_disables_on_compile_failure(setup):
+    """A stream program that cannot compile on a backend (the axon
+    concatenate RET_CHECK at full NLLB depth) must disable stream ONCE
+    and serve through the arena path — not re-attempt the compile every
+    block (round-5 chip run: ~80 s per re-attempt)."""
+    from moe_infinity_tpu.store.pinned import PinnedExpertTier
+
+    model, params, store_dir, gen_res = setup
+    store = ExpertStore(store_dir)
+    tier = PinnedExpertTier(store, shared_record=False)
+    arena = ExpertArena(
+        store, 8, compute_dtype=jnp.float32, num_threads=1,
+        pinned_tier=tier,
+    )
+    engine = Seq2SeqOffloadEngine(
+        model, params, arena, prefetch=False,
+        speculative=True, spec_block=2, stream_decode=True,
+        stream_unique=4,
+    )
+
+    def boom(k):
+        raise RuntimeError("INTERNAL: AOT PJRT error: RET_CHECK failure")
+
+    engine._stream_block_fn = boom
+    try:
+        prompt = np.array([[5, 31, 8, 77, 2, 9]])
+        want = gen_res.generate(prompt, max_new_tokens=6).sequences
+        got = engine.generate(prompt, max_new_tokens=6).sequences
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+        assert engine._stream is False  # disabled once, permanently
+    finally:
+        arena.shutdown()
