@@ -107,7 +107,7 @@ def margin_key_fns(mlis, margin: int):
 
 
 def run_speculative(arena: ExpertArena, mlis, run, limit: int,
-                    key_fn=None, on_replay=None):
+                    key_fn=None, on_replay=None, timings=None):
     """Optimistic whole-step execution against the arena's current slots.
 
     `run(tree, slot_rows)` executes ONE compiled program that resolves MoE
@@ -143,8 +143,16 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
     if key_fn is None:
         key_fn = lambda ids, j: np.unique(ids[j])  # noqa: E731
     held: set = set()
+
+    def _tick(phase, t0):
+        t1 = _time.perf_counter()
+        if timings is not None:
+            timings[phase] = timings.get(phase, 0.0) + (t1 - t0)
+        return t1
+
     try:
         for replay in range(limit):
+            t0 = _time.perf_counter()
             # dispatch under a LEASE, not the residency lock: fetch
             # workers keep fetching + uploading during the (relay-slow)
             # dispatch; only donated landings defer to the lease. The
@@ -157,6 +165,7 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
                 slot_rows = jnp.asarray(slot_rows_np)
                 *outs, trace = run(tree, slot_rows)
             ids_np = np.asarray(trace)
+            t0 = _tick("dispatch_s", t0)
             keys = {
                 (mlis[j], int(e))
                 for j in range(ids_np.shape[0])
@@ -165,6 +174,7 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
             missing = [k for k in keys if k not in resident_at_dispatch]
             if on_replay is not None:
                 on_replay(replay, keys, missing, ids_np)
+            t0 = _tick("replay_hook_s", t0)
             # re-protect exactly this run's working set (acquire protects
             # all keys before any eviction, so releasing first is safe —
             # no concurrent fetches outside acquire on this path)
@@ -174,6 +184,7 @@ def run_speculative(arena: ExpertArena, mlis, run, limit: int,
             # so a fetch failure must still release them via the finally
             held = keys
             arena.acquire(sorted(keys), mlis[-1] if mlis else 0)
+            _tick("acquire_s", t0)
             if not missing:
                 return outs, ids_np, replay + 1
         raise RuntimeError(

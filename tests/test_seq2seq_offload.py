@@ -232,7 +232,9 @@ def test_switch_speculative_block_decode_matches_resident(setup):
             prompt, max_new_tokens=8, eos_token_id=None
         ).sequences
         np.testing.assert_array_equal(got, want)
-        assert engine.spec_block == 3  # never downgraded
+        # never CAPACITY-downgraded (the cost hill-climb may probe
+        # any halving-chain size; a capacity error would cap _k_cap)
+        assert engine._k_cap == 3
         assert engine.replay_counts and max(engine.replay_counts) > 1
         # 4 quantized blocks per request (3+3+1+1), not 8 per-step
         # programs; tail sizes come from the halving chain {3, 1}

@@ -124,75 +124,125 @@ def test_nonconvergence_raises_capacity_error():
         arena.shutdown()
 
 
-# ---- acceptance-gated adaptive block sizing (engine_seq2seq) -----------
+# ---- measured-cost adaptive block sizing (engine_seq2seq) --------------
 
 
 def _adapt_stub(cfg=4):
     """Bare attribute carrier for Seq2SeqOffloadEngine._adapt_spec_block
-    (unit-tests the adaptation policy without building an engine)."""
+    (unit-tests the hill-climb policy without building an engine)."""
     import types
 
-    return types.SimpleNamespace(
+    from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
+
+    s = types.SimpleNamespace(
         replay_counts=[], spec_block=cfg, _spec_block_cfg=cfg,
-        _spec_clean_streak=0, adaptive_spec=True, _accept_ewma=None,
-        _k_trace=[],
+        adaptive_spec=True, _k_trace=[], _ppt_ewma={},
+        _probe_queue=None, _chosen=None, _blocks_since_probe=0,
+        _k_cap=cfg,
+    )
+    s._halving_chain = lambda: Seq2SeqOffloadEngine._halving_chain(s)
+    s._PROBE_BLOCKS = Seq2SeqOffloadEngine._PROBE_BLOCKS
+    s._REPROBE_EVERY = Seq2SeqOffloadEngine._REPROBE_EVERY
+    return s
+
+
+def _adapt(stub, execs, k=None, tokens=None):
+    """Record one block of `execs` dispatches at the stub's current size
+    and run the adaptation step (the engine's own call pattern)."""
+    from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
+
+    k = k if k is not None else stub.spec_block
+    stub.replay_counts.append(execs)
+    Seq2SeqOffloadEngine._adapt_spec_block(stub, k=k, tokens=tokens)
+
+
+def _execs_uniform(k):
+    """Round-4 chip regime: programs/token ~1.7 at k=4, ~2.2 at k=2,
+    ~2.3 at k=1 — larger blocks amortize replays even at ~0 acceptance."""
+    return {4: 7, 2: 5, 1: 2}[k]
+
+
+def _execs_skewed(k):
+    """High-hit regime: blocks mostly accept -> ppt ~1/k."""
+    return 1
+
+
+def test_hill_climb_picks_large_k_on_uniform_drift():
+    """The acceptance-gated first cut collapsed k to 1 here and the chip
+    measured it WORSE (ppt 2.77 vs 1.7); the cost hill-climb must pick
+    the measured-cheapest size instead."""
+    s = _adapt_stub(cfg=4)
+    for _ in range(12):
+        _adapt(s, _execs_uniform(s.spec_block))
+    assert s._chosen is not None and s._chosen[0] == 4
+    assert s.spec_block == 4
+    # every chain size was probed
+    assert {4, 2, 1} <= set(s._k_trace)
+
+
+def test_hill_climb_picks_small_k_when_small_wins():
+    """A regime where replays scale with k (e.g. an arena barely holding
+    one step's union): ppt(4)=2.5, ppt(2)=2, ppt(1)=1.5 -> k=1 wins."""
+    costs = {4: 10, 2: 4, 1: 1.5}
+
+    s = _adapt_stub(cfg=4)
+    for _ in range(12):
+        _adapt(s, costs[s.spec_block])
+    assert s._chosen is not None and s._chosen[0] == 1
+
+
+def test_hill_climb_reprobes_on_regime_shift():
+    """Uniform drift -> skew appears (the bench's skewed leg): the
+    periodic re-probe must discover that large k now costs ~1/k and
+    re-grow."""
+    s = _adapt_stub(cfg=4)
+    for _ in range(12):
+        _adapt(s, _execs_uniform(s.spec_block))
+    chosen_before = s._chosen[0]
+    # regime shifts: every size now accepts first-dispatch; the
+    # periodic re-probe lands within _REPROBE_EVERY + one probe sweep
+    for _ in range(2 * s._REPROBE_EVERY + 12 * s._PROBE_BLOCKS):
+        _adapt(s, _execs_skewed(s.spec_block))
+        if s._chosen is not None and s._chosen[0] == 4:
+            break
+    assert s._chosen is not None and s._chosen[0] == 4, (
+        chosen_before, s._chosen, s._ppt_ewma
     )
 
 
-def _adapt(stub):
-    from moe_infinity_tpu.runtime.engine_seq2seq import Seq2SeqOffloadEngine
-
-    Seq2SeqOffloadEngine._adapt_spec_block(stub)
-
-
-def test_adaptive_block_shrinks_on_zero_acceptance():
-    """Round-4 regime: accept_at_1 = 0.062 — blocks nearly never accept
-    on the first dispatch. k must walk down the halving chain to 1."""
+def test_hill_climb_reprobes_on_cost_drift():
+    """The chosen size degrading 1.5x triggers an EARLY re-probe (not
+    just the periodic one)."""
     s = _adapt_stub(cfg=4)
-    for _ in range(24):
-        s.replay_counts.append(5)  # many replays per block
-        _adapt(s)
-    assert s.spec_block == 1
-    # and the trace records the walk for the bench diagnostics
-    assert 4 in s._k_trace and 2 in s._k_trace and 1 in s._k_trace
+    for _ in range(12):
+        _adapt(s, _execs_uniform(s.spec_block))
+    assert s._chosen[0] == 4
+    n_trace = len(s._k_trace)
+    for _ in range(8):
+        _adapt(s, 16)  # chosen size's cost explodes
+        if s._chosen is None:
+            break
+    assert s._chosen is None  # re-probing
+    assert len(s._k_trace) < n_trace + s._REPROBE_EVERY
 
 
-def test_adaptive_block_regrows_on_clean_streak():
-    """Skewed-locality regime: steady-state dispatches accept — k must
-    re-grow toward the configured size."""
+def test_hill_climb_respects_capacity_cap():
+    """After a capacity error capped k (engine sets _k_cap), the probe
+    chain must not offer capped-out sizes."""
     s = _adapt_stub(cfg=4)
-    for _ in range(24):
-        s.replay_counts.append(5)
-        _adapt(s)
-    assert s.spec_block == 1
-    for _ in range(40):
-        s.replay_counts.append(1)  # clean
-        _adapt(s)
-    assert s.spec_block == 4
+    s._k_cap = 2
+    s.spec_block = 2  # the engine sets spec_block to the cap when capping
+    for _ in range(10):
+        assert s.spec_block <= 2
+        _adapt(s, 1)
+    assert s._chosen[0] <= 2
+    assert 4 not in s._ppt_ewma
 
 
-def test_adaptive_block_stable_at_high_acceptance():
-    s = _adapt_stub(cfg=4)
-    for _ in range(50):
-        s.replay_counts.append(1)
-        _adapt(s)
-    assert s.spec_block == 4
-
-
-def test_adaptive_block_respects_disable_flag():
+def test_hill_climb_respects_disable_flag():
     s = _adapt_stub(cfg=4)
     s.adaptive_spec = False
-    for _ in range(24):
-        s.replay_counts.append(6)
-        _adapt(s)
+    for _ in range(20):
+        _adapt(s, 7)
     assert s.spec_block == 4
-
-
-def test_adaptive_block_survives_mixed_workload_without_thrash():
-    """Alternating accept/miss (EWMA ~0.5): k must not collapse — the
-    shrink threshold is deliberately far below the mixed regime."""
-    s = _adapt_stub(cfg=4)
-    for i in range(60):
-        s.replay_counts.append(1 if i % 2 == 0 else 4)
-        _adapt(s)
-    assert s.spec_block >= 2
+    assert s._probe_queue is None
