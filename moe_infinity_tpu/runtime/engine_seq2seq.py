@@ -708,8 +708,18 @@ class Seq2SeqOffloadEngine:
         if len(chain) == 1:
             self.spec_block = chain[0]
             return
-        if self._probe_queue:
-            self.spec_block = self._probe_queue.pop(0)
+        while self._probe_queue:
+            s = self._probe_queue.pop(0)
+            best = min(self._ppt_ewma.values(), default=None)
+            if best is not None and best <= 1.0 / s:
+                # a size-s block costs >= 1/s programs/token by
+                # construction, so s cannot beat the best measured size —
+                # don't burn real decode blocks probing it (on a
+                # high-hit workload ppt(k=4) ~ 0.3 skips the k=2 and k=1
+                # probes entirely; chip r5: each skipped k=1 probe block
+                # saved ~3 programs for 1 token)
+                continue
+            self.spec_block = s
             return
         if self._chosen is None:
             if self._probe_queue is None:  # first block ever: start probe

@@ -246,3 +246,17 @@ def test_hill_climb_respects_disable_flag():
         _adapt(s, 7)
     assert s.spec_block == 4
     assert s._probe_queue is None
+
+
+def test_hill_climb_skips_dominated_probe_sizes():
+    """ppt(s) >= 1/s by construction: when the largest size measures
+    ppt(4) ~ 0.3 (high-hit regime), probing k=2 and k=1 cannot win and
+    must be skipped — probe blocks at bad sizes cost real decode
+    throughput (chip r5: ~3 programs for 1 token per k=1 probe)."""
+    s = _adapt_stub(cfg=4)
+    for _ in range(12):
+        _adapt(s, 1 if s.spec_block == 4 else 99)  # ppt(4)=0.25
+    assert s._chosen is not None and s._chosen[0] == 4
+    # k=2 / k=1 were never dispatched
+    assert set(s._k_trace) == {4}
+    assert 1 not in s._ppt_ewma and 2 not in s._ppt_ewma
