@@ -1423,7 +1423,7 @@ _COMPACT_SECONDARY_KEYS = (
     "value", "vs_baseline", "hit_rate", "decode_hit_rate", "step_ms",
     "paired_tput_ratio_median", "priority_beats_lru_tput",
     "priority_beats_lru_hit_rate", "isolated_subprocess", "skew_alpha",
-    "skew_tau", "spec_k_final",
+    "skew_tau", "spec_k_final", "programs_per_token",
 )
 
 
