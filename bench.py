@@ -1407,7 +1407,7 @@ def bench_nllb_offload(args, shared=None, _build=None):
 # secondary summaries — while the full enriched payload goes to
 # --detail-file (and stderr). tests/test_bench_presets.py asserts the
 # budget against a round-4-sized payload.
-COMPACT_BUDGET = 1400
+COMPACT_BUDGET = 1300
 
 # headline scalars, highest-priority first (later ones drop first if the
 # line would overflow)
@@ -2233,20 +2233,77 @@ def _run_secondaries(args, result, build, t_start) -> None:
         result["cache_pressure"] = out
         gc.collect()
 
+    # pressure REUSES the headline build's compiled stack (a fresh
+    # rebuild costs ~855 s of relay recompiles), so it is the ONLY
+    # secondary left after the headline: every subprocess stage
+    # (switch-servable, int8 sibling, stream) runs BEFORE the headline
+    # via run_pre_stages — the round-5 final rehearsal measured the
+    # int8 sibling at 2.66 tok/s as a post-headline subprocess vs 65.5
+    # isolated (25x) even after _free_build, while the pre-staged
+    # switch-servable matched its isolated level; whatever parent
+    # relay-session/HBM state lingers through the secondaries phase,
+    # running first provably avoids it.
+    stage("cache-pressure", pressure, min_s=700)
+    _free_build(build)
+
+
+def run_pre_stages(args, result, t_start) -> None:
+    """Subprocess secondary stages, run BEFORE the headline build exists.
+
+    Round-4/5 evidence: a subprocess stage run AFTER the headline
+    degrades massively even with explicit build/tier frees in the parent
+    (switch-servable r4: 101 vs isolated level; int8 sibling r5 final
+    rehearsal: 2.66 tok/s vs 65.5 isolated, 25x), while the same stages
+    run FIRST match their isolated numbers. Each stage carries its own
+    per-phase instrumentation so the artifact names any residual
+    degradation instead of leaving a gap unexplained."""
+
+    def remaining():
+        return args.budget_s - (time.perf_counter() - t_start)
+
+    def stage(name, fn, min_s):
+        if remaining() < min_s:
+            result.setdefault("secondaries_skipped", []).append(
+                f"{name}: budget exhausted (pre-stage)"
+            )
+            return
+        print(f"[bench] pre-stage: {name} ({remaining():.0f}s left)",
+              file=sys.stderr, flush=True)
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result.setdefault("secondaries_skipped", []).append(
+                f"{name}: {type(e).__name__}: {str(e)[:160]}"
+            )
+
+    def sw():
+        out = _run_sub(
+            "switch-servable",
+            ["--tokens", min(32, args.tokens),
+             "--tier-gb", min(4.0, args.tier_gb),
+             "--moe-impl", args.moe_impl],
+            1500,
+        )
+        result["switch_servable"] = {
+            k: out.get(k)
+            for k in ("value", "vs_baseline", "hit_rate", "num_slots",
+                      "records", "step_ms", "pinned_tier_gb",
+                      "mean_step_executions", "tier_stage_s", "warm_s",
+                      "dispatch_ms_probe_pre", "dispatch_ms_probe_post",
+                      "phase_timings")
+        }
+        result["switch_servable"]["isolated_subprocess"] = True
+        result["switch_servable"]["ran_before_headline"] = True
+
     def dtype_sibling():
-        _free_build(build)
-        # Third-attempt geometry that FITS (VERDICT r4 item 5): the
-        # full-geometry int8 sibling RESOURCE_EXHAUSTED'd two rounds
-        # running — int8 doubles both the slot stride and the staged tier
-        # records, and the budget math left no transient headroom. The
-        # sibling's purpose is dtype sensitivity (hit rate + step
-        # structure at 2x the offloaded bytes), which a reduced-depth
-        # geometry demonstrates just as well: 12+12 layers (3+3 MoE),
-        # B=8, a 10 GB HBM budget, and a 13 GB tier that covers the full
-        # 384-record int8 decoder (at 6 GB only 191/768 records staged
-        # and unstaged ~1 s/record store fetches gave 0.86 tok/s; at 13
-        # GB the same run measured 65.5 tok/s = 2.16x, hit 0.75).
-        # Chip-verified round 5; budget math asserted in
+        # Geometry that FITS (VERDICT r4 item 5), chip-verified r5:
+        # 12+12 layers, B=8, 10 GB HBM budget, 13 GB tier covering the
+        # full 384-record int8 decoder — 65.5 tok/s = 2.16x isolated
+        # (at 6 GB only 191/768 records staged and unstaged ~1 s/record
+        # store fetches gave 0.86). Budget math asserted in
         # tests/test_bench_presets.py.
         out = _run_sub(
             "nllb-offload",
@@ -2258,33 +2315,33 @@ def _run_secondaries(args, result, build, t_start) -> None:
         )
         sib = {
             k: out.get(k)
-            for k in ("value", "vs_baseline", "hit_rate", "decode_hit_rate",
-                      "num_slots", "step_ms", "batch", "layers",
-                      "pinned_tier_gb")
+            for k in ("value", "vs_baseline", "hit_rate",
+                      "decode_hit_rate", "num_slots", "step_ms", "batch",
+                      "layers", "pinned_tier_gb", "mean_step_executions",
+                      "programs_per_token")
         }
         sib["layers"] = 12
-        # the caveat lives NEXT TO the number (VERDICT r3 item 6), not in
-        # a side markdown: this attachment's host link is ~32 MB/s and
-        # int8 doubles the offloaded bytes per expert vs the int4-packed
-        # headline, so unstaged-record fetches dominate; on a production
-        # PCIe/DMA host path the same configuration is fetch-overlapped
-        # and the int4-vs-int8 gap collapses to the arena-write cost
+        # the caveat lives NEXT TO the number (VERDICT r3 item 6): int8
+        # doubles the offloaded bytes per expert vs the int4 headline,
+        # so fetch traffic dominates on this attachment's host link; on
+        # a production PCIe/DMA host path the gap collapses to the
+        # arena-write cost
         sib["bw_note"] = (
             "link-bound on this measurement relay (~32 MB/s host link; "
             "int8 = 2x offloaded bytes/expert vs the int4 headline) — "
             "compare hit_rate and step structure, not absolute tok/s"
         )
         sib["isolated_subprocess"] = True
+        sib["ran_before_headline"] = True
         result["dtype_siblings"] = {"int8": sib}
 
     def stream_probe():
-        _free_build(build)
         # stream decode as a driver-visible secondary (VERDICT r4 item
         # 3): the k=1 whole-step program with the in-program tier gather
         # — no arena residency for the decoder, no replay cascade
         # (chip-proven: mean_step_executions = 1.0, zero misses). Run at
         # the 12-layer geometry the attachment compiles reliably (the
-        # 24-layer program still faults the axon worker) and U=8.
+        # 24-layer program fails the axon concatenate lowering) and U=8.
         out = _run_sub(
             "nllb-offload",
             ["--stream", "--spec-block", "1", "--stream-unique", "8",
@@ -2313,61 +2370,11 @@ def _run_secondaries(args, result, build, t_start) -> None:
             "transferable result"
         )
         result["stream_decode"]["isolated_subprocess"] = True
+        result["stream_decode"]["ran_before_headline"] = True
 
-    # pressure first (it REUSES the headline build's compiled stack; a
-    # fresh rebuild costs ~855 s of relay recompiles); stream + int8
-    # run as ISOLATED SUBPROCESSES (see _run_sub). switch-servable
-    # moved BEFORE the headline (run_pre_stages): even subprocess
-    # isolation did not rescue it while this process held the 14 GB NLLB
-    # tier (round-4 artifact: 101.5 tok/s vs 906.8 isolated).
-    stage("cache-pressure", pressure, min_s=700)
-    stage("dtype-sibling-int8", dtype_sibling, min_s=600)
-    stage("stream-decode", stream_probe, min_s=500)
-    _free_build(build)
-
-
-def run_pre_stages(args, result, t_start) -> None:
-    """Secondary stages that must run BEFORE the headline build exists.
-
-    switch-servable collapsed inside the round-4 artifact (101.49 tok/s,
-    step 315 ms) vs 906.8 isolated even as a subprocess with explicit
-    tier frees — the parent's 14 GB pinned NLLB tier plus relay-session
-    state degraded everything that ran after it. Running it FIRST gives
-    it the same clean environment the isolated measurements had; the
-    stage's own per-phase timers (tier_stage_s / warm_s / dispatch
-    probes, bench_switch_servable) let the artifact name any residual
-    degradation instead of leaving a 9x gap unexplained."""
-
-    def sw():
-        out = _run_sub(
-            "switch-servable",
-            ["--tokens", min(32, args.tokens),
-             "--tier-gb", min(4.0, args.tier_gb),
-             "--moe-impl", args.moe_impl],
-            1500,
-        )
-        result["switch_servable"] = {
-            k: out.get(k)
-            for k in ("value", "vs_baseline", "hit_rate", "num_slots",
-                      "records", "step_ms", "pinned_tier_gb",
-                      "mean_step_executions", "tier_stage_s", "warm_s",
-                      "dispatch_ms_probe_pre", "dispatch_ms_probe_post",
-                      "phase_timings")
-        }
-        result["switch_servable"]["isolated_subprocess"] = True
-        result["switch_servable"]["ran_before_headline"] = True
-
-    print("[bench] pre-stage: switch-servable (isolated, before the "
-          "headline tier exists)", file=sys.stderr, flush=True)
-    try:
-        sw()
-    except Exception as e:  # noqa: BLE001
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        result.setdefault("secondaries_skipped", []).append(
-            f"switch-servable: {type(e).__name__}: {str(e)[:160]}"
-        )
+    stage("switch-servable", sw, min_s=2700)
+    stage("dtype-sibling-int8", dtype_sibling, min_s=2400)
+    stage("stream-decode", stream_probe, min_s=2100)
 
 
 def _run_sub(preset, extra, timeout_s):

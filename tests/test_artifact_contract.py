@@ -247,10 +247,11 @@ def test_int8_sibling_geometry_fits(budget_gb, layers, batch):
         f"(dense {dense_gb:.1f} + kv {kv_gb} + union slots "
         f"{slots_bytes / 2**30:.1f})"
     )
-    # and the stage flags in bench._run_secondaries match this geometry
+    # and the stage flags in bench.run_pre_stages match this geometry
     import inspect
 
-    src = inspect.getsource(bench._run_secondaries)
+    src = inspect.getsource(bench.run_pre_stages)
     assert '"--layers", "12"' in src
     assert '"--hbm-gb", "10"' in src
+    assert '"--tier-gb", "13"' in src
     assert np.isfinite(total)
