@@ -186,19 +186,27 @@ def test_nllb_skewed_leg_smoke(bench, monkeypatch):
     out.pop("_build", None)
     assert "nllb_offload_uniform" in out
     assert "nllb_offload_skewed" in out
+    # the realistic-locality leg IS the headline (round-5 promotion: the
+    # baseline comes from real skewed workloads); the uniform leg reports
+    # beside it at full detail
+    assert out["headline_leg"] == "skewed_realistic_locality"
     sk = out["nllb_offload_skewed"]
-    # generator parameters stated IN the artifact
-    assert sk["skew_alpha"] == args.skew_alpha
+    assert sk["promoted_to_headline"] is True
+    assert out["value"] == sk["value"]
+    # generator parameters stated IN the artifact (stub AND top level)
+    assert sk["skew_alpha"] == out["skew_alpha"] == args.skew_alpha
     assert sk["skew_tau"] == args.skew_tau
     assert sk["sigma_logit"] > 0
     assert "rank" in sk["bias_formula"]
     assert sk["value"] > 0
+    uni = out["nllb_offload_uniform"]
+    assert uni["value"] > 0 and "note" in uni
     if (
         sk.get("decode_distinct_routed") is not None
-        and out.get("decode_distinct_routed") is not None
+        and uni.get("decode_distinct_routed") is not None
     ):
         assert (
-            sk["decode_distinct_routed"] <= out["decode_distinct_routed"]
+            sk["decode_distinct_routed"] <= uni["decode_distinct_routed"]
         )
     # --no-skewed-leg suppresses the companion (the int8 sibling path)
     args2 = _args(slots=40, moe_impl="ragged", tokens=3,
