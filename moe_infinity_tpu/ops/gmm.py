@@ -44,7 +44,8 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
 
 
 def _gmm_kernel(
-    group_start_ref,  # scalar prefetch: [S+1] int32 row offsets
+    group_start_ref,  # scalar prefetch: [G+1] int32 row offsets
+    ids_ref,  # scalar prefetch: [G] int32 group -> weight row (slot id)
     off_ref,  # scalar prefetch: [1] base group offset into w/scale dim 0
     *refs,  # x_ref, w_ref, [scale_ref], out_ref, wbuf, sem, acc
     tm: int,
@@ -61,7 +62,10 @@ def _gmm_kernel(
         scale_ref = None
     m = pl.program_id(0)
     g = pl.program_id(1)
-    gw = g + off_ref[0]  # row in the (possibly layer-stacked) weight array
+    # row in the (possibly layer-stacked) weight array: the grid runs over
+    # ACTIVE groups only (ids_ref maps group -> slot), so grid cost scales
+    # with routed tokens, not arena slots
+    gw = ids_ref[g] + off_ref[0]
 
     @pl.when(g == 0)
     def _zero():
@@ -179,6 +183,7 @@ def gmm(
     group_sizes: jax.Array,  # [S_active] int32
     scale: Optional[jax.Array] = None,  # [S_total, F]
     group_offset: Optional[jax.Array] = None,  # scalar: base row into w
+    group_ids: Optional[jax.Array] = None,  # [S_active] int32 rows into w
     *,
     num_groups: int = 0,  # S_active (defaults to w.shape[0])
     tm: int = 0,
@@ -216,6 +221,10 @@ def gmm(
         group_offset = jnp.zeros(1, jnp.int32)
     else:
         group_offset = jnp.asarray(group_offset, jnp.int32).reshape(1)
+    if group_ids is None:
+        group_ids = jnp.arange(S, dtype=jnp.int32)  # identity: group == slot
+    else:
+        group_ids = jnp.asarray(group_ids, jnp.int32)
 
     quantized = scale is not None
     kernel = functools.partial(
@@ -226,19 +235,22 @@ def gmm(
         pl.BlockSpec((tm, D), lambda m, g, *_: (m, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),  # w stays in HBM
     ]
-    inputs = [group_start, group_offset, x, w]
+    inputs = [group_start, group_ids, group_offset, x, w]
     if quantized:
         # [S, 1, F] with a (1, 1, F) block: block dims equal the array dims
         # on the last two axes, satisfying the TPU (8, 128) tiling rule;
         # the kernel slices the lane (last) dim at tf granularity
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, F), lambda m, g, gs_ref, off_ref: (g + off_ref[0], 0, 0)
+                (1, 1, F),
+                lambda m, g, gs_ref, ids_ref, off_ref: (
+                    ids_ref[g] + off_ref[0], 0, 0
+                ),
             )
         )
         inputs.append(scale.reshape(S_total, 1, F))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(m_tiles, S),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, F), lambda m, g, *_: (m, 0)),
@@ -304,13 +316,33 @@ def gffn_pallas(x, expert_ids, combine_weights, expert_to_slot, weights,
     order = jnp.argsort(flat_slots)
     inv_token = order // K
     xs = x[inv_token]
-    group_sizes = jnp.bincount(flat_slots, length=S).astype(jnp.int32)
+    # Compact the grid to ACTIVE groups: at most T*K distinct slots route,
+    # so the kernel's group axis is min(S, T*K) instead of the whole arena
+    # — on the offload decode path S is the arena size (hundreds..
+    # thousands of slots) while T*K is ~32-64, and per-grid-step overhead
+    # (scale-block copies, grid bookkeeping) made the block program cost
+    # scale with SLOTS, not routed work (round-5 chip finding: the
+    # switch-servable program cost ~550 ms/program and grew when slots
+    # did). jnp.unique pads with fill_value at the END with count 0, so
+    # cumsum(group_sizes) still matches the sorted row order; padded
+    # groups do no work and duplicate slot 0's (harmless) scale block.
+    G = min(S, flat_slots.shape[0])
+    if G < S:
+        group_ids, group_sizes = jnp.unique(
+            flat_slots, size=G, fill_value=0, return_counts=True
+        )
+        group_ids = group_ids.astype(jnp.int32)
+        group_sizes = group_sizes.astype(jnp.int32)
+    else:
+        group_ids = None
+        group_sizes = jnp.bincount(flat_slots, length=S).astype(jnp.int32)
 
     def run(role, xin):
         p = role + "4" in weights
         return gmm(
             xin, weights[role + "4"] if p else weights[role], group_sizes,
-            weights.get(role + "_scale"),
+            weights.get(role + "_scale"), group_ids=group_ids,
+            num_groups=G if G < S else 0,
             out_dtype=jnp.float32, interpret=interpret, packed=p,
         )
 
