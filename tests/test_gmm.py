@@ -251,3 +251,52 @@ def test_gffn_pallas_nllb_biases_nongated(rng):
                     interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_gffn_pallas_group_compaction(rng):
+    """S >> T*K engages the active-group grid compaction (grid over
+    min(S, T*K) groups, scalar-prefetched group->slot ids). Slot 0 is
+    forced active so the zero-count padding groups (fill_value=0)
+    duplicate a REAL slot's id — they must contribute nothing. Also pins
+    gmm(group_ids=...) == gmm(identity) on the same routing."""
+    from moe_infinity_tpu.ops.gmm import gmm
+    from moe_infinity_tpu.ops.moe import pack_int4
+
+    T, D, F, S, K = 8, 128, 256, 64, 2  # G = 16 << S
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, S, (T, K)), jnp.int32)
+    ids = ids.at[0, 0].set(0)  # slot 0 active alongside the padding dupes
+    cw = jnp.asarray(rng.uniform(0, 1, (T, K)), jnp.float32)
+    slot = jnp.arange(S, dtype=jnp.int32)
+    vg = jnp.asarray(rng.integers(-8, 8, (S, D, 2 * F)), jnp.int8)
+    vd = jnp.asarray(rng.integers(-8, 8, (S, F, D)), jnp.int8)
+    weights = {
+        "gateup4": pack_int4(vg),
+        "gateup_scale": jnp.asarray(
+            rng.uniform(0.01, 0.05, (S, 2 * F)), jnp.float32
+        ),
+        "down4": pack_int4(vd),
+        "down_scale": jnp.asarray(
+            rng.uniform(0.01, 0.05, (S, D)), jnp.float32
+        ),
+    }
+    want = np.asarray(
+        grouped_ffn(x, ids, cw, slot, weights, "silu", impl="gather")
+    )
+    got = np.asarray(
+        gffn_pallas(x, ids, cw, slot, weights, "silu", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+    # gmm-level: compacted grid == identity grid on one routed matmul
+    xs = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    active = jnp.asarray(sorted(rng.choice(S, T, replace=False)), jnp.int32)
+    sizes_full = jnp.zeros(S, jnp.int32).at[active].set(1)
+    sizes_cmp = jnp.ones(T, jnp.int32)
+    w = jnp.asarray(rng.standard_normal((S, D, F)), jnp.bfloat16)
+    full = np.asarray(gmm(xs, w, sizes_full, interpret=True))
+    cmp_ = np.asarray(
+        gmm(xs, w, sizes_cmp, group_ids=active, num_groups=T,
+            interpret=True)
+    )
+    np.testing.assert_allclose(cmp_, full, rtol=1e-5, atol=1e-5)
