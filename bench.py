@@ -1446,15 +1446,15 @@ def bench_nllb_offload(args, shared=None, _build=None):
 # secondary summaries — while the full enriched payload goes to
 # --detail-file (and stderr). tests/test_bench_presets.py asserts the
 # budget against a round-4-sized payload.
-COMPACT_BUDGET = 1300
+COMPACT_BUDGET = 1700
 
 # headline scalars, highest-priority first (later ones drop first if the
-# line would overflow)
+# line would overflow — compact_result pops drop_order LIFO)
 _COMPACT_KEYS = (
-    "hit_rate", "decode_hit_rate", "step_ms", "dispatch_ms_per_program",
-    "num_slots", "batch", "decode_steps", "mean_step_executions",
-    "arena_dtype", "policy", "warm_s", "pinned_tier_gb", "tier_aliased",
-    "fallback_from", "programs_per_token", "headline_leg",
+    "fallback_from", "headline_leg", "decode_hit_rate", "step_ms",
+    "dispatch_ms_per_program", "programs_per_token", "hit_rate",
+    "num_slots", "batch", "arena_dtype", "mean_step_executions",
+    "decode_steps", "policy", "warm_s", "pinned_tier_gb", "tier_aliased",
 )
 
 # per-secondary scalars kept in the compact line
@@ -1507,7 +1507,7 @@ def compact_result(result: dict, detail_file=None,
     sd = result.get("spec_diag")
     if isinstance(sd, dict):
         out["spec_diag"] = {
-            k: sd[k]
+            k: (sd[k][-8:] if k == "k_trace" else sd[k])
             for k in ("blocks", "accept_at_1", "k_final", "k_trace")
             if k in sd
         }
@@ -1515,14 +1515,18 @@ def compact_result(result: dict, detail_file=None,
     skipped = result.get("secondaries_skipped")
     if skipped:
         out["secondaries_skipped"] = [str(s)[:60] for s in skipped]
-        drop_order.append("secondaries_skipped")
+        drop_order.insert(0, "secondaries_skipped")  # drops LAST
     if result.get("errors"):
         out["errors"] = [str(e)[:80] for e in result["errors"][:2]]
-        drop_order.append("errors")
+        drop_order.insert(0, "errors")  # failure visibility drops last
     if detail_file:
         out["detail_file"] = detail_file
+    # LIFO: the LAST-appended (lowest-priority) entry drops first, so the
+    # headline scalars — and error/skip visibility — survive the longest
+    # (round-5 rehearsal caught the old FIFO pop dropping headline_leg and
+    # every top-level scalar while bulkier low-priority sections survived)
     while len(json.dumps(out)) > budget and drop_order:
-        out.pop(drop_order.pop(0), None)
+        out.pop(drop_order.pop(), None)
     return out
 
 
